@@ -1,0 +1,141 @@
+"""Graph query surface: k-hop neighborhood expansion (SURVEY.md §2.7
+G1-G3/U1) over a bipartite customer↔supplier trade graph derived from
+orders ⋈ lineitem.
+
+Mirrors the reference's "friends of friends" filter
+(/root/reference/src/senzing_pipeline.py:373-397): exact-match seeds →
+1-hop → 2-hop from the cumulative reach → distinct union, with minimal
+hop labels. Vertex ids are namespaced strings (``c:<custkey>`` /
+``s:<suppkey>``) exactly like the reference keeps entity ids distinct
+from record ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.graph.khop import k_hop_labeled
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def trade_edges(t: dict) -> DataFrame:
+    """Bidirectional customer↔supplier edges from order lineitems."""
+    raw = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    fwd = raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def seed_customers(t: dict) -> DataFrame:
+    return (
+        t["customer"]
+        .where(F.col("c_custkey") % 37 == 0)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"))
+    )
+
+
+_EDGE_CTE = """
+    WITH seeds AS (
+      SELECT 'c:' || c_custkey AS id FROM customer WHERE c_custkey % 37 = 0
+    ),
+    raw AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM raw
+      UNION ALL
+      SELECT s AS src, c AS dst FROM raw
+    )
+"""
+
+
+@register(
+    "g3_two_hop_reach",
+    _EDGE_CTE
+    + """,
+    hop1 AS (
+      SELECT DISTINCT e.dst AS id FROM edges e JOIN seeds ON e.src = seeds.id
+    ),
+    r01 AS (SELECT id FROM seeds UNION SELECT id FROM hop1),
+    hop2 AS (
+      SELECT DISTINCT e.dst AS id FROM edges e JOIN r01 ON e.src = r01.id
+    ),
+    all_hops AS (
+      SELECT id, 0 AS hop FROM seeds
+      UNION ALL SELECT id, 1 FROM hop1
+      UNION ALL SELECT id, 2 FROM hop2
+    )
+    SELECT id, CAST(MIN(hop) AS BIGINT) AS hop FROM all_hops GROUP BY id
+    """,
+)
+def g3_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop friends-of-friends reach with minimal hop labels."""
+    t = load_tables(spark, sf_dir)
+    return k_hop_labeled(trade_edges(t), seed_customers(t), k=2)
+
+
+@register(
+    "flagship_reach_segments",
+    _EDGE_CTE
+    + """,
+    hop1 AS (
+      SELECT DISTINCT e.dst AS id FROM edges e JOIN seeds ON e.src = seeds.id
+    ),
+    r01 AS (SELECT id FROM seeds UNION SELECT id FROM hop1),
+    hop2 AS (
+      SELECT DISTINCT e.dst AS id FROM edges e JOIN r01 ON e.src = r01.id
+    ),
+    reach AS (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM seeds UNION ALL SELECT id FROM hop1 UNION ALL SELECT id FROM hop2
+      ) u
+    ),
+    reached_cust AS (
+      SELECT c.* FROM customer c JOIN reach ON 'c:' || c.c_custkey = reach.id
+    ),
+    seg AS (
+      SELECT c_mktsegment, COUNT(*) AS n_customers FROM reached_cust GROUP BY 1
+    )
+    SELECT c_mktsegment, n_customers,
+           ROUND(n_customers / (1.0 * SUM(n_customers) OVER ()), 6) AS prob
+    FROM seg
+    """,
+)
+def flagship_reach_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: suspicious-customer 2-hop reach → market-segment
+    distribution. Exercises scan, filter, equi-join, graph expansion,
+    aggregation, and a windowed ratio in one plan (SURVEY.md §7 Phase 0).
+    """
+    t = load_tables(spark, sf_dir)
+    reach = k_hop_labeled(trade_edges(t), seed_customers(t), k=2)
+    reached_cust = t["customer"].join(
+        reach, F.concat(F.lit("c:"), F.col("c_custkey")) == reach["id"]
+    )
+    seg = reached_cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+    w = Window.partitionBy()
+    return seg.withColumn(
+        "prob", F.round(F.col("n_customers") / F.sum("n_customers").over(w), 6)
+    )

@@ -1,0 +1,15 @@
+"""Aggregated query registry: every implemented operator's query and
+its DuckDB oracle twin (driver contract, see /root/repo/__spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from erkg_tutorials_spark.plans import eventsq, graphq, relational, textq, vectorq
+
+_MODULES = (relational, graphq, textq, vectorq, eventsq)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+for _m in _MODULES:
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)

@@ -1,0 +1,175 @@
+"""Text-analysis + dedup query surface over the documents table
+(training-data-pipeline operators: dedup, quality, lang-id, token
+counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.dedup.exact import exact_dedup
+from erkg_tutorials_spark.dedup.minhash import minhash_lsh_dedup
+from erkg_tutorials_spark.text.quality import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return exact_dedup(t["documents"])
+
+
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
+      FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+    ),
+    mh AS (
+      SELECT doc_id,
+             min(md5(concat('0|', shingle))) AS h0, min(md5(concat('1|', shingle))) AS h1,
+             min(md5(concat('2|', shingle))) AS h2, min(md5(concat('3|', shingle))) AS h3,
+             min(md5(concat('4|', shingle))) AS h4, min(md5(concat('5|', shingle))) AS h5,
+             min(md5(concat('6|', shingle))) AS h6, min(md5(concat('7|', shingle))) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id AS id, 0 AS band, concat(h0, h1, h2, h3) AS bkey FROM mh
+      UNION ALL
+      SELECT doc_id, 1, concat(h4, h5, h6, h7) FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.id < b.id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(n_inter / (1.0 * (za.n + zb.n - n_inter)), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE n_inter / (1.0 * (za.n + zb.n - n_inter)) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_dedup(
+        t["documents"], k=5, num_hashes=8, bands=2, threshold=0.5
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct,
+           ROUND(COUNT(DISTINCT tok) / (1.0 * COUNT(*)), 6) AS ttr,
+           ROUND(SUM(CASE WHEN tok IN {STOPWORDS_EN!r} THEN 1 ELSE 0 END) / (1.0 * COUNT(*)), 6) AS stopword_ratio,
+           ROUND(SUM(LENGTH(tok)) / (1.0 * COUNT(*)), 6) AS avg_token_len
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return quality_scores(t["documents"])
+
+
+@register(
+    "text_token_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ws_tokens,
+           CAST(SUM(CAST(CEIL(LENGTH(tok) / 4.0) AS BIGINT)) AS BIGINT) AS n_subword_est
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return token_counts(t["documents"])
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return fingerprints(t["documents"])
+
+
+def _lang_case() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = ", ".join(
+        f"CAST(SUM(CASE WHEN tok IN {LANG_MARKERS[l]!r} THEN 1 ELSE 0 END) AS BIGINT) AS {l}_hits"
+        for l in langs
+    )
+    best = f"GREATEST({', '.join(l + '_hits' for l in langs)})"
+    whens = " ".join(f"WHEN {l}_hits = {best} THEN '{l}'" for l in langs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    scored AS (SELECT doc_id, {hits} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {', '.join(l + '_hits' for l in langs)},
+           CASE {whens} END AS pred_lang
+    FROM scored
+    """
+
+
+@register("text_language_id", _lang_case())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return language_id(t["documents"])

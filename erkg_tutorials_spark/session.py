@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Defaults follow the 100 TB design notes in SCALING.md: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow for any
+pandas exchange, and a shuffle-partition count that callers override per
+deployment (32 for the local[32] test harness; thousands on a real
+cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "erkg-tutorials-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Honors the driver's env contract: ``SPARK_GRAFT_CPUS`` controls local
+    parallelism. On a real cluster pass ``master=None`` and set
+    ``shuffle_partitions`` to ~2-3x total executor cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime partition coalescing + skew-join
+        # splitting + dynamic join-strategy switch. Essential at 100 TB
+        # where static planning can't see key skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Dim tables (nation/region/countries/suspicions) are tiny; raise
+        # the broadcast threshold so Catalyst picks broadcast-hash joins.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas_udf / mapInPandas exchange (V1 embeddings, N-ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 128 MiB scan splits: keeps partitions memory-safe at any SF.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The testdata parquet stores ns timestamps; read as µs-truncated.
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,54 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the full corpus — one scan, no shuffle until the
+per-query top-k window. At 100 TB the corpus side stays partitioned and
+the broadcast keeps the join map-side; the top-k is a partial
+(per-partition) + final aggregation via window over a tiny intermediate.
+
+The dot product stays JVM-side with ``zip_with`` + ``aggregate`` (an
+in-order fold, so the float math is reproducible across engines after
+casting to double) — no Python UDF in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str) -> "F.Column":
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str) -> "F.Column":
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def cosine_knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns ``(query_id, neighbor_id, cosine, rank)``; ``cosine`` is
+    rounded to 6dp *before* ranking so ordering is engine-stable, with
+    neighbor id as the deterministic tiebreak. Self-matches excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(
+        _dot("cv", "qv") / (F.sqrt(_dot("cv", "cv")) * F.sqrt(_dot("qv", "qv"))), 6
+    )
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

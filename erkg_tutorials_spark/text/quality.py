@@ -1,0 +1,85 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Quality scoring, language-ID, token counting and fingerprinting over a
+``documents(doc_id, text, ...)`` table. All pure built-in SQL functions
+(JVM-side, whole-stage-codegen friendly) — no Python UDFs in these hot
+paths, so they run at scan speed on any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in")
+
+# Tiny per-language marker lists for the n-gram/stopword language-ID
+# heuristic. Deliberately deterministic + SQL-expressible.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "les", "une"),
+    "de": ("der", "die", "und"),
+}
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokenization → one row per (doc, token)."""
+    return df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: token counts, type-token ratio,
+    stopword ratio, mean token length (all ratios rounded to 6dp so the
+    doubles are engine-stable)."""
+    toks = tokens(df, text_col, id_col)
+    return toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.round(F.countDistinct("tok") / F.count("*"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("tok").isin(*STOPWORDS_EN), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("stopword_ratio"),
+        F.round(F.sum(F.length("tok")) / F.count("*"), 6).alias("avg_token_len"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (ceil(len/4) per word — the classic ~4-chars-per-token rule)."""
+    toks = tokens(df, text_col, id_col)
+    return toks.groupBy(id_col).agg(
+        F.count("*").alias("n_ws_tokens"),
+        F.sum(F.ceil(F.length("tok") / 4.0)).alias("n_subword_est"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic content fingerprint: md5 of the whitespace-
+    normalized, lowercased text."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " ")
+    return df.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language-ID heuristic.
+
+    Scores each doc against per-language marker lists; argmax with
+    a fixed tiebreak order (en > de > es > fr by score, then language
+    code ascending). Returns ``(doc_id, <lang>_hits..., pred_lang)``.
+    """
+    toks = tokens(df, text_col, id_col)
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(*words), 1).otherwise(0)).alias(f"{lang}_hits")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = toks.groupBy(id_col).agg(*aggs)
+    # argmax via greatest + chained when (ties broken by lang code asc)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"{l}_hits") for l in langs])
+    pred = F.when(F.col(f"{langs[0]}_hits") == best, langs[0])
+    for l in langs[1:]:
+        pred = pred.when(F.col(f"{l}_hits") == best, l)
+    return scored.withColumn("pred_lang", pred)
