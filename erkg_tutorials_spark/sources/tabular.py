@@ -1,0 +1,44 @@
+"""Tabular sources/sinks S4-S8 (SURVEY.md §2.1).
+
+- S4: TSV with header skip (country code → name lookup,
+  /root/reference/src/senzing_pipeline.py:21-31)
+- S5: text lines, rstrip'd (suspicious names, :406-408)
+- S6: JSONL read (srsly.read_jsonl equivalent)
+- S7/S8: JSONL sinks (:201-209, :308-312)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def load_countries(spark: SparkSession, path: str) -> DataFrame:
+    """S4: country TSV (header row) → (code, name). Tiny dim table —
+    always broadcast at the join site (J1)."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+        .toDF("code", "name")
+    )
+
+
+def load_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S5: one value per line, trailing whitespace stripped."""
+    return spark.read.text(path).select(F.rtrim("value").alias("value"))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """S6: JSON-lines read with optional explicit schema (PERMISSIVE
+    mode matches the reference's tolerant parsing)."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7/S8: one JSON object per line."""
+    df.write.mode(mode).json(path)
