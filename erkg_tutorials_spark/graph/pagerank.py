@@ -1,0 +1,90 @@
+"""G5 (substrate) — PageRank as iterative DataFrame joins.
+
+No GraphFrames dependency: each iteration is
+``ranks ⋈ out-degrees ⋈ edges → groupBy(dst).sum`` plus the standard
+damping + dangling-mass redistribution, i.e. exactly the shuffle
+pattern GraphX's Pregel would produce, but expressed declaratively so
+Catalyst/AQE manage partitioning and skew.
+
+Scale notes: ranks and degrees are keyed by vertex id — co-partitioned
+across iterations after the first shuffle; ``localCheckpoint`` every
+few rounds truncates the growing lineage (the classic iterative-algo
+failure mode at scale).
+
+Supports composite graph namespaces (e.g. per-document token graphs
+for TextRank) via ``namespace_col``: PageRank then runs independently
+within each namespace — thousands of small graphs in one job, no
+driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    reset: float = 0.15,
+    max_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    namespace_col: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Returns (``[namespace,] id, rank``); ranks sum to 1 per namespace.
+
+    Standard damped PageRank with dangling-node mass redistributed
+    uniformly (networkx semantics, which pytextrank inherits —
+    /root/reference poetry.lock:3893 pins pytextrank 3.3.0).
+    """
+    ns = [namespace_col] if namespace_col else []
+    e = edges.select(*ns, F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+    verts = (
+        e.select(*ns, F.col("src").alias("id"))
+        .unionByName(e.select(*ns, F.col("dst").alias("id")))
+        .distinct()
+    )
+    nw = Window.partitionBy(*ns) if ns else Window.partitionBy()
+    verts = verts.withColumn("n", F.count("*").over(nw)).cache()
+
+    out_deg = e.groupBy(*ns, "src").agg(F.count("*").alias("out_deg"))
+    ranks = verts.select(*ns, "id", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
+
+    join_keys = ns + ["id"]
+    for i in range(max_iter):
+        r_src = ranks.select(*ns, F.col("id").alias("src"), "rank")
+        contribs = (
+            r_src.join(out_deg, ns + ["src"])
+            .join(e, ns + ["src"])
+            .select(*ns, F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy(*ns, "id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass per namespace = 1 - sum of out-edge contributions
+        # (every namespace has ≥1 edge, so contribs never misses one)
+        dangling = contribs.groupBy(*ns).agg(
+            (F.lit(1.0) - F.sum("contrib")).alias("dangling")
+        )
+        base = verts.join(contribs, join_keys, "left")
+        if ns:
+            base = base.join(dangling, ns, "left")
+        else:
+            base = base.crossJoin(F.broadcast(dangling))
+        ranks = base.select(
+            *ns,
+            "id",
+            "n",
+            (
+                F.lit(reset) / F.col("n")
+                + F.lit(1.0 - reset)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.coalesce(F.col("dangling"), F.lit(0.0)) / F.col("n")
+                )
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(*ns, "id", "rank")

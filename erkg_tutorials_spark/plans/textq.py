@@ -173,3 +173,56 @@ def _lang_case() -> str:
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return language_id(t["documents"])
+
+
+# ---------------------------------------------------------------------------
+# J3/N3 — entity-ruler phrase matching with overlap dominance
+# (reference generate_patterns + EntityRuler, senzing_pipeline.py:278-286,
+# dev.ipynb cells 114-116)
+# ---------------------------------------------------------------------------
+RULER_PATTERNS = (
+    ("ORG", "table scan", "e1"),
+    ("ORG", "hash join", "e2"),
+    ("ORG", "table scan merge", "e3"),
+    ("MISC", "sort", "e4"),
+    ("ORG", "sort merge", "e5"),
+)
+
+
+def _ruler_oracle() -> str:
+    vals = ", ".join(f"('{l}', '{p}', '{i}')" for l, p, i in RULER_PATTERNS)
+    grams = "\nUNION ALL\n".join(
+        f"""
+        SELECT doc_id, i AS start, {n} AS len,
+               concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(n))}) AS gram
+        FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t{n}(i)
+        """
+        for n in (1, 2, 3)
+    )
+    return f"""
+    WITH pat(label, pattern, id) AS (VALUES {vals}),
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    grams AS ({grams}),
+    m AS (
+      SELECT g.doc_id, g.start, g.len, g.gram, p.id AS pattern_id, p.label
+      FROM grams g JOIN pat p ON g.gram = lower(p.pattern)
+    )
+    SELECT doc_id, CAST(start AS INT) AS start, CAST(len AS INT) AS len,
+           gram AS alias, pattern_id, label
+    FROM m
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m b
+      WHERE b.doc_id = m.doc_id
+        AND b.start < m.start + m.len AND m.start < b.start + b.len
+        AND (b.len > m.len OR (b.len = m.len AND b.start < m.start))
+    )
+    """
+
+
+@register("phrase_ruler_match", _ruler_oracle())
+def phrase_ruler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.text.phrase_match import match_phrases
+
+    t = load_tables(spark, sf_dir)
+    patterns = spark.createDataFrame(list(RULER_PATTERNS), ["label", "pattern", "id"])
+    return match_phrases(t["documents"], patterns)
