@@ -1,0 +1,103 @@
+"""G6 — connected components for entity resolution.
+
+The reference consumes Senzing's upstream resolution (match keys /
+levels surface in the report); the parity-plus north star asks for the
+Spark-native equivalent: blocking (MinHash-LSH) → pairwise edges →
+connected components to assign entity ids (SURVEY.md §2.7 G6).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14) — the
+standard shuffle-friendly CC at 100 TB scale. Each round is two
+map/groupBy passes; converges in O(log² n) rounds; every intermediate
+is keyed by vertex id so AQE handles skewed hubs.
+
+Implementation detail: both stars are expressed with ``min`` +
+``explode`` over grouped neighborhoods — no driver-side iteration
+state beyond the convergence check (one count per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as ordered pairs (u > v dropped, self-loops
+    removed, deduped)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of x to min(N(x) ∪ {x})."""
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    grouped = nbrs.groupBy("u").agg(
+        F.min("v").alias("minv"), F.collect_set("v").alias("vs")
+    )
+    return (
+        grouped.select("u", F.least("u", "minv").alias("m"), F.explode("vs").alias("v"))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect all smaller-or-equal neighbors of x to min(N≤(x) ∪ {x})."""
+    # orient edges high -> low, group by the high endpoint
+    oriented = e.select(F.col("v").alias("x"), F.col("u").alias("y"))  # x > y
+    grouped = oriented.groupBy("x").agg(
+        F.min("y").alias("m"), F.collect_set("y").alias("ys")
+    )
+    out = grouped.select("x", "m", F.explode("ys").alias("y")).select(
+        F.col("y").alias("a"), F.col("m").alias("b")
+    )
+    link_x = grouped.select(F.col("x").alias("a"), F.col("m").alias("b"))
+    return (
+        out.unionByName(link_x)
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id, component) — component is the minimum vertex id reachable.
+
+    Iterates large-star/small-star until the edge set is a forest of
+    stars (fixpoint), then reads components off the star edges.
+    """
+    vertices = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    e = _canonical(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=True)
+    prev_count = -1
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        c = nxt.count()
+        if c == prev_count and nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty():
+            e = nxt
+            break
+        e, prev_count = nxt, c
+    comp = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    return (
+        vertices.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )

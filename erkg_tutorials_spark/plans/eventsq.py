@@ -103,3 +103,66 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").alias("start_sec"),
         F.max("sec").alias("end_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 — distinct-pair aggregation (reference set((text, kb_id)) per
+# phrase, analysis.py:19-21)
+# ---------------------------------------------------------------------------
+@register(
+    "a3_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window rollup (30-min windows, 15-min slide): each event
+# lands in exactly two windows — the batch twin of Structured
+# Streaming's window(ts, '30 minutes', '15 minutes')
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_window",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+    ),
+    expanded AS (
+      SELECT event_type, sec, unnest([
+        (sec // 900) * 900,
+        (sec // 900) * 900 - 900
+      ]) AS w_start
+      FROM e
+    )
+    SELECT event_type, w_start, CAST(w_start + 1800 AS BIGINT) AS w_end, COUNT(*) AS n_events
+    FROM expanded
+    WHERE sec >= w_start AND sec < w_start + 1800
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select("event_type", F.col("ts_sec").alias("sec"))
+    expanded = e.select(
+        "event_type",
+        "sec",
+        F.explode(
+            F.array(
+                F.expr("(sec div 900) * 900"),
+                F.expr("(sec div 900) * 900 - 900"),
+            )
+        ).alias("w_start"),
+    ).where((F.col("sec") >= F.col("w_start")) & (F.col("sec") < F.col("w_start") + 1800))
+    return expanded.groupBy(
+        "event_type", "w_start", (F.col("w_start") + 1800).alias("w_end")
+    ).agg(F.count("*").alias("n_events"))

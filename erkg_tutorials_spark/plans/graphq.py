@@ -139,3 +139,38 @@ def flagship_reach_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.withColumn(
         "prob", F.round(F.col("n_customers") / F.sum("n_customers").over(w), 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# G6 — connected components (iterative large-star/small-star; not
+# SQL-expressible → rows-only driver check, invariants in pytest)
+# ---------------------------------------------------------------------------
+@register("g6_connected_components", None)
+def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component sizes of the customer↔supplier trade graph."""
+    from erkg_tutorials_spark.graph.connected_components import connected_components
+
+    t = load_tables(spark, sf_dir)
+    cc = connected_components(trade_edges(t))
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("component"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5 substrate — PageRank (iterative float fixpoint; rows-only check,
+# invariants in pytest)
+# ---------------------------------------------------------------------------
+@register("g5_pagerank_top20", None)
+def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.graph.pagerank import pagerank
+
+    t = load_tables(spark, sf_dir)
+    ranks = pagerank(trade_edges(t), max_iter=8)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )

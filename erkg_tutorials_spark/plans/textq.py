@@ -226,3 +226,96 @@ def phrase_ruler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     patterns = spark.createDataFrame(list(RULER_PATTERNS), ["label", "pattern", "id"])
     return match_phrases(t["documents"], patterns)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (dedup family; bit-portable hex-nibble votes)
+# ---------------------------------------------------------------------------
+from erkg_tutorials_spark.dedup.simhash import simhash, simhash_oracle_sql  # noqa: E402
+
+
+@register("dedup_simhash", simhash_oracle_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return simhash(t["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join on a bounded id sample
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+      FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / (1.0 * (za.n + zb.n - n_inter)), 6) AS jaccard
+    FROM inter JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b
+    WHERE n_inter / (1.0 * (za.n + zb.n - n_inter)) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-3-gram Jaccard over a bounded sample —
+    the exact-verification baseline the LSH path approximates."""
+    from erkg_tutorials_spark.dedup.minhash import shingles
+
+    t = load_tables(spark, sf_dir)
+    sample = t["documents"].where(F.col("doc_id") < 200)
+    sh = shingles(sample, k=3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.3
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1 — explode + aggregate: corpus word-frequency top-50
+# ---------------------------------------------------------------------------
+@register(
+    "r1_word_frequency",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word)
+    SELECT word, n FROM freq ORDER BY n DESC, word LIMIT 50
+    """,
+)
+def r1_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )

@@ -1,0 +1,78 @@
+"""IVF-style approximate nearest neighbor search.
+
+The scale path for similarity search (SURVEY.md north star): partition
+the corpus into Voronoi cells around centroids, probe only the nprobe
+nearest cells per query, exact-rerank inside them. The expensive
+corpus×queries cross product shrinks to corpus×centroids (one-time,
+parallel) + queries×centroids (tiny) + per-cell rerank.
+
+Centroids here are caller-provided (deterministic subsampling in the
+registered query; k-means initialization would slot in the same way —
+the operator contract is just a (cent_id, vector) DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+
+
+def _cos(a: str, b: str):
+    return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
+
+
+def cosine_knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors per query, probing nprobe cells.
+
+    Deterministic ordering: cosines rounded to 6dp before ranking,
+    ties broken by id — matches the DuckDB oracle bit-for-bit.
+    """
+    v = corpus.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb"))
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), _as_double(vec_col).alias("cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+
+    # cell assignment: nearest centroid per corpus vector (broadcast cent)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("cos", _cos("emb", "cvec"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "emb")
+    )
+
+    # probe the nprobe nearest centroids per query
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos", _cos("qv", "cvec"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"), "qv")
+    )
+
+    # exact rerank inside probed cells only
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos("qv", "emb").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rank") <= k)
+    )

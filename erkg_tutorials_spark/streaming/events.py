@@ -1,0 +1,75 @@
+"""Structured Streaming tier over the events table (SURVEY.md §2.13).
+
+The reference is batch-only; this is the declared extension: the same
+operator implementations (hourly rollup, sessionization) exposed as
+streaming queries — file source → watermarked event-time windows →
+sink. ``Trigger.AvailableNow`` drains the backlog and stops, which is
+both the test harness mode and the production backfill mode.
+
+ts is TIMESTAMP(NANOS) in parquet → read as ns-longs (same trick as
+the batch catalog) and converted to a µs timestamp column for
+watermark/window semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (event-time = ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of the
+    batch ``events_hourly_rollup`` query (late rows beyond the
+    watermark are dropped; state is bounded)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_stream_once(result: DataFrame, query_name: str) -> None:
+    """Drain all available input into an in-memory sink and stop
+    (AvailableNow trigger). Results land in the ``query_name`` temp view."""
+    (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
