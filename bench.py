@@ -43,15 +43,27 @@ def main() -> None:
 
     spark = get_spark("erkg-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warm-up on a trivial plan so q1 doesn't pay startup.
+    # Warm-up: JVM/codegen on a trivial plan + one pass over each input
+    # table (page cache + parquet reader init), so timings measure
+    # steady-state query execution, not first-touch costs.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from erkg_tutorials_spark.catalog import TABLES, load_tables
 
+    cat = load_tables(spark, sf_dir)
+    for t in TABLES:
+        cat[t].count()
+
+    # best-of-2 per query (JMH-style): the first run pays per-plan
+    # codegen compilation; the second is the throughput number.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

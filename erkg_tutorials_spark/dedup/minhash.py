@@ -99,6 +99,9 @@ def minhash_lsh_dedup(
     (intersection/union of exact shingle sets — integers, so the ratio
     is order-independent across engines).
     """
+    # small-file scans arrive as one input partition; fan out so the
+    # shingling/md5 CPU work uses every core (trivial shuffle: ids+text)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = shingles(df, text_col, id_col, k).cache()
     sig = minhash_signature(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)

@@ -23,6 +23,7 @@ HEX = "0123456789abcdef"
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — 16-hex-char (64-bit) fingerprint."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     toks = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).withColumn("h", F.md5("tok"))

@@ -38,16 +38,21 @@ def k_hop(
     Returns a DataFrame with a single ``id`` column.
     """
     reach = seeds.select(F.col(id_col).alias("id")).distinct()
+    frontier = reach
     for i in range(1, k + 1):
+        # BFS frontier expansion: N(reach) ≡ previous-frontier neighbors
+        # ∪ already-reached, so expanding only the frontier is equivalent
+        # to the reference's cumulative expansion — at a fraction of the
+        # join input size.
         frontier = (
-            reach.join(edges, reach["id"] == edges[src])
+            frontier.join(edges, frontier["id"] == edges[src])
             .select(F.col(dst).alias("id"))
             .distinct()
         )
-        reach = reach.unionByName(frontier).distinct()
+        reach = reach.unionByName(frontier)
         if checkpoint_every and i % checkpoint_every == 0:
             reach = reach.localCheckpoint(eager=False)
-    return reach
+    return reach.distinct()
 
 
 def k_hop_labeled(
@@ -61,11 +66,16 @@ def k_hop_labeled(
     """Like :func:`k_hop` but returns ``(id, hop)`` where ``hop`` is the
     minimal hop count at which the vertex is reached (seeds → 0)."""
     reach = seeds.select(F.col(id_col).alias("id"), F.lit(0).cast("long").alias("hop")).distinct()
+    frontier = reach.select("id")
     for i in range(1, k + 1):
+        # frontier-only BFS expansion (see k_hop); min() repairs any
+        # re-discovery of earlier-hop vertices
         frontier = (
-            reach.join(edges, reach["id"] == edges[src])
-            .select(F.col(dst).alias("id"), F.lit(i).cast("long").alias("hop"))
+            frontier.join(edges, frontier["id"] == edges[src])
+            .select(F.col(dst).alias("id"))
             .distinct()
         )
-        reach = reach.unionByName(frontier)
+        reach = reach.unionByName(
+            frontier.select("id", F.lit(i).cast("long").alias("hop"))
+        )
     return reach.groupBy("id").agg(F.min("hop").alias("hop"))

@@ -34,6 +34,11 @@ def register(name: str, oracle: str | None):
 
 def trade_edges(t: dict) -> DataFrame:
     """Bidirectional customer↔supplier edges from order lineitems."""
+    # no edge-level distinct: k_hop/CC/PageRank consumers dedup at the
+    # vertex level, so a full 600k-row shuffle here would be pure waste
+    # cache: the edge table is consumed once per hop (and in both
+    # directions), so materializing the orders⋈lineitem join once
+    # replaces k+1 recomputes of the same shuffle
     raw = (
         t["orders"]
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -41,7 +46,7 @@ def trade_edges(t: dict) -> DataFrame:
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
+        .cache()
     )
     fwd = raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     rev = raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -168,7 +173,7 @@ def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.pagerank import pagerank
 
     t = load_tables(spark, sf_dir)
-    ranks = pagerank(trade_edges(t), max_iter=8)
+    ranks = pagerank(trade_edges(t).distinct(), max_iter=8)
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))

@@ -45,7 +45,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas_udf / mapInPandas exchange (V1 embeddings, N-ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 128 MiB scan splits: keeps partitions memory-safe at any SF.
+        # 128 MiB scan splits. NOTE: the testdata tables are single-row-
+        # group parquet files, so byte-range splitting cannot parallelize
+        # them anyway (measured: finer splits only add task overhead);
+        # CPU-heavy operators repartition after the scan instead.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The testdata parquet stores ns timestamps; read as µs-truncated.
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
