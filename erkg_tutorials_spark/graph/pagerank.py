@@ -30,7 +30,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     namespace_col: str | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Returns (``[namespace,] id, rank``); ranks sum to 1 per namespace.
 
@@ -49,7 +49,12 @@ def pagerank(
     nw = Window.partitionBy(*ns) if ns else Window.partitionBy()
     verts = verts.withColumn("n", F.count("*").over(nw)).cache()
 
-    out_deg = e.groupBy(*ns, "src").agg(F.count("*").alias("out_deg"))
+    # loop-invariant tables: materialize once, reuse every iteration
+    # (without this each iteration re-derives them from the source scan,
+    # re-broadcasting fresh copies — the accumulated broadcasts are what
+    # blow a small driver heap long before the data does)
+    e = e.cache()
+    out_deg = e.groupBy(*ns, "src").agg(F.count("*").alias("out_deg")).cache()
     ranks = verts.select(*ns, "id", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
 
     join_keys = ns + ["id"]
@@ -85,6 +90,17 @@ def pagerank(
                 )
             ).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0:
+        # eager per-iteration checkpoint: the rank state is O(|V|) rows,
+        # but the *plan* doubles every uncheckpointed round — AQE
+        # re-compilation + codegen of the nested join tree is the
+        # scaling hazard, not the data. checkpoint_every > 1 trades
+        # driver-side plan size for fewer materialization barriers.
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select(*ns, "id", "rank")
+    out = ranks.select(*ns, "id", "rank")
+    # the returned frame is checkpoint-backed; the loop-invariant caches
+    # are no longer needed by its lineage
+    e.unpersist()
+    out_deg.unpersist()
+    verts.unpersist()
+    return out

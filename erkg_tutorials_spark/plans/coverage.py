@@ -1,0 +1,435 @@
+"""Coverage queries for the remaining SURVEY.md §2 operator rows:
+semi/anti id-set filters (F4/F5), two-projection union (J4/U3),
+record counts (A2), degrees + has_ref (G4/A7), windowed ratio (W2),
+string scalar functions (C2/C3/C4/C6/C9), JSON-struct flatten (R2),
+self-alias union (U2), fuzzy alias candidates (V2), and
+embedding-cosine near-dup (LLM-pipeline dedup tier).
+
+Each query has a DuckDB oracle twin; float scoring is rounded to 6dp
+before any threshold/rank so both engines agree bit-for-bit (the dot
+product is an in-order fold on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.linking.candidates import char_ngrams
+from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# F4 — id-set semi-filter (reference suspicious-id filter,
+# /root/reference/src/senzing_pipeline.py:414 and dagster assets 70-72:
+# keep entity rows whose id is in a derived id set). The id set is
+# derived (not a literal list), so the Spark plan is a broadcast
+# left-semi join, never a collected IN-list.
+# ---------------------------------------------------------------------------
+@register(
+    "f4_semi_filter",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    """,
+)
+def f4_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ids = t["orders"].where(F.col("o_totalprice") > 450000).select("o_custkey")
+    return (
+        t["customer"]
+        .join(F.broadcast(ids), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — anti form of the id-set filter (parity-plus: the reference only
+# keeps matches; the complement is the natural audit query).
+# ---------------------------------------------------------------------------
+@register(
+    "f5_anti_filter",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def f5_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/U3 — alias rows from two projections of different sources, unioned
+# (reference load_aliases builds alias rows from both RECORDS and
+# RELATED_ENTITIES of one scan, senzing_pipeline.py:238-262).
+# ---------------------------------------------------------------------------
+@register(
+    "j4_alias_union",
+    """
+    WITH al AS (
+      SELECT c_name AS alias, 'c:' || c_custkey AS entity FROM customer
+      UNION ALL
+      SELECT s_name AS alias, 's:' || s_suppkey AS entity FROM supplier
+    )
+    SELECT alias, COUNT(DISTINCT entity) AS n_entities FROM al GROUP BY alias
+    """,
+)
+def j4_alias_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        F.col("c_name").alias("alias"),
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("entity"),
+    )
+    s = t["supplier"].select(
+        F.col("s_name").alias("alias"),
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("entity"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("alias")
+        .agg(F.count_distinct("entity").alias("n_entities"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — per-entity record count including zero (reference num_recs =
+# len(records), senzing_pipeline.py:359; entities with no records keep 0).
+# ---------------------------------------------------------------------------
+@register(
+    "a2_record_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS num_recs
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def a2_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("num_recs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4 + A7 — vertex degrees and the has_ref flag (reference marks every
+# vertex referenced by any adjacency entry, senzing_pipeline.py:363-368;
+# Spark mapping = degree aggregation over the edge table).
+# Directed c→s trade edges, deduplicated: out-degree of customers,
+# in-degree of suppliers, has_ref = referenced by ≥1 edge.
+# ---------------------------------------------------------------------------
+@register(
+    "g4_degrees",
+    """
+    WITH raw AS (
+      SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    outd AS (SELECT src AS id, COUNT(*) AS out_deg FROM raw GROUP BY src),
+    ind  AS (SELECT dst AS id, COUNT(*) AS in_deg  FROM raw GROUP BY dst)
+    SELECT COALESCE(outd.id, ind.id) AS id,
+           CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(in_deg, 0) AS BIGINT)  AS in_deg,
+           COALESCE(in_deg, 0) > 0 AS has_ref
+    FROM outd FULL OUTER JOIN ind ON outd.id = ind.id
+    """,
+)
+def g4_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    raw = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    outd = raw.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    ind = raw.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
+    return (
+        outd.join(ind, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            (F.coalesce("in_deg", F.lit(0)) > 0).alias("has_ref"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — windowed ratio within a group (reference per-alias probability
+# normalization count/total, senzing_pipeline.py:298-301) — here as the
+# per-nation share of its region's customers.
+# ---------------------------------------------------------------------------
+@register(
+    "w2_nation_share",
+    """
+    WITH n AS (
+      SELECT n_regionkey, n_name, COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, n_name
+    )
+    SELECT n_name, n_cust,
+           ROUND(n_cust / (1.0 * SUM(n_cust) OVER (PARTITION BY n_regionkey)), 6) AS share
+    FROM n
+    """,
+)
+def w2_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return counts.select(
+        "n_name",
+        "n_cust",
+        F.round(F.col("n_cust") / F.sum("n_cust").over(w), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2/C3/C4/C6/C9 — string scalar functions: record_uid synthesis
+# ``UPPER(source).id`` (reference senzing_pipeline.py:342 builds
+# record_uid as DATA_SOURCE.upper() + "." + RECORD_ID) and the
+# blank→default fill (match_key "INITIAL" default, :344-347).
+# ---------------------------------------------------------------------------
+@register(
+    "c_string_ops",
+    """
+    SELECT doc_id,
+           UPPER(source) || '.' || CAST(doc_id AS VARCHAR) AS record_uid,
+           COALESCE(NULLIF(TRIM(lang), ''), 'INITIAL') AS lang_code
+    FROM documents
+    """,
+)
+def c_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.concat_ws(".", F.upper("source"), F.col("doc_id").cast("string")).alias(
+            "record_uid"
+        ),
+        F.coalesce(F.nullif(F.trim("lang"), F.lit("")), F.lit("INITIAL")).alias(
+            "lang_code"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — nested/JSON flatten (reference pd.json_normalize, analysis.py:28-34):
+# extract a typed field from a JSON string column, then aggregate.
+# get_json_object stays JVM-side (no Python UDF).
+# ---------------------------------------------------------------------------
+@register(
+    "r2_json_flatten",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def r2_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(k).cast("long").alias("sum_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — alias distribution ∪ self-aliases (reference appends
+# Alias(alias=entity.name, entities=[id], probabilities=[1]) to the
+# file aliases — tutorial.ipynb cell 7 / dagster assets.py:121-124).
+# Flat (alias, entity, prob) rows; ids stringified like the reference (C6).
+# ---------------------------------------------------------------------------
+@register(
+    "u2_self_alias_union",
+    """
+    WITH dist AS (
+      SELECT c_mktsegment AS alias, CAST(c_nationkey AS VARCHAR) AS entity,
+             ROUND(COUNT(*) / (1.0 * SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment)), 6) AS prob
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT alias, entity, prob FROM dist
+    UNION ALL
+    SELECT c_name AS alias, CAST(c_custkey AS VARCHAR) AS entity, 1.0 AS prob
+    FROM customer
+    """,
+)
+def u2_self_alias_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    counts = c.groupBy(
+        F.col("c_mktsegment").alias("alias"),
+        F.col("c_nationkey").cast("string").alias("entity"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("alias")
+    dist = counts.select(
+        "alias",
+        "entity",
+        F.round(F.col("cnt") / F.sum("cnt").over(w), 6).alias("prob"),
+    )
+    self_aliases = c.select(
+        F.col("c_name").alias("alias"),
+        F.col("c_custkey").cast("string").alias("entity"),
+        F.lit(1.0).alias("prob"),
+    )
+    return dist.unionByName(self_aliases)
+
+
+# ---------------------------------------------------------------------------
+# V2 — fuzzy alias candidate retrieval, exact-verification tier
+# (reference kb.get_alias_candidates: "machine learn" → alias
+# "machine learning", dev.ipynb cell 82). Mentions are truncated part
+# names; candidates are aliases sharing ≥0.45 char-3-gram Jaccard.
+# The LSH-pruned scale path lives in linking/candidates.py (its band
+# stage is oracle-checked via dedup_minhash_lsh); this query pins the
+# exact semantics the LSH path approximates.
+# ---------------------------------------------------------------------------
+V2_THRESHOLD = 0.45
+
+_V2_ORACLE = f"""
+    WITH mentions AS (
+      SELECT p_partkey AS mention_id,
+             substring(p_name, 1, 12) AS m_text
+      FROM part WHERE p_partkey % 251 = 0
+    ),
+    aliases AS (SELECT DISTINCT p_name AS alias FROM part WHERE p_partkey < 1000),
+    mg AS (
+      SELECT DISTINCT mention_id, substring(p, i, 3) AS gram
+      FROM (SELECT mention_id, '^' || lower(trim(m_text)) || '$' AS p FROM mentions)
+      CROSS JOIN unnest(generate_series(1, greatest(length(p) - 2, 1))) AS t(i)
+      WHERE length(substring(p, i, 3)) > 0
+    ),
+    ag AS (
+      SELECT DISTINCT alias, substring(p, i, 3) AS gram
+      FROM (SELECT alias, '^' || lower(trim(alias)) || '$' AS p FROM aliases)
+      CROSS JOIN unnest(generate_series(1, greatest(length(p) - 2, 1))) AS t(i)
+      WHERE length(substring(p, i, 3)) > 0
+    ),
+    szm AS (SELECT mention_id, COUNT(*) AS n_m FROM mg GROUP BY mention_id),
+    sza AS (SELECT alias, COUNT(*) AS n_a FROM ag GROUP BY alias),
+    inter AS (
+      SELECT mg.mention_id, ag.alias, COUNT(*) AS n_i
+      FROM mg JOIN ag ON mg.gram = ag.gram
+      GROUP BY mg.mention_id, ag.alias
+    )
+    SELECT i.mention_id, i.alias,
+           ROUND(n_i / (1.0 * (n_m + n_a - n_i)), 6) AS jaccard
+    FROM inter i JOIN szm USING (mention_id) JOIN sza USING (alias)
+    WHERE ROUND(n_i / (1.0 * (n_m + n_a - n_i)), 6) >= {V2_THRESHOLD}
+"""
+
+
+@register("v2_alias_candidates", _V2_ORACLE)
+def v2_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    part = t["part"]
+    mentions = part.where(F.col("p_partkey") % 251 == 0).select(
+        F.col("p_partkey").alias("mention_id"),
+        F.substring("p_name", 1, 12).alias("m_text"),
+    )
+    aliases = part.where(F.col("p_partkey") < 1000).select("p_name").distinct()
+    mg = char_ngrams(mentions, "m_text", "mention_id").cache()
+    ag = char_ngrams(
+        aliases.select(F.col("p_name").alias("_alias")), "_alias", "_alias"
+    ).cache()
+    szm = mg.groupBy("id").agg(F.count("*").alias("n_m"))
+    sza = ag.groupBy("id").agg(F.count("*").alias("n_a"))
+    inter = (
+        mg.select(F.col("id").alias("mention_id"), "gram")
+        .join(ag.select(F.col("id").alias("alias"), "gram"), "gram")
+        .groupBy("mention_id", "alias")
+        .agg(F.count("*").alias("n_i"))
+    )
+    jac = F.round(
+        F.col("n_i") / (F.col("n_m") + F.col("n_a") - F.col("n_i")), 6
+    )
+    return (
+        inter.join(szm.withColumnRenamed("id", "mention_id"), "mention_id")
+        .join(sza.withColumnRenamed("id", "alias"), "alias")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= V2_THRESHOLD)
+        .select("mention_id", "alias", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (LLM-pipeline dedup tier): label-blocked
+# pairwise cosine ≥ threshold. Blocking turns the |V|² cross product
+# into per-block products — at 100 TB the block key would be an IVF
+# cell or LSH bucket (see similarity/ivf.py); the pair scoring below is
+# identical either way.
+# ---------------------------------------------------------------------------
+EMB_DUP_THRESHOLD = 0.3
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {EMB_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    v = t["embeddings"].select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("emb").alias("ea")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("emb").alias("eb")
+    )
+    cos = F.round(
+        _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))), 6
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )

@@ -1,0 +1,102 @@
+"""Tests for the scraper source (S9), annotation tables (N1), and
+stateful streaming sessionization."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.sources.scraper import extract_article_text, scrape_documents
+from erkg_tutorials_spark.text.annotations import doc_tokens, sentences
+
+HTML = """
+<html><head><title>ignored</title></head><body>
+<nav>site chrome ignored</nav>
+<header class="post-header"><h1>Offshore Leaks  Revealed</h1></header>
+<div class="post-body">
+  <p>First paragraph about shell companies.</p>
+  <figure><figcaption>A photo caption</figcaption></figure>
+  <p>Second   paragraph.</p>
+</div>
+<footer>ignored footer</footer>
+</body></html>
+"""
+
+
+class TestScraper:
+    def test_extract_semantics(self):
+        """header/body pushdown (F8), h1 gets a '.', newline join (C10)."""
+        text = extract_article_text(HTML)
+        assert text == (
+            "Offshore Leaks Revealed.\n"
+            "First paragraph about shell companies.\n"
+            "A photo caption\n"
+            "Second paragraph."
+        )
+
+    def test_scrape_documents_mapinpandas(self, spark):
+        urls = spark.createDataFrame(
+            [Row(doc_id=1, url="https://example.org/a"), Row(doc_id=2, url="https://example.org/b")]
+        )
+        got = {
+            r.doc_id: r.text
+            for r in scrape_documents(urls, fetch=lambda u: HTML).collect()
+        }
+        assert len(got) == 2 and got[1].startswith("Offshore Leaks Revealed.")
+
+    def test_no_matching_subtree_empty(self):
+        assert extract_article_text("<html><p>no post nodes</p></html>") == ""
+
+
+class TestAnnotations:
+    def test_sentences(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="First sentence. Second one! Third?")]
+        )
+        got = [r.sentence for r in sentences(docs).orderBy("sent_id").collect()]
+        assert got == ["First sentence.", "Second one!", "Third?"]
+
+    def test_tokens_positions(self, spark):
+        docs = spark.createDataFrame([Row(doc_id=1, text="Alpha Beta gamma")])
+        got = [(r.pos, r.token) for r in doc_tokens(docs).orderBy("pos").collect()]
+        assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")]
+
+
+class TestStatefulSessionize:
+    def test_stream_sessions_match_batch_closed_sessions(self, spark, tmp_path):
+        """The streaming operator must emit exactly the batch sessions
+        minus each user's open tail session (which stays in state)."""
+        from erkg_tutorials_spark.plans.eventsq import events_sessionize
+        from erkg_tutorials_spark.streaming.events import EVENTS_SCHEMA
+        from erkg_tutorials_spark.streaming.sessionize import sessionize_stream
+        from tests.conftest import SF_DIR
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_DIR)
+            .selectExpr("user_id", "ts div 1000000000 as ts_sec")
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sessions_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.user_id, r.start_sec, r.end_sec, r.n_events)
+            for r in spark.table("sessions_test").collect()
+        }
+
+        batch = events_sessionize(spark, SF_DIR).collect()
+        # drop each user's last (still-open) session
+        last_start = {}
+        for r in batch:
+            last_start[r.user_id] = max(last_start.get(r.user_id, -1), r.start_sec)
+        want = {
+            (r.user_id, r.start_sec, r.end_sec, r.n_events)
+            for r in batch
+            if r.start_sec != last_start[r.user_id]
+        }
+        assert got == want and len(want) > 0
