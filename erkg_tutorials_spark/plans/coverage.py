@@ -397,6 +397,127 @@ def v2_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell or LSH bucket (see similarity/ivf.py); the pair scoring below is
 # identical either way.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Multimodal decode plumbing, oracle-checked: binary payloads (UTF-8
+# document bytes standing in for image/audio blobs) flow parquet →
+# Arrow → mapInPandas and back out as typed features. The oracle
+# replays the engine-portable outputs (md5 content hash + byte length),
+# proving the bytes survive the executor data path unmodified — the
+# codec itself is the documented stub (multimodal/media.py).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.multimodal.media import decode_features
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return decode_features(media).select("media_id", "kind", "n_bytes", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# V3/V4/W4 — entity disambiguation: candidate expansion with a prior,
+# cosine(context, entity) scoring, argmax per mention (reference
+# kb.get_entity_candidates + kb.disambiguate, dev.ipynb cells 71-74).
+# Mentions are documents (their embedding = context vector); candidates
+# are same-label KB entities; prior is uniform over the candidate set.
+# Ranking uses the unrounded double score (identical in-order fold on
+# both engines); output rounds to 6dp.
+# ---------------------------------------------------------------------------
+@register(
+    "v3_disambiguate",
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    m AS (SELECT vec_id AS mention_id, label, emb AS mv FROM v WHERE vec_id < 30),
+    cand AS (
+      SELECT m.mention_id, v.vec_id AS entity_id, m.mv, v.emb AS ev
+      FROM m JOIN v ON v.label = m.label AND v.vec_id % 5 = 0 AND v.vec_id <> m.mention_id
+    ),
+    pri AS (
+      SELECT *, 1.0 / COUNT(*) OVER (PARTITION BY mention_id) AS prior FROM cand
+    ),
+    scored AS (
+      SELECT mention_id, entity_id, prior,
+             list_dot_product(mv, ev)
+               / (sqrt(list_dot_product(mv, mv)) * sqrt(list_dot_product(ev, ev))) AS score
+      FROM pri
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY mention_id ORDER BY score DESC, prior DESC, entity_id
+      ) AS rn FROM scored
+    )
+    SELECT mention_id, entity_id AS kb_id,
+           ROUND(score, 6) AS score, ROUND(prior, 6) AS prior
+    FROM ranked WHERE rn = 1
+    """,
+)
+def v3_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.linking.disambiguate import disambiguate
+
+    t = load_tables(spark, sf_dir)
+    v = t["embeddings"].select("vec_id", "label", _as_double("embedding").alias("emb"))
+    mentions = v.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("mention_id"), "label"
+    )
+    kb = v.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("entity_id"), F.col("label").alias("e_label")
+    )
+    cand = mentions.join(kb, mentions["label"] == kb["e_label"]).where(
+        F.col("entity_id") != F.col("mention_id")
+    )
+    w = Window.partitionBy("mention_id")
+    cand = cand.withColumn("prior", F.lit(1.0) / F.count("*").over(w)).select(
+        "mention_id", "entity_id", "prior"
+    )
+    mention_vecs = v.select(F.col("vec_id").alias("mention_id"), F.col("emb").alias("embedding"))
+    entity_vecs = v.select(F.col("vec_id").alias("entity_id"), F.col("emb").alias("embedding"))
+    return disambiguate(cand, mention_vecs, entity_vecs).select(
+        "mention_id",
+        "kb_id",
+        F.round("score", 6).alias("score"),
+        F.round("prior", 6).alias("prior"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5/N5/A8/W1 end-to-end — TextRank phrases with the reference's
+# top-30-per-doc cut (analysis.py:11). Iterative float PageRank is not
+# SQL-expressible → rows-only driver check; rank invariants are pytest-
+# verified (tests/test_linking.py).
+# ---------------------------------------------------------------------------
+@register("g5_textrank_phrases", None)
+def g5_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.text.textrank import textrank_phrases
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 30).select("doc_id", "text")
+    phrases = textrank_phrases(docs, max_iter=6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("rank"), F.asc("phrase"))
+    return (
+        phrases.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 30)
+        .select("doc_id", "phrase", F.round("rank", 6).alias("rank"), "count")
+    )
+
+
 EMB_DUP_THRESHOLD = 0.3
 
 @register(
