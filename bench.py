@@ -29,8 +29,13 @@ HEADLINE = [
     "g3_two_hop_reach",
     "flagship_reach_segments",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_quality",
+    "phrase_ruler_match",
     "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "v3_disambiguate",
+    "multimodal_decode",
     "events_hourly_rollup",
     "events_sessionize",
 ]

@@ -536,18 +536,21 @@ EMB_DUP_THRESHOLD = 0.3
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # norm precomputed per vector (not per pair): one fold per pair in
+    # the |block|² scoring loop; numerically identical to the oracle's
+    # per-pair norms (same in-order fold, same double ops)
     v = t["embeddings"].select(
         "vec_id", "label", _as_double("embedding").alias("emb")
-    )
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
     a = v.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("emb").alias("ea")
+        F.col("vec_id").alias("id_a"), F.col("label"),
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
     )
     b = v.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("emb").alias("eb")
+        F.col("vec_id").alias("id_b"), F.col("label"),
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
     )
-    cos = F.round(
-        _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))), 6
-    )
+    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
