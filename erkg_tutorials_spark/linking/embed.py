@@ -27,25 +27,30 @@ def _hash_bucket(token: str, dim: int) -> int:
     return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big") % dim
 
 
-def hashing_encode(texts: list[str], dim: int = 64) -> np.ndarray:
+def hashing_encode(
+    texts: list[str], dim: int = 64, normalize: bool = True
+) -> np.ndarray:
     """Deterministic hashing BoW encoder: md5-bucketed token counts,
-    L2-normalized. Zero vector for empty/blank text."""
+    L2-normalized (unless ``normalize=False``, which keeps raw integer
+    counts — exact in float32, so cross-engine comparable). Zero vector
+    for empty/blank text."""
     out = np.zeros((len(texts), dim), dtype=np.float32)
     for i, t in enumerate(texts):
         for tok in (t or "").lower().split():
             out[i, _hash_bucket(tok, dim)] += 1.0
-        n = np.linalg.norm(out[i])
-        if n > 0:
-            out[i] /= n
+        if normalize:
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
     return out
 
 
-def hashing_embedder(dim: int = 64):
+def hashing_embedder(dim: int = 64, normalize: bool = True):
     """pandas_udf embedding a string column → array<float> of ``dim``."""
 
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(s: pd.Series) -> pd.Series:
-        mat = hashing_encode(s.fillna("").tolist(), dim)
+        mat = hashing_encode(s.fillna("").tolist(), dim, normalize)
         return pd.Series(list(mat))
 
     return embed

@@ -1,0 +1,324 @@
+"""Second coverage sweep over SURVEY.md §2 rows that had pytest-only
+verification but no driver-checked ``queries()`` entry:
+
+- F6 + A3 + E3 — the "unlinked mentions" review report
+  (reference ``analysis.py:35`` keeps mentions with non-null text and
+  ``kb_id == ""``; the E3 pipeline aggregates them for review)
+- A4/A5 — distinct-id and line-count scan statistics
+  (``senzing_pipeline.py:392-393`` ``.unique()``, ``:61/:225`` counts)
+- W3 — rank ordering with a deterministic tiebreaker
+  (display ordering of TextRank outputs, ``tutorial.ipynb`` cell 25)
+- R5 — dict→wide-columns pivot (the FEATURES-map pivot of
+  ``senzing_pipeline.py:161-190``, here as a groupBy().pivot())
+- N1 — sentencize: split documents into ordered sentence rows
+  (spaCy sentencizer, ``scraper.py:51``; pure-SQL tier per SURVEY §2.11)
+- C10 — ordered newline-join of fragments per group
+  (``scraper.py:68-74`` joins page fragments with ``"\\n"``)
+- V1 — the hashing-embedder pandas_udf itself, oracle-checked in
+  raw-count mode (md5(token) first-8-bytes % dim bucketing is
+  replayable in SQL; dim=32 makes the modulus the low 5 bits of the
+  last two hex nibbles)
+
+Every query here has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# F6/A3/E3 — unlinked-mention review report. Mentions are the 1- and
+# 2-grams of the first 100 documents; the "KB link" is the ruler
+# pattern table (same patterns as phrase_ruler_match). A mention whose
+# gram matches no pattern gets kb_id = '' — the reference's unlinked
+# predicate — and the report aggregates distinct docs + occurrences,
+# top-50 by frequency (reference analysis.py:25-37 + tutorial cell 26).
+# ---------------------------------------------------------------------------
+_F6_PATTERNS = (
+    ("ORG", "table scan", "e1"),
+    ("ORG", "hash join", "e2"),
+    ("MISC", "sort", "e4"),
+    ("ORG", "spark", "e6"),
+)
+
+
+def _f6_oracle() -> str:
+    vals = ", ".join(f"('{l}', '{p}', '{i}')" for l, p, i in _F6_PATTERNS)
+    return f"""
+    WITH pat(label, pattern, id) AS (VALUES {vals}),
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    grams AS (
+      SELECT doc_id, w[i] AS gram
+      FROM toks CROSS JOIN unnest(generate_series(1, len(w))) AS t(i)
+      UNION ALL
+      SELECT doc_id, concat_ws(' ', w[i], w[i+1])
+      FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+    ),
+    m AS (
+      SELECT g.doc_id, g.gram, COALESCE(p.id, '') AS kb_id
+      FROM grams g LEFT JOIN pat p ON g.gram = lower(p.pattern)
+    )
+    SELECT gram AS mention,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM m
+    WHERE gram IS NOT NULL AND gram <> '' AND kb_id = ''
+    GROUP BY gram
+    ORDER BY n_occ DESC, mention
+    LIMIT 50
+    """
+
+
+@register("f6_unlinked_report", _f6_oracle())
+def f6_unlinked_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pat = spark.createDataFrame(list(_F6_PATTERNS), ["label", "pattern", "id"])
+    docs = (
+        t["documents"]
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    )
+    one = docs.select("doc_id", F.explode("w").alias("gram"))
+    two = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    grams = one.unionByName(two)
+    linked = pat.select(F.lower("pattern").alias("gram"), F.col("id").alias("kb_id"))
+    m = grams.join(F.broadcast(linked), "gram", "left").withColumn(
+        "kb_id", F.coalesce("kb_id", F.lit(""))
+    )
+    return (
+        m.where(F.col("gram").isNotNull() & (F.col("gram") != "") & (F.col("kb_id") == ""))
+        .groupBy(F.col("gram").alias("mention"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("mention"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A5 — scan statistics: row count (reference line-count passes,
+# senzing_pipeline.py:61/:225) + distinct-id counts (:392-393 .unique()).
+# One pass, partial aggregation; no window.
+# ---------------------------------------------------------------------------
+@register(
+    "a5_scan_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders
+    """,
+)
+def a5_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.count_distinct("o_orderpriority").alias("n_prios"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — global rank ordering + limit (reference displays phrase lists
+# ordered by rank; tutorial.ipynb cell 25). Deterministic tiebreaker on
+# the key column. Spark executes this as TakeOrderedAndProject — no
+# full sort of the table.
+# ---------------------------------------------------------------------------
+@register(
+    "w3_rank_ordering",
+    """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    ORDER BY s_acctbal DESC, s_suppkey
+    LIMIT 100
+    """,
+)
+def w3_rank_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# R5 — dict→wide-columns pivot. The reference pivots the per-entity
+# FEATURES map into named columns before description synthesis
+# (senzing_pipeline.py:161-190 reads ent_feat.get(key) per key). Here:
+# per-user event-type counts pivoted to one column per type.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _r5_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{e}' THEN 1 ELSE 0 END) AS BIGINT) AS {e}"
+        for e in _EVENT_TYPES
+    )
+    return f"""
+    SELECT user_id,
+           {cols}
+    FROM events
+    GROUP BY user_id
+    """
+
+
+@register("r5_event_pivot", _r5_oracle())
+def r5_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N1 — sentencize: documents → ordered sentence rows with per-sentence
+# stats (spaCy sentencizer as pure SQL; SURVEY §2.11 N1). posexplode
+# keeps the sentence index — the relational encoding of Doc.sents.
+# ---------------------------------------------------------------------------
+@register(
+    "n1_sentence_stats",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(text, '. ') AS sents
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+           CAST(length(sents[i]) AS BIGINT) AS n_chars,
+           CAST(len(string_split(trim(sents[i]), ' ')) AS BIGINT) AS n_tokens
+    FROM s CROSS JOIN unnest(generate_series(1, len(sents))) AS t(i)
+    WHERE trim(sents[i]) <> ''
+    """,
+)
+def n1_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", F.posexplode(F.split("text", "\\. ")).alias("sent_idx", "sent"))
+        .where(F.trim("sent") != "")
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            F.length("sent").cast("long").alias("n_chars"),
+            F.size(F.split(F.trim("sent"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C10 — ordered newline-join per group (reference joins page fragments
+# with "\n", scraper.py:68-74). Per-user event-type log ordered by
+# (ts, event_id): collect_list(struct) → array_sort → transform →
+# array_join. The struct sort key makes the collect order-insensitive —
+# the SURVEY §7 canonical-order rule for collect_list nondeterminism.
+# ---------------------------------------------------------------------------
+@register(
+    "c10_event_log",
+    """
+    SELECT user_id,
+           string_agg(event_type, chr(10) ORDER BY ts, event_id) AS event_log
+    FROM events
+    WHERE user_id < 200
+    GROUP BY user_id
+    """,
+)
+def c10_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(F.col("user_id") < 200)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts_ns, event_id, event_type))),"
+                    " x -> x.event_type)"
+                ),
+                "\n",
+            ).alias("event_log")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# V1 — the hashing-embedder pandas_udf, oracle-checked. Raw-count mode
+# (no L2 normalize) keeps every value an exact small integer in
+# float32, so Spark's Arrow-batched UDF output and DuckDB's SQL replay
+# compare exactly. Bucket = int(md5(token)[:8 bytes], big-endian) % 32
+# — with dim=32 only the low 5 bits survive, i.e. the last two hex
+# nibbles of the first 8 digest bytes: (nib14*16 + nib15) % 32.
+# ---------------------------------------------------------------------------
+_V1_DIM = 32
+
+@register(
+    "v1_embed_hash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    b AS (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substring(md5(tok), 15, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substring(md5(tok), 16, 1)) - 1)) % {_V1_DIM} AS bucket
+      FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket, COUNT(*) AS cnt
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def v1_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.linking.embed import hashing_embedder
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200).select("doc_id", "text")
+    emb = docs.withColumn(
+        "embedding", hashing_embedder(_V1_DIM, normalize=False)(F.col("text"))
+    )
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("bucket", "v"))
+        .where(F.col("v") > 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("v").cast("long").alias("cnt"),
+        )
+    )

@@ -4,9 +4,17 @@ its DuckDB oracle twin (driver contract, see /root/repo/__spark_entry__.py).
 
 from __future__ import annotations
 
-from erkg_tutorials_spark.plans import coverage, eventsq, graphq, relational, textq, vectorq
+from erkg_tutorials_spark.plans import (
+    coverage,
+    coverage2,
+    eventsq,
+    graphq,
+    relational,
+    textq,
+    vectorq,
+)
 
-_MODULES = (relational, graphq, textq, vectorq, eventsq, coverage)
+_MODULES = (relational, graphq, textq, vectorq, eventsq, coverage, coverage2)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
