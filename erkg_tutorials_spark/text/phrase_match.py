@@ -33,36 +33,49 @@ from pyspark.sql.types import (
 
 
 def _ngram_matches(docs: DataFrame, patterns: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """All (doc, start, len, alias, pattern-id, label) raw hits."""
+    """All (doc, start, len, alias, pattern-id, label) raw hits.
+
+    One scan: every (start, len) gram for len 1..max pattern length is
+    generated in a single nested higher-order-function projection
+    (``flatten(transform(...))``) instead of one unioned scan per
+    length — the explosion stays inside one whole-stage-codegen span
+    and the source is read once.
+    """
     max_len = patterns.select(
         F.max(F.size(F.split(F.col("pattern"), " "))).alias("m")
     ).collect()[0]["m"]
-    toks = docs.select(
+    n = int(max_len or 1)
+    # single-row-group parquet arrives as one partition; spread the
+    # CPU-heavy gram explosion across cores (same pattern as
+    # dedup/minhash.py — the tiny doc-id shuffle is far cheaper than a
+    # single-threaded explosion; at real scale file splits already
+    # provide this parallelism and the repartition is a cheap rebalance)
+    toks = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
         F.col(id_col).alias("doc_id"), F.split(F.lower(F.col(text_col)), " ").alias("w")
     )
-    grams = []
-    for n in range(1, (max_len or 1) + 1):
-        gram = F.when(
-            F.size("w") >= n,
-            F.expr(f"transform(sequence(1, size(w) - {n} + 1), i -> struct(i as start, array_join(slice(w, i, {n}), ' ') as gram))"),
-        ).otherwise(F.expr("cast(array() as array<struct<start:int, gram:string>>)"))
-        grams.append(
-            toks.select("doc_id", F.explode(gram).alias("g")).select(
-                "doc_id",
-                F.col("g.start").alias("start"),
-                F.lit(n).alias("len"),
-                F.col("g.gram").alias("gram"),
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, least(size(w), "
+                f"{n})), n -> transform(sequence(1, size(w) - n + 1), "
+                "i -> struct(i as start, n as len, array_join(slice(w, i, n), ' ') as gram))))"
             )
-        )
-    all_grams = grams[0]
-    for g in grams[1:]:
-        all_grams = all_grams.unionByName(g)
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.start").alias("start"),
+        F.col("g.len").alias("len"),
+        F.col("g.gram").alias("gram"),
+    )
     pat = patterns.select(
         F.lower(F.col("pattern")).alias("gram"),
         F.col("id").alias("pattern_id"),
         F.col("label"),
     )
-    return all_grams.join(F.broadcast(pat), "gram")
+    return grams.join(F.broadcast(pat), "gram")
 
 
 def match_phrases(
@@ -76,7 +89,12 @@ def match_phrases(
     ``patterns``: (label, pattern, id). Returns (doc_id, start, len,
     alias, pattern_id, label) with start 1-based token position.
     """
-    m = _ngram_matches(docs, patterns, text_col, id_col)
+    # The hit set is tiny relative to the corpus (dictionary join is
+    # selective) — cache it so the dominance self-join reads it twice
+    # without re-running the n-gram explosion; resolve dominance with a
+    # single left_anti join (keep a iff no overlapping b dominates it)
+    # instead of left_semi + exceptAll (one join, no distinct shuffle).
+    m = _ngram_matches(docs, patterns, text_col, id_col).cache()
     a = m.alias("a")
     b = m.alias("b")
     overlap = (F.col("b.start") < F.col("a.start") + F.col("a.len")) & (
@@ -85,12 +103,11 @@ def match_phrases(
     dominates = (F.col("b.len") > F.col("a.len")) | (
         (F.col("b.len") == F.col("a.len")) & (F.col("b.start") < F.col("a.start"))
     )
-    dominated = a.join(
+    return a.join(
         b,
         (F.col("a.doc_id") == F.col("b.doc_id")) & overlap & dominates,
-        "left_semi",
-    )
-    return m.exceptAll(dominated).select(
+        "left_anti",
+    ).select(
         "doc_id", "start", "len", F.col("gram").alias("alias"), "pattern_id", "label"
     )
 
