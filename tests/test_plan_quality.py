@@ -1,0 +1,109 @@
+"""Physical-plan quality gates (SCALING.md posture, SURVEY.md §4).
+
+These tests pin the properties that make the engine viable at 100 TB:
+filters reach the parquet scan, scans prune to the referenced columns,
+dim joins broadcast, and no row-at-a-time Python UDF appears in any
+declared query's hot path. They read `.explain` output — the same
+evidence a human would check — so a regression that silently drops a
+pushdown or de-broadcasts a dim join fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from erkg_tutorials_spark.plans.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestPushdownAndPruning:
+    def test_q1_filter_pushed_to_scan(self, spark):
+        plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("l_shipdate" in p for p in pushed), plan
+
+    def test_q1_scan_prunes_columns(self, spark):
+        plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, plan
+        # q1 reads 7 of lineitem's 16 columns; the scan must not read
+        # the rest (l_comment is the canonical fat column)
+        assert all("l_comment" not in s for s in schemas), schemas
+
+    def test_semi_filter_prunes_and_pushes(self, spark):
+        plan = plan_of(QUERIES["f4_semi_filter"](spark, SF_DIR))
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("o_totalprice" in p for p in pushed), plan
+
+
+class TestJoinStrategy:
+    @pytest.mark.parametrize(
+        "name", ["j1_dim_lookup", "q5_region_revenue", "f4_semi_filter"]
+    )
+    def test_dim_joins_broadcast(self, spark, name):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_phrase_match_dictionary_broadcasts(self, spark):
+        plan = plan_of(QUERIES["phrase_ruler_match"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+
+
+class TestNoPythonInHotPath:
+    # Only the declared Python-boundary operators may ship rows to
+    # Python workers, and they must use the Arrow batch path
+    # (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas), never
+    # row-at-a-time BatchEvalPython.
+    PYTHON_OK = {"v1_embed_hash", "multimodal_decode"}
+
+    def test_no_row_at_a_time_python_anywhere(self, spark):
+        offenders = []
+        for name, fn in QUERIES.items():
+            plan = plan_of(fn(spark, SF_DIR), "simple")
+            if "BatchEvalPython" in plan:
+                offenders.append(name)
+        assert not offenders, offenders
+
+    def test_python_boundary_is_arrow_batched(self, spark):
+        for name in self.PYTHON_OK:
+            plan = plan_of(QUERIES[name](spark, SF_DIR), "simple")
+            assert (
+                "ArrowEvalPython" in plan
+                or "MapInPandas" in plan
+                or "FlatMapGroupsInPandas" in plan
+            ), (name, plan)
+
+    def test_everything_else_is_jvm_only(self, spark):
+        offenders = []
+        for name, fn in QUERIES.items():
+            if name in self.PYTHON_OK:
+                continue
+            plan = plan_of(fn(spark, SF_DIR), "simple")
+            if re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan):
+                offenders.append(name)
+        assert not offenders, offenders
+
+
+class TestCodegen:
+    def test_q1_whole_stage_codegen(self, spark):
+        # the AdaptiveSparkPlan wrapper hides codegen subtrees until
+        # execution; plan with AQE off to see the static codegen shape
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF_DIR), "codegen")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+        assert m and int(m.group(1)) >= 1, plan[:500]
