@@ -38,6 +38,13 @@ HEADLINE = [
     "multimodal_decode",
     "events_hourly_rollup",
     "events_sessionize",
+    # iterative / Python-boundary scale ops — the expensive tier,
+    # benchmarked explicitly so regressions show up per-round
+    "g5_pagerank_top20",
+    "g6_connected_components",
+    "g5_textrank_phrases",
+    "v1_embed_hash",
+    "f6_unlinked_report",
 ]
 
 

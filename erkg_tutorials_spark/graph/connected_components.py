@@ -88,14 +88,29 @@ def connected_components(
     e = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
-    prev_count = -1
+
+    def signature(df: DataFrame) -> tuple:
+        # one-job convergence fingerprint of the (distinct) edge set:
+        # count + order-independent sum of 64-bit row hashes. A missed
+        # fixpoint would need a same-count hash-sum collision (~2^-64);
+        # vs the exceptAll alternative this saves two full shuffles per
+        # round, which at 100 TB is the difference between O(rounds)
+        # and O(2·rounds) passes over the edge set.
+        row = df.agg(
+            F.count("*").alias("c"),
+            # decimal accumulator: exact, no ANSI long-overflow
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    prev_sig = None
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        c = nxt.count()
-        if c == prev_count and nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty():
+        sig = signature(nxt)
+        if sig == prev_sig:
             e = nxt
             break
-        e, prev_count = nxt, c
+        e, prev_sig = nxt, sig
     comp = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
     return (
         vertices.join(comp, "id", "left")

