@@ -31,6 +31,7 @@ def pagerank(
     dst: str = "dst",
     namespace_col: str | None = None,
     checkpoint_every: int = 1,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Returns (``[namespace,] id, rank``); ranks sum to 1 per namespace.
 
@@ -82,9 +83,12 @@ def pagerank(
     # makes each iteration's rank⋈edges a map-side join over the cached
     # edge table; the only shuffle left per iteration is the contrib
     # aggregation (PageRank's irreducible message traffic). Namespaced
-    # (per-doc) graphs keep the shuffle join: there the rank table is
-    # the full token×doc set and may exceed broadcast limits.
-    bcast = (lambda df: F.broadcast(df)) if not ns else (lambda df: df)
+    # (per-doc) graphs default to the shuffle join — there the rank
+    # table is the full token×doc set and may exceed broadcast limits —
+    # but callers ranking a bounded doc set can opt in.
+    if broadcast_ranks is None:
+        broadcast_ranks = not ns
+    bcast = (lambda df: F.broadcast(df)) if broadcast_ranks else (lambda df: df)
     for i in range(max_iter):
         r_src = ranks.select(*ns, F.col("id").alias("src"), "rank")
         contribs = (

@@ -509,6 +509,8 @@ def g5_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].where(F.col("doc_id") < 30).select("doc_id", "text")
+    # measured: broadcast_ranks hurts here (per-iteration broadcast
+    # build jobs outweigh the tiny shuffle they replace)
     phrases = textrank_phrases(docs, max_iter=6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("rank"), F.asc("phrase"))
     return (

@@ -322,3 +322,113 @@ def v1_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("long").alias("cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic hash-based dataset split
+# (train/val/test 80/10/10). The split key is content-independent
+# (id-hashed, md5 nibbles 13-16 → 0..65535 → %100), so re-running over
+# a grown corpus never moves an existing doc between splits — the
+# property that matters for training-data lineage. Stratification is
+# *verified* by the per-(split, lang) breakdown this query returns.
+# ---------------------------------------------------------------------------
+_NIB = "instr('0123456789abcdef', substring(h, {p}, 1)) - 1"
+
+
+def _split_oracle() -> str:
+    # (((n13)*16 + n14)*16 + n15)*16 + n16 — the integer value of md5
+    # hex nibbles 13-16, same number Spark's conv(substring(...),16,10)
+    # produces
+    expr = f"((({_NIB.format(p=13)}) * 16 + ({_NIB.format(p=14)})) * 16 + ({_NIB.format(p=15)})) * 16 + ({_NIB.format(p=16)})"
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    b AS (SELECT doc_id, lang, n_chars, ({expr}) % 100 AS bucket FROM h),
+    s AS (
+      SELECT lang, n_chars,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM s GROUP BY split, lang
+    """
+
+
+@register("split_assign", _split_oracle())
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 13, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            "n_chars",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: quality-gate filter report — the classic
+# pre-training corpus filter (length window + type-token-ratio cap)
+# with per-language kept/dropped accounting. One pass: the quality
+# signals aggregate per doc, the verdict is a projection, the report a
+# reaggregation — no UDFs anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_filter_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    q AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             COUNT(DISTINCT tok) / (1.0 * COUNT(*)) AS ttr
+      FROM toks GROUP BY doc_id
+    ),
+    v AS (
+      SELECT d.lang,
+             (q.n_tokens >= 30 AND q.ttr <= 0.8) AS kept,
+             q.n_tokens
+      FROM q JOIN documents d USING (doc_id)
+    )
+    SELECT lang, kept, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM v GROUP BY lang, kept
+    """,
+)
+def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    q = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.count_distinct("tok") / F.count("*")).alias("ttr"),
+    )
+    v = q.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        ((F.col("n_tokens") >= 30) & (F.col("ttr") <= 0.8)).alias("kept"),
+        "n_tokens",
+    )
+    return v.groupBy("lang", "kept").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
