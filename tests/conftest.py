@@ -15,7 +15,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("erkg-tests", shuffle_partitions=8)
+    s = get_spark(
+        "erkg-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/erkg-test-warehouse"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
