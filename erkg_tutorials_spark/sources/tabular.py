@@ -42,3 +42,22 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None)
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7/S8: one JSON object per line."""
     df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet sink — the 100 TB artifact layout.
+
+    Partition columns become directory levels (``lang=en/…``), so any
+    downstream filter on them prunes whole directories at planning time
+    (``PartitionFilters`` in the scan, zero IO for pruned values) —
+    the partition-level analogue of the row-group pushdown the flat
+    testdata files already exercise. Choose low-cardinality columns
+    (lang, split, date); high-cardinality partitioning fragments the
+    table into tiny files.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

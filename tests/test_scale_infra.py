@@ -99,3 +99,32 @@ class TestBucketedJoin:
         plan = plan_of(agg)
         assert "Exchange hashpartitioning" not in plan, plan
         assert agg.count() == 50
+
+
+class TestPartitionedSink:
+    def test_partition_pruning_on_read(self, spark, tmp_path):
+        from erkg_tutorials_spark.sources.tabular import write_partitioned
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = str(tmp_path / "docs_by_lang")
+        write_partitioned(docs, out, ["lang"])
+
+        back = spark.read.parquet(out)
+        en = back.where(F.col("lang") == "en")
+        plan = plan_of(en)
+        # the lang predicate must prune at the partition level, not
+        # reach the scan as a data filter
+        assert "PartitionFilters" in plan and "lang" in plan.split(
+            "PartitionFilters"
+        )[1].split("\n")[0], plan
+        assert en.count() == docs.where(F.col("lang") == "en").count()
+
+    def test_round_trip_preserves_rows(self, spark, tmp_path):
+        from erkg_tutorials_spark.sources.tabular import write_partitioned
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = str(tmp_path / "docs_rt")
+        write_partitioned(docs, out, ["lang", "source"])
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        assert set(back.columns) == set(docs.columns)
