@@ -1,0 +1,160 @@
+"""PropertyGraph — a GraphFrames-shaped query surface, DataFrame-backed.
+
+The north star ("GraphX for analytics, GraphFrames for queries",
+/root/repo/BASELINE.json) prescribes the GraphFrames API as the user
+surface; the container has no graphframes JVM package, so this facade
+exposes the same query surface backed by this repo's pure-DataFrame
+implementations — a user of the reference's intended Neo4j/GDS
+workflow (Readme.md:19, deleted src/neo4j module) gets the same verbs:
+
+- ``g.inDegrees / outDegrees / degrees`` (G4/A7)
+- ``g.pageRank(...)``                     (G5 substrate)
+- ``g.connectedComponents()``             (G6 substrate)
+- ``g.kHop(seeds, k)``                    (G2/G3 — the reference's
+  2-hop "friends of friends" filter, senzing_pipeline.py:373-397)
+- ``g.find_chain(n)``                     (the motif subset the
+  reference's queries need: "(a)-[]->(b); (b)-[]->(c)" chains)
+- ``g.triangleCount()``                   (GraphFrames analytics parity)
+
+Every method returns a DataFrame — composable with the rest of the
+engine, optimizable by Catalyst, no driver-side graph state.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.graph.connected_components import connected_components
+from erkg_tutorials_spark.graph.khop import k_hop, k_hop_labeled
+from erkg_tutorials_spark.graph.pagerank import pagerank
+
+
+class PropertyGraph:
+    """``vertices`` must carry ``id``; ``edges`` must carry ``src, dst``
+    (plus any edge attributes, preserved by motif search)."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        if "id" not in vertices.columns:
+            raise ValueError("vertices need an 'id' column")
+        if not {"src", "dst"} <= set(edges.columns):
+            raise ValueError("edges need 'src' and 'dst' columns")
+        self.vertices = vertices
+        self.edges = edges
+
+    # -- degrees (G4/A7) ---------------------------------------------------
+    @property
+    def inDegrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("inDegree")
+        )
+
+    @property
+    def outDegrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("outDegree")
+        )
+
+    @property
+    def degrees(self) -> DataFrame:
+        return (
+            self.inDegrees.withColumnRenamed("inDegree", "d")
+            .unionByName(self.outDegrees.withColumnRenamed("outDegree", "d"))
+            .groupBy("id")
+            .agg(F.sum("d").cast("long").alias("degree"))
+        )
+
+    # -- analytics ---------------------------------------------------------
+    def pageRank(
+        self, resetProbability: float = 0.15, maxIter: int = 10
+    ) -> DataFrame:
+        """vertices + ``pagerank`` column. GraphFrames normalizes ranks
+        to sum to |V|; this returns the sum-to-1 distribution (× |V| to
+        convert)."""
+        ranks = pagerank(self.edges, reset=resetProbability, max_iter=maxIter)
+        return self.vertices.join(ranks, "id", "left").na.fill({"rank": 0.0}).withColumnRenamed(
+            "rank", "pagerank"
+        )
+
+    def connectedComponents(self) -> DataFrame:
+        """vertices + ``component`` (min reachable vertex id, undirected)."""
+        comp = connected_components(self.edges)
+        return self.vertices.join(comp, "id", "left").withColumn(
+            "component", F.coalesce("component", F.col("id"))
+        )
+
+    def triangleCount(self) -> DataFrame:
+        """vertices + ``count`` of undirected triangles through each
+        vertex (GraphFrames semantics: edge direction ignored,
+        self-loops dropped). Three broadcast-free equi-joins over the
+        canonical (u < v) edge set — the standard distributed triangle
+        enumeration; each triangle (a<b<c) is found exactly once."""
+        e = (
+            self.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .cache()
+        )
+        tri = (
+            e.alias("ab")
+            .join(
+                e.alias("bc"),
+                F.col("ab.v") == F.col("bc.u"),
+            )
+            .join(
+                e.alias("ac"),
+                (F.col("ac.u") == F.col("ab.u")) & (F.col("ac.v") == F.col("bc.v")),
+            )
+            .select(
+                F.col("ab.u").alias("a"), F.col("ab.v").alias("b"), F.col("bc.v").alias("c")
+            )
+        )
+        per_vertex = (
+            tri.select(F.col("a").alias("id"))
+            .unionByName(tri.select(F.col("b").alias("id")))
+            .unionByName(tri.select(F.col("c").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("count"))
+        )
+        return (
+            self.vertices.join(per_vertex, "id", "left")
+            .withColumn("count", F.coalesce("count", F.lit(0)).cast("long"))
+        )
+
+    # -- queries -----------------------------------------------------------
+    def kHop(self, seeds: DataFrame, k: int = 2, labeled: bool = False) -> DataFrame:
+        """Reachable-vertex set (or (id, hop) with ``labeled=True``) —
+        the reference's 2-hop suspicious-entity filter as a graph verb."""
+        fn = k_hop_labeled if labeled else k_hop
+        return fn(self.edges, seeds, k=k)
+
+    def find_chain(self, n: int = 2) -> DataFrame:
+        """Motif "(v0)-[]->(v1); (v1)-[]->(v2); …" — n-edge directed
+        chains, the motif shape behind the reference's neighborhood
+        queries. Returns columns v0..vn. Distinct vertex constraint is
+        NOT applied (GraphFrames semantics)."""
+        if n < 1:
+            raise ValueError("n >= 1")
+        chains = self.edges.select(
+            F.col("src").alias("v0"), F.col("dst").alias("v1")
+        )
+        for i in range(1, n):
+            nxt = self.edges.select(
+                F.col("src").alias(f"v{i}"), F.col("dst").alias(f"v{i + 1}")
+            )
+            chains = chains.join(nxt, f"v{i}")
+        return chains.select(*[f"v{i}" for i in range(n + 1)])
+
+
+def from_edges(edges: DataFrame) -> PropertyGraph:
+    """Build a PropertyGraph with the vertex set implied by the edges."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return PropertyGraph(verts, edges)

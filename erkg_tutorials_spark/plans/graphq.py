@@ -196,3 +196,54 @@ def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-analytics parity-plus: per-vertex triangle count over the
+# co-order part graph (parts appearing in the same order are linked).
+# Exercises the PropertyGraph facade's triangleCount — three equi-joins
+# over the canonical edge set, fully SQL-expressible → full oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "g_triangle_count",
+    """
+    WITH pp AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM pp ab
+      JOIN pp bc ON ab.v = bc.u
+      JOIN pp ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    ids AS (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS count
+    FROM ids GROUP BY id
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices with >=1 triangle and their triangle counts."""
+    from erkg_tutorials_spark.graph.frames import from_edges
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        from_edges(edges)
+        .triangleCount()
+        .where(F.col("count") > 0)
+        .select("id", "count")
+    )

