@@ -432,3 +432,81 @@ def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: benchmark decontamination. Corpus docs are
+# scored by the fraction of their word-8-gram shingles that appear
+# anywhere in a held-out benchmark set (docs 0-19) — the standard
+# n-gram-overlap contamination check run before training. The
+# benchmark shingle set is broadcast (it is small by construction);
+# corpus shingling is the same scan-side explosion as MinHash.
+# Docs shorter than 8 tokens have no shingles and are excluded.
+# ---------------------------------------------------------------------------
+_CONTAM_K = 8
+
+@register(
+    "text_contamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(_CONTAM_K))}) AS shingle
+      FROM toks
+      CROSS JOIN unnest(generate_series(1, greatest(len(w) - {_CONTAM_K - 1}, 0))) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM corp c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / (1.0 * s.n_shingles), 6) AS contamination
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.dedup.minhash import shingles
+
+    t = load_tables(spark, sf_dir)
+    sh = shingles(t["documents"], k=_CONTAM_K)
+    bench = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
+    corp = sh.where(F.col("doc_id") >= 20)
+    sizes = corp.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_shingles"), 6).alias(
+            "contamination"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup last mile: MinHash-LSH pairs → transitive clusters → canonical
+# keep/drop verdict per document (dedup/clusters.py). Transitive
+# closure is iterative (connected components) → rows-only driver
+# check; cluster invariants are pytest-verified (test_scale_ops.py).
+# ---------------------------------------------------------------------------
+@register("dedup_clusters", None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.dedup.clusters import dedup_assign
+    from erkg_tutorials_spark.dedup.minhash import minhash_lsh_dedup
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = minhash_lsh_dedup(docs, k=5, num_hashes=8, bands=2, threshold=0.5)
+    out = dedup_assign(docs.select("doc_id"), pairs)
+    return out.select("doc_id", "cluster", "is_canonical")

@@ -132,3 +132,37 @@ class TestMultimodal:
         frames = sample_frames(media, every_n=10).collect()
         assert {r.media_id for r in frames} == {2}
         assert sorted(r.frame_no for r in frames) == [0, 10, 20]
+
+
+class TestDedupClusters:
+    def test_transitive_closure_and_canonical(self, spark):
+        from erkg_tutorials_spark.dedup.clusters import dedup_assign
+
+        corpus = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+        # near-dup chain 1~2, 2~3 (transitive cluster {1,2,3}); pair {5,6}
+        pairs = spark.createDataFrame(
+            [(1, 2, 0.9), (2, 3, 0.8), (5, 6, 0.7)], ["id_a", "id_b", "jaccard"]
+        )
+        out = {
+            r["doc_id"]: (r["cluster"], r["is_canonical"])
+            for r in dedup_assign(corpus, pairs).collect()
+        }
+        assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+        assert out[5] == (5, True) and out[6] == (5, False)
+        # untouched docs are their own canonical cluster
+        assert out[4] == (4, True) and out[7] == (7, True)
+
+    def test_one_canonical_per_cluster(self, spark):
+        from erkg_tutorials_spark.dedup.clusters import dedup_assign
+        from pyspark.sql import functions as F
+
+        corpus = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 0.9) for i in range(0, 18, 2)], ["id_a", "id_b", "jaccard"]
+        )
+        per_cluster = (
+            dedup_assign(corpus, pairs)
+            .groupBy("cluster")
+            .agg(F.sum(F.col("is_canonical").cast("int")).alias("n_canon"))
+        )
+        assert per_cluster.where(F.col("n_canon") != 1).count() == 0
