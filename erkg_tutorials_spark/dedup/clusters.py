@@ -33,10 +33,13 @@ def dedup_assign(
     """corpus + (cluster, is_canonical): every doc keeps its cluster id
     (its own id when it has no near-dup) and a keep/drop verdict —
     ``is_canonical`` is true for exactly one doc per cluster."""
-    clusters = assign_clusters(pairs)
+    # rename the cluster table's id before joining so a corpus whose
+    # id_col is literally "id" doesn't collide (drop-by-name would
+    # remove both columns)
+    clusters = assign_clusters(pairs).withColumnRenamed("id", "__cid")
     return (
-        corpus.join(clusters, corpus[id_col] == clusters["id"], "left")
-        .drop("id")
+        corpus.join(clusters, corpus[id_col] == clusters["__cid"], "left")
+        .drop("__cid")
         .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster"))
     )

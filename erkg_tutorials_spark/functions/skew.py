@@ -26,11 +26,16 @@ SALT_COL = "__salt"
 
 
 def _scatter(df: DataFrame, key: str, salt: int) -> DataFrame:
-    """Deterministic uniform salt derived from the whole row's hash —
-    NOT the join key (hashing the key would send each hot key's rows to
-    one salt again)."""
+    """Uniform per-row salt. Derived from the row's position
+    (monotonically_increasing_id = partition id + in-partition index),
+    NOT from row content: hashing the key would send each hot key's
+    rows to one salt again, and hashing the full row collapses
+    *duplicate* rows of the hot key onto one salt — the exact skew this
+    exists to break. Position is stable for a given partitioning and
+    any salt value in [0, salt) is correct, so a task retry cannot
+    change results."""
     return df.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*df.columns, F.lit(0x5A17)), F.lit(salt))
+        SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )
 
 
@@ -50,7 +55,15 @@ def salted_join(
     """``big ⋈ small`` on column ``on`` with the big side's hot keys
     spread across ``salt`` shuffle partitions. ``small`` is replicated
     ``salt``× — use only when it's broadcast-sized-ish but a plain
-    broadcast is off the table (e.g. it exceeds the driver limit)."""
+    broadcast is off the table (e.g. it exceeds the driver limit).
+
+    Join types preserving the replicated side's unmatched rows
+    (right/full) would emit them once per replica; only big-side-
+    preserving types are allowed."""
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti", "cross"}:
+        raise ValueError(
+            f"salted_join supports big-side-preserving join types only, got {how!r}"
+        )
     b = _scatter(big, on, salt)
     s = _replicate(small, salt)
     return b.join(s, [on, SALT_COL], how).drop(SALT_COL)

@@ -290,9 +290,13 @@ _V1_DIM = 32
 
 @register(
     "v1_embed_hash",
+    # whitespace runs are collapsed on BOTH sides so the oracle's
+    # single-space string_split and the UDF's Python str.split() see
+    # identical tokens even if text ever carries tabs/newlines
     f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
       FROM documents WHERE doc_id < 200
     ),
     b AS (
@@ -309,7 +313,10 @@ def v1_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.linking.embed import hashing_embedder
 
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].where(F.col("doc_id") < 200).select("doc_id", "text")
+    docs = t["documents"].where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("text"),
+    )
     emb = docs.withColumn(
         "embedding", hashing_embedder(_V1_DIM, normalize=False)(F.col("text"))
     )
@@ -475,7 +482,9 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.dedup.minhash import shingles
 
     t = load_tables(spark, sf_dir)
-    sh = shingles(t["documents"], k=_CONTAM_K)
+    # cached: the shingle explosion feeds three consumers (bench set,
+    # per-doc sizes, hit counts) — uncached it would run 3×
+    sh = shingles(t["documents"], k=_CONTAM_K).cache()
     bench = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
     corp = sh.where(F.col("doc_id") >= 20)
     sizes = corp.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

@@ -182,8 +182,11 @@ def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     # dedup the directed half, then mirror: same distinct edge set as
-    # trade_edges(t).distinct() at half the distinct's shuffle input
-    fwd = trade_edges_directed(t).distinct()
+    # trade_edges(t).distinct() at half the distinct's shuffle input.
+    # cached: pagerank materializes several loop-invariant tables from
+    # this lineage (verts, degrees, danglers) — uncached, each would
+    # re-run the orders⋈lineitem join + distinct
+    fwd = trade_edges_directed(t).distinct().cache()
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

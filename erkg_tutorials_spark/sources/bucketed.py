@@ -23,11 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 def _clear_location(spark: SparkSession, table: str) -> None:
     """Drop ``table`` and remove any orphaned managed location (a
     killed overwrite can leave the directory behind without catalog
-    metadata, which blocks the next saveAsTable)."""
+    metadata, which blocks the next saveAsTable). Local-filesystem
+    warehouses only — remote URIs (s3/hdfs) are left to the catalog."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    path = urlparse(warehouse).path or warehouse
-    shutil.rmtree(f"{path.rstrip('/')}/{table.lower()}", ignore_errors=True)
+    parsed = urlparse(warehouse)
+    if parsed.scheme not in ("", "file"):
+        return
+    path = parsed.path or warehouse
+    # managed layout: <warehouse>/<table> for the default db,
+    # <warehouse>/<db>.db/<table> for qualified names
+    parts = table.lower().split(".")
+    rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+    shutil.rmtree(f"{path.rstrip('/')}/{rel}", ignore_errors=True)
 
 
 def write_bucketed(
