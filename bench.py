@@ -45,6 +45,9 @@ HEADLINE = [
     "g5_textrank_phrases",
     "v1_embed_hash",
     "f6_unlinked_report",
+    "text_contamination",
+    "split_assign",
+    "corpus_filter_stats",
 ]
 
 
