@@ -62,6 +62,43 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window rollup — streaming twin of the batch
+    ``events_sliding_window`` query. Each event lands in
+    window/slide overlapping windows; state is bounded by the
+    watermark."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming tier of the dedup
+    family (dedup/exact.py is the batch twin). ``dropDuplicates``
+    within the watermark horizon: state holds one entry per key seen in
+    the last ``watermark`` of event time and is evicted beyond it —
+    the standard bounded-state dedup for ingest pipelines (exactly-once
+    landing of at-least-once feeds)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("event_time", watermark).dropDuplicates(keys)
+
+
 def run_stream_once(result: DataFrame, query_name: str) -> None:
     """Drain all available input into an in-memory sink and stop
     (AvailableNow trigger). Results land in the ``query_name`` temp view."""

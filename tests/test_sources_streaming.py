@@ -100,3 +100,77 @@ class TestStatefulSessionize:
             if r.start_sec != last_start[r.user_id]
         }
         assert got == want and len(want) > 0
+
+
+class TestSlidingAndDedupStreams:
+    def test_sliding_stream_matches_batch(self, spark):
+        """Streaming sliding-window counts == the batch twin
+        (events_sliding_window) on the same input."""
+        from erkg_tutorials_spark.plans.eventsq import events_sliding_window
+        from erkg_tutorials_spark.streaming.events import (
+            read_events_stream,
+            sliding_rollup_stream,
+        )
+        from tests.conftest import SF_DIR
+
+        q = (
+            sliding_rollup_stream(
+                read_events_stream(spark, SF_DIR),
+                window="30 minutes",
+                slide="15 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName("sliding_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["win_start"], r["event_type"], r["n_events"])
+            for r in spark.table("sliding_test").collect()
+        }
+        want = {
+            (r["w_start"], r["event_type"], r["n_events"])
+            for r in events_sliding_window(spark, SF_DIR).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_dedup_stream_drops_replayed_events(self, spark, tmp_path):
+        """An at-least-once feed (every event delivered twice) lands
+        exactly once through the streaming dedup."""
+        import os
+
+        from erkg_tutorials_spark.streaming.events import (
+            EVENTS_SCHEMA,
+            dedup_stream,
+        )
+        from tests.conftest import SF_DIR
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        events = spark.read.schema(EVENTS_SCHEMA).parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        )
+        feed_dir = str(tmp_path / "feed")
+        # duplicate every event (two identical files = exact replay)
+        events.write.mode("overwrite").parquet(feed_dir)
+        events.write.mode("append").parquet(feed_dir)
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(feed_dir)
+            .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = (
+            dedup_stream(stream, keys=["event_id"])
+            .writeStream.format("memory")
+            .queryName("dedup_feed_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_unique = events.select("event_id").distinct().count()
+        assert spark.table("dedup_feed_test").count() == n_unique
