@@ -43,6 +43,11 @@ def get_spark(
         # Dim tables (nation/region/countries/suspicions) are tiny; raise
         # the broadcast threshold so Catalyst picks broadcast-hash joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # A 64 MiB broadcast threshold needs driver headroom to build
+        # the hashed relations: Spark's default 1g driver heap OOMs on
+        # them at ≥5× the test scale factor (measured). Must be set
+        # before the JVM starts — a no-op on an already-running session.
+        .config("spark.driver.memory", "8g")
         # Arrow for pandas_udf / mapInPandas exchange (V1 embeddings, N-ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 128 MiB scan splits. NOTE: the testdata tables are single-row-
