@@ -137,6 +137,28 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(t["documents"])
 
 
+# BPE pre-tokenizer counts (the regex tier of token counting): pattern
+# is RE2 ∩ Java regex so DuckDB's regexp_extract_all replays Spark's
+# segmentation exactly — verified token-for-token, not just count
+from erkg_tutorials_spark.text.quality import BPE_PRETOKEN_PATTERN  # noqa: E402
+
+
+@register(
+    "text_token_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, $${BPE_PRETOKEN_PATTERN}$$)) AS BIGINT)
+             AS n_pretokens
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.text.quality import bpe_pretoken_counts
+
+    t = load_tables(spark, sf_dir)
+    return bpe_pretoken_counts(t["documents"])
+
+
 @register(
     "text_fingerprint",
     """

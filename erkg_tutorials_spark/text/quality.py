@@ -56,6 +56,28 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# GPT-2-style pre-tokenizer, constrained to the RE2 ∩ Java regex
+# subset (no lookahead; explicit ASCII classes instead of \p{L} so
+# both engines agree byte-for-byte): contraction suffixes, space-
+# prefixed letter runs, digit runs, punctuation runs.
+BPE_PRETOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def bpe_pretoken_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc count of BPE pre-tokens (the segmentation step every
+    BPE/byte-level tokenizer applies before merges) — a far tighter
+    token estimate than chars/4, still pure JVM regex (no Python,
+    no vocab file)."""
+    return df.select(
+        id_col,
+        F.size(
+            F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_PATTERN), 0)
+        ).cast("long").alias("n_pretokens"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic content fingerprint: md5 of the whitespace-
     normalized, lowercased text."""
