@@ -35,13 +35,19 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of x to min(N(x) ∪ {x})."""
+    """Connect every strictly-larger neighbor of x to min(N(x) ∪ {x}).
+
+    min-aggregate + re-join rather than collect_set + explode: hub
+    vertices would otherwise materialize their whole neighborhood as
+    one array in a single aggregation buffer (the memory hot spot of
+    the naive formulation); min+join streams — both sides stay keyed
+    by ``u``, so the second pass reuses the first's partitioning.
+    """
     nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    grouped = nbrs.groupBy("u").agg(
-        F.min("v").alias("minv"), F.collect_set("v").alias("vs")
-    )
+    minv = nbrs.groupBy("u").agg(F.min("v").alias("minv"))
     return (
-        grouped.select("u", F.least("u", "minv").alias("m"), F.explode("vs").alias("v"))
+        nbrs.join(minv, "u")
+        .select("u", F.least("u", "minv").alias("m"), "v")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
@@ -52,15 +58,14 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Connect all smaller-or-equal neighbors of x to min(N≤(x) ∪ {x})."""
-    # orient edges high -> low, group by the high endpoint
+    # orient edges high -> low, group by the high endpoint; min+join
+    # (see _large_star) instead of collect_set
     oriented = e.select(F.col("v").alias("x"), F.col("u").alias("y"))  # x > y
-    grouped = oriented.groupBy("x").agg(
-        F.min("y").alias("m"), F.collect_set("y").alias("ys")
-    )
-    out = grouped.select("x", "m", F.explode("ys").alias("y")).select(
+    minv = oriented.groupBy("x").agg(F.min("y").alias("m"))
+    out = oriented.join(minv, "x").select(
         F.col("y").alias("a"), F.col("m").alias("b")
     )
-    link_x = grouped.select(F.col("x").alias("a"), F.col("m").alias("b"))
+    link_x = minv.select(F.col("x").alias("a"), F.col("m").alias("b"))
     return (
         out.unionByName(link_x)
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
