@@ -499,11 +499,59 @@ def v3_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # G5/N5/A8/W1 end-to-end — TextRank phrases with the reference's
-# top-30-per-doc cut (analysis.py:11). Iterative float PageRank is not
-# SQL-expressible → rows-only driver check; rank invariants are pytest-
-# verified (tests/test_linking.py).
+# top-30-per-doc cut (analysis.py:11). The fixed 6-iteration per-doc
+# PageRank is unrolled into a namespaced CTE chain for the DuckDB
+# oracle (plans/oracle_pr.py); the top-30 window ranks on the ROUNDED
+# rank on both sides so a last-ulp summation difference can never
+# flip the cut.
 # ---------------------------------------------------------------------------
-@register("g5_textrank_phrases", None)
+def _textrank_oracle() -> str:
+    from erkg_tutorials_spark.plans.oracle_pr import pagerank_iterations_sql
+
+    return (
+        """
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id < 30
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS pos
+      FROM docs
+    ),
+    fwd AS MATERIALIZED (
+      SELECT a.doc_id, a.tok AS src, b.tok AS dst
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      UNION ALL
+      SELECT a.doc_id, a.tok AS src, b.tok AS dst
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_id, src, dst FROM fwd
+      UNION ALL
+      SELECT doc_id, dst AS src, src AS dst FROM fwd
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT doc_id, src AS id FROM edges),
+"""
+        + pagerank_iterations_sql(iters=6, ns=True)
+        + """,
+    counts AS MATERIALIZED (
+      SELECT doc_id, tok AS phrase, CAST(COUNT(*) AS BIGINT) AS count
+      FROM tok GROUP BY doc_id, tok
+    ),
+    joined AS (
+      SELECT p.doc_id, p.id AS phrase, ROUND(p.rank, 6) AS rank, c.count,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY ROUND(p.rank, 6) DESC, p.id ASC
+             ) AS rn
+      FROM pr6 p JOIN counts c ON p.doc_id = c.doc_id AND p.id = c.phrase
+    )
+    SELECT doc_id, phrase, rank, count FROM joined WHERE rn <= 30
+    """
+    )
+
+
+@register("g5_textrank_phrases", _textrank_oracle())
 def g5_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.text.textrank import textrank_phrases
 
@@ -511,12 +559,14 @@ def g5_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].where(F.col("doc_id") < 30).select("doc_id", "text")
     # measured: broadcast_ranks hurts here (per-iteration broadcast
     # build jobs outweigh the tiny shuffle they replace)
-    phrases = textrank_phrases(docs, max_iter=6)
+    phrases = textrank_phrases(docs, max_iter=6).withColumn(
+        "rank", F.round("rank", 6)
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("rank"), F.asc("phrase"))
     return (
         phrases.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= 30)
-        .select("doc_id", "phrase", F.round("rank", 6).alias("rank"), "count")
+        .select("doc_id", "phrase", "rank", "count")
     )
 
 

@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.catalog import load_tables
 from erkg_tutorials_spark.graph.khop import k_hop_labeled
+from erkg_tutorials_spark.plans.oracle_pr import (
+    cc_label_prop_sql,
+    pagerank_iterations_sql,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -154,11 +158,39 @@ def flagship_reach_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle scaffolding: the distinct customer↔supplier edge set,
+# mirrored to symmetric — identical to trade_edges_directed(t).distinct()
+# + reverse union on the Spark side.
+_SYM_EDGES_CTE = """
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM raw
+      UNION ALL
+      SELECT s AS src, c AS dst FROM raw
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)
+"""
+
+
 # ---------------------------------------------------------------------------
-# G6 — connected components (iterative large-star/small-star; not
-# SQL-expressible → rows-only driver check, invariants in pytest)
+# G6 — connected components. The Spark side iterates large-star/
+# small-star to a fixpoint; the oracle unrolls min-label propagation
+# (20 rounds ≫ the trade graph's diameter — an insufficient bound
+# would surface as a hash mismatch, so it is checked, not assumed).
 # ---------------------------------------------------------------------------
-@register("g6_connected_components", None)
+@register(
+    "g6_connected_components",
+    _SYM_EDGES_CTE
+    + ","
+    + cc_label_prop_sql(rounds=20)
+    + """
+    SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l20 GROUP BY lbl
+    """,
+)
 def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component sizes of the customer↔supplier trade graph."""
     from erkg_tutorials_spark.graph.connected_components import connected_components
@@ -173,10 +205,22 @@ def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# G5 substrate — PageRank (iterative float fixpoint; rows-only check,
-# invariants in pytest)
+# G5 substrate — PageRank. Fixed 8-iteration damped PageRank is
+# SQL-expressible by unrolling the loop (oracle_pr.py); dangling mass
+# is omitted in the oracle because the mirrored edge set is symmetric
+# (no vertex lacks out-edges — the Spark side proves this with its
+# danglers.isEmpty() pre-check and then also adds literal 0.0).
 # ---------------------------------------------------------------------------
-@register("g5_pagerank_top20", None)
+@register(
+    "g5_pagerank_top20",
+    _SYM_EDGES_CTE
+    + ","
+    + pagerank_iterations_sql(iters=8)
+    + """
+    SELECT id, ROUND(rank, 6) AS rank FROM pr8
+    ORDER BY rank DESC, id ASC LIMIT 20
+    """,
+)
 def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.pagerank import pagerank
 
