@@ -505,11 +505,37 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Dedup last mile: MinHash-LSH pairs → transitive clusters → canonical
-# keep/drop verdict per document (dedup/clusters.py). Transitive
-# closure is iterative (connected components) → rows-only driver
-# check; cluster invariants are pytest-verified (test_scale_ops.py).
+# keep/drop verdict per document (dedup/clusters.py). The transitive
+# closure (connected components) is oracle-ized by unrolled min-label
+# propagation over the pair graph (plans/oracle_pr.py) — near-dup
+# cluster chains are short, so 10 rounds ≫ any pair-graph diameter
+# (an insufficient bound would hash-mismatch, so it is checked).
 # ---------------------------------------------------------------------------
-@register("dedup_clusters", None)
+def _dedup_clusters_oracle() -> str:
+    from erkg_tutorials_spark.plans.oracle_pr import cc_label_prop_sql
+    from erkg_tutorials_spark.plans.textq import MINHASH_PAIRS_CTE
+
+    return (
+        MINHASH_PAIRS_CTE
+        + """,
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+"""
+        + cc_label_prop_sql(rounds=10)
+        + """
+    SELECT d.doc_id,
+           COALESCE(l.lbl, d.doc_id) AS cluster,
+           d.doc_id = COALESCE(l.lbl, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN l10 l ON d.doc_id = l.id
+    """
+    )
+
+
+@register("dedup_clusters", _dedup_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.dedup.clusters import dedup_assign
     from erkg_tutorials_spark.dedup.minhash import minhash_lsh_dedup

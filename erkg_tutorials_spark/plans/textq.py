@@ -48,18 +48,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(t["documents"])
 
 
-@register(
-    "dedup_minhash_lsh",
-    """
-    WITH toks AS (
+# Shared by dedup_minhash_lsh (below) and dedup_clusters
+# (plans/coverage2.py), which consumes the same pair set. Ends with
+# ``pairs(id_a, id_b, jaccard)``; every stage MATERIALIZED so the
+# cluster oracle's label-propagation chain doesn't re-inline the
+# shingle explosion per round.
+MINHASH_PAIRS_CTE = """
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
       FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
     ),
-    mh AS (
+    mh AS MATERIALIZED (
       SELECT doc_id,
              min(md5(concat('0|', shingle))) AS h0, min(md5(concat('1|', shingle))) AS h1,
              min(md5(concat('2|', shingle))) AS h2, min(md5(concat('3|', shingle))) AS h3,
@@ -72,26 +75,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id, 1, concat(h4, h5, h6, h7) FROM mh
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
       WHERE a.id < b.id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.id_a
       JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
       GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS MATERIALIZED (
+      SELECT i.id_a, i.id_b,
+             ROUND(n_inter / (1.0 * (za.n + zb.n - n_inter)), 6) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.id_a
+      JOIN sizes zb ON zb.doc_id = i.id_b
+      WHERE n_inter / (1.0 * (za.n + zb.n - n_inter)) >= 0.5
     )
-    SELECT i.id_a, i.id_b,
-           ROUND(n_inter / (1.0 * (za.n + zb.n - n_inter)), 6) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.id_a
-    JOIN sizes zb ON zb.doc_id = i.id_b
-    WHERE n_inter / (1.0 * (za.n + zb.n - n_inter)) >= 0.5
-    """,
+"""
+
+@register(
+    "dedup_minhash_lsh",
+    MINHASH_PAIRS_CTE + "SELECT id_a, id_b, jaccard FROM pairs",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
