@@ -587,25 +587,31 @@ EMB_DUP_THRESHOLD = 0.3
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-label near-dup pairs by embedding cosine.
+
+    The pair generation is the centroid-bound-pruned exact cosine
+    join (similarity/cosine_join.py) — no within-label cross join
+    anywhere, so a hot label can never trigger O(block²) single-key
+    work; the label constraint is an ordinary predicate on the
+    cell-pair-driven join. The join is EXACT (spherical triangle
+    inequality pruning only discards cell pairs that cannot reach the
+    threshold), so the plain all-pairs SQL oracle still hash-matches.
+    On this near-uniform synthetic corpus the geometric pruning is
+    weak (cells are wide); on clustered real embeddings it is strong
+    — tests/test_scale_ops.py pins both the exactness and a
+    planted-cluster fixture where >80% of cell pairs prune.
+    """
+    from erkg_tutorials_spark.similarity.cosine_join import cosine_similarity_join
+
     t = load_tables(spark, sf_dir)
-    # norm precomputed per vector (not per pair): one fold per pair in
-    # the |block|² scoring loop; numerically identical to the oracle's
-    # per-pair norms (same in-order fold, same double ops)
-    v = t["embeddings"].select(
-        "vec_id", "label", _as_double("embedding").alias("emb")
-    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
-    a = v.select(
-        F.col("vec_id").alias("id_a"), F.col("label"),
-        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    pairs = cosine_similarity_join(
+        t["embeddings"],
+        threshold=EMB_DUP_THRESHOLD,
+        carry_cols=("label",),
+        k=8,
+        iters=2,
     )
-    b = v.select(
-        F.col("vec_id").alias("id_b"), F.col("label"),
-        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .where(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        pairs.where(F.col("label_a") == F.col("label_b"))
+        .select("id_a", "id_b", "cosine")
     )

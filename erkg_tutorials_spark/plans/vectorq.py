@@ -61,18 +61,37 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN: deterministic centroids → cell assignment → nprobe
-# probing → exact rerank within probed cells (the scale path: the
-# cross product shrinks from |corpus| to |probed cells|)
+# IVF-style ANN: in-engine trained k-means centroids → cell assignment
+# → nprobe probing → exact rerank within probed cells (the scale path:
+# the cross product shrinks from |corpus| to |probed cells|). The
+# oracle replays the deterministic hash-seeded Lloyd iterations as an
+# unrolled CTE chain (similarity/kmeans.py), so centroid training is
+# itself under the hash-match gate.
 # ---------------------------------------------------------------------------
-CENTROID_STRIDE = 101
+KMEANS_K = 8
+KMEANS_ITERS = 3
 IVF_NPROBE = 2
 IVF_QUERIES = 5
 IVF_K = 3
 
-_IVF_ORACLE = f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, emb AS cvec FROM v WHERE vec_id % {CENTROID_STRIDE} = 0),
+
+def _kmeans_cent_cte() -> str:
+    from erkg_tutorials_spark.similarity.kmeans import kmeans_iterations_sql
+
+    return (
+        """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
+      FROM embeddings
+    ),"""
+        + kmeans_iterations_sql(k=KMEANS_K, iters=KMEANS_ITERS)
+        + f""",
+    cent AS MATERIALIZED (SELECT cent_id, cvec FROM cent{KMEANS_ITERS}),"""
+    )
+
+
+_IVF_ORACLE = _kmeans_cent_cte() + f"""
     assign_scored AS (
       SELECT v.vec_id, c.cent_id,
              ROUND(list_dot_product(v.emb, c.cvec)
@@ -115,13 +134,17 @@ _IVF_ORACLE = f"""
 @register("knn_cosine_ivf", _IVF_ORACLE)
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.similarity.ivf import cosine_knn_ivf
+    from erkg_tutorials_spark.similarity.kmeans import kmeans_cosine
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
+    cent = kmeans_cosine(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     return cosine_knn_ivf(
         corpus=emb,
         queries=emb.where(F.col("vec_id") < IVF_QUERIES),
-        centroids=emb.where(F.col("vec_id") % CENTROID_STRIDE == 0),
+        centroids=cent.select(
+            F.col("cent_id").alias("vec_id"), F.col("cvec").alias("embedding")
+        ),
         nprobe=IVF_NPROBE,
         k=IVF_K,
     )
