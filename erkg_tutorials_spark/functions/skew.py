@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
-def _scatter(df: DataFrame, key: str, salt: int) -> DataFrame:
+def _scatter(df: DataFrame, salt: int) -> DataFrame:
     """Uniform per-row salt. Derived from the row's position
     (monotonically_increasing_id = partition id + in-partition index),
     NOT from row content: hashing the key would send each hot key's
@@ -34,6 +34,11 @@ def _scatter(df: DataFrame, key: str, salt: int) -> DataFrame:
     exists to break. Position is stable for a given partitioning and
     any salt value in [0, salt) is correct, so a task retry cannot
     change results."""
+    if SALT_COL in df.columns:
+        raise ValueError(
+            f"input already carries a {SALT_COL!r} column — salting twice "
+            "would silently join/aggregate on the stale salt"
+        )
     return df.withColumn(
         SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )
@@ -64,7 +69,12 @@ def salted_join(
         raise ValueError(
             f"salted_join supports big-side-preserving join types only, got {how!r}"
         )
-    b = _scatter(big, on, salt)
+    if SALT_COL in small.columns:
+        raise ValueError(
+            f"small side already carries a {SALT_COL!r} column — replication "
+            "would produce a duplicate-named join key"
+        )
+    b = _scatter(big, salt)
     s = _replicate(small, salt)
     return b.join(s, [on, SALT_COL], how).drop(SALT_COL)
 
@@ -73,7 +83,7 @@ def salted_count(df: DataFrame, key: str, salt: int = 8) -> DataFrame:
     """groupBy(key).count() resilient to key skew: partial count per
     (key, salt), final sum per key."""
     return (
-        _scatter(df, key, salt)
+        _scatter(df, salt)
         .groupBy(key, SALT_COL)
         .agg(F.count("*").alias("_c"))
         .groupBy(key)

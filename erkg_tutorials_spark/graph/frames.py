@@ -90,14 +90,18 @@ class PropertyGraph:
         vertex (GraphFrames semantics: edge direction ignored,
         self-loops dropped). Three broadcast-free equi-joins over the
         canonical (u < v) edge set — the standard distributed triangle
-        enumeration; each triangle (a<b<c) is found exactly once."""
+        enumeration; each triangle (a<b<c) is found exactly once.
+
+        No cache: all three join aliases share one lineage, so the
+        single action reuses the distinct's exchange (ReusedExchange)
+        — a cache here would pin executor storage for the session
+        lifetime with no one responsible for unpersisting it."""
         e = (
             self.edges.select(
                 F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
             )
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .cache()
         )
         tri = (
             e.alias("ab")

@@ -90,13 +90,20 @@ def dedup_stream(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming exact deduplication — the streaming tier of the dedup
-    family (dedup/exact.py is the batch twin). ``dropDuplicates``
-    within the watermark horizon: state holds one entry per key seen in
-    the last ``watermark`` of event time and is evicted beyond it —
-    the standard bounded-state dedup for ingest pipelines (exactly-once
-    landing of at-least-once feeds)."""
+    family (dedup/exact.py is the batch twin).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates``
+    only evicts state when the event-time column is itself part of the
+    dedup keys — with key-only subsets (the normal case, e.g.
+    ``event_id``) its state grows unboundedly, one entry per key ever
+    seen. The WithinWatermark variant evicts each key once the
+    watermark passes its first-seen event time, which is the bounded-
+    state semantics an at-least-once ingest feed needs (duplicates
+    arrive within the replay horizon, i.e. the watermark)."""
     keys = keys or ["event_id"]
-    return events.withWatermark("event_time", watermark).dropDuplicates(keys)
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def run_stream_once(result: DataFrame, query_name: str) -> None:

@@ -51,7 +51,7 @@ class TestSaltedJoin:
         from erkg_tutorials_spark.functions.skew import SALT_COL, _scatter
 
         salts = (
-            _scatter(self._skewed(spark).where(F.col("k") == "hot"), "k", 8)
+            _scatter(self._skewed(spark).where(F.col("k") == "hot"), 8)
             .select(SALT_COL)
             .distinct()
             .count()

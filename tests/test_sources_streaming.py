@@ -147,30 +147,35 @@ class TestSlidingAndDedupStreams:
         )
         from tests.conftest import SF_DIR
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        events = spark.read.schema(EVENTS_SCHEMA).parquet(
-            os.path.join(SF_DIR, "events.parquet")
-        )
-        feed_dir = str(tmp_path / "feed")
-        # duplicate every event (two identical files = exact replay)
-        events.write.mode("overwrite").parquet(feed_dir)
-        events.write.mode("append").parquet(feed_dir)
+        # session-scoped fixture: restore the legacy-reader flag so it
+        # can't leak into unrelated tests that run afterwards
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            events = spark.read.schema(EVENTS_SCHEMA).parquet(
+                os.path.join(SF_DIR, "events.parquet")
+            )
+            feed_dir = str(tmp_path / "feed")
+            # duplicate every event (two identical files = exact replay)
+            events.write.mode("overwrite").parquet(feed_dir)
+            events.write.mode("append").parquet(feed_dir)
 
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .parquet(feed_dir)
-            .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-        q = (
-            dedup_stream(stream, keys=["event_id"])
-            .writeStream.format("memory")
-            .queryName("dedup_feed_test")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        n_unique = events.select("event_id").distinct().count()
-        assert spark.table("dedup_feed_test").count() == n_unique
+            stream = (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .parquet(feed_dir)
+                .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+            q = (
+                dedup_stream(stream, keys=["event_id"])
+                .writeStream.format("memory")
+                .queryName("dedup_feed_test")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_unique = events.select("event_id").distinct().count()
+            assert spark.table("dedup_feed_test").count() == n_unique
+        finally:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
