@@ -53,12 +53,22 @@ def ruler_patterns(aliases: DataFrame) -> DataFrame:
     )
 
 
-def extract_mentions(docs: DataFrame, aliases: DataFrame) -> DataFrame:
-    """N3 — mentions via the deterministic ruler tier. Returns
-    (mention_id, doc_id, start, len, text, ent_id, label)."""
+def extract_mentions(
+    docs: DataFrame, aliases: DataFrame, with_shape_ner: bool = False
+) -> DataFrame:
+    """N3 (+N2) — mentions via the deterministic ruler tier, optionally
+    unioned with shape-rule NER spans that the dictionary missed.
+    Returns (mention_id, doc_id, start, len, text, ent_id, label).
+
+    With ``with_shape_ner`` the N2 tier (text/ner.py) contributes
+    non-dictionary entities — the reference's model-NER recall path
+    (tutorial.ipynb cell 11): NER spans whose tokens don't overlap any
+    ruler match are added with ``ent_id = ""`` so they flow to the
+    linker and, when unlinkable, into the unlinked-entities report
+    (tutorial.ipynb cell 26)."""
     patterns = ruler_patterns(aliases)
     m = match_phrases(docs, patterns)
-    return m.select(
+    mentions = m.select(
         F.concat_ws(":", "doc_id", "start", "len").alias("mention_id"),
         "doc_id",
         "start",
@@ -67,6 +77,27 @@ def extract_mentions(docs: DataFrame, aliases: DataFrame) -> DataFrame:
         F.col("pattern_id").alias("ent_id"),
         "label",
     )
+    if not with_shape_ner:
+        return mentions
+    from erkg_tutorials_spark.text.ner import shape_ner
+
+    ner = shape_ner(docs).alias("n")
+    r = mentions.alias("r")
+    overlap = (F.col("r.start") < F.col("n.start") + F.col("n.len")) & (
+        F.col("n.start") < F.col("r.start") + F.col("r.len")
+    )
+    ner_only = ner.join(
+        r, (F.col("n.doc_id") == F.col("r.doc_id")) & overlap, "left_anti"
+    ).select(
+        F.concat_ws(":", "doc_id", "start", "len").alias("mention_id"),
+        "doc_id",
+        "start",
+        "len",
+        "text",
+        F.lit("").alias("ent_id"),
+        "label",
+    )
+    return mentions.unionByName(ner_only)
 
 
 def link_entities(

@@ -545,3 +545,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_dedup(docs, k=5, num_hashes=8, bands=2, threshold=0.5)
     out = dedup_assign(docs.select("doc_id"), pairs)
     return out.select("doc_id", "cluster", "is_canonical")
+
+
+# ---------------------------------------------------------------------------
+# N2 — shape-rule NER (text/ner.py) over a corpus constructed from the
+# TPC-H name columns (the synthetic documents table is all-lowercase,
+# which would make the oracle a trivially-empty compare). Four
+# sentence shapes exercise every rule: honorific PERSON, plain
+# capitalized-run PERSON, determiner-stripped ORG, suffix ORG, and
+# singleton drops (sentence-start tokens, ALL-CAPS nation names).
+# ---------------------------------------------------------------------------
+_N2_DOCS_CASE = """
+      CASE CAST({key} % 4 AS INTEGER)
+        WHEN 0 THEN 'Mr. Alan Smith' || CAST({key} AS {vtype}) || ' works at Acme Corp. near the lake .'
+        WHEN 1 THEN 'Khadija Ismayilova' || CAST({key} AS {vtype}) || ' met Barack Obama in ' || {nation} || ' .'
+        WHEN 2 THEN 'This Londex Resources S.A. subsidiary filed in ' || {nation} || ' today .'
+        ELSE 'Analysts expect Zeta Holdings Ltd.' || CAST({key} AS {vtype}) || ' to expand .'
+      END
+"""
+
+
+def _n2_oracle() -> str:
+    from erkg_tutorials_spark.text.ner import shape_ner_oracle_sql
+
+    case = _N2_DOCS_CASE.format(
+        key="c_custkey", vtype="VARCHAR", nation="n.n_name"
+    )
+    docs_cte = f"""
+    WITH docs AS MATERIALIZED (
+      SELECT c_custkey AS doc_id, {case} AS text
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c_custkey < 300
+    )"""
+    return shape_ner_oracle_sql(docs_cte)
+
+
+@register("n2_shape_ner", _n2_oracle())
+def n2_shape_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.text.ner import shape_ner
+
+    t = load_tables(spark, sf_dir)
+    case = _N2_DOCS_CASE.format(key="c_custkey", vtype="STRING", nation="n_name")
+    docs = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("c_custkey") < 300)
+        .select(F.col("c_custkey").alias("doc_id"), F.expr(case).alias("text"))
+    )
+    return shape_ner(docs)

@@ -144,3 +144,82 @@ class TestEntityLinkingPipeline:
         self_rows = [r for r in merged if r["alias"] == "maria silva"]
         assert self_rows and self_rows[0]["entities"] == ["2"]
         assert self_rows[0]["probabilities"] == [1.0]
+
+
+class TestShapeNER:
+    """N2 golden tests — the reference's unlinked-entities report
+    (tutorial.ipynb cell 26) surfaces model-NER mentions the KB can't
+    link: Khadija Ismayilova / Barack Obama / Londex Resources S.A.
+    The shape tier must recall exactly those from dictionary-free text."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(
+                    doc_id=1,
+                    text="Investigative reporter Khadija Ismayilova met Barack Obama "
+                    "at the offices of Londex Resources S.A. last spring .",
+                ),
+                Row(
+                    doc_id=2,
+                    text="The azerbaijan laundromat moved funds through offshore shells .",
+                ),
+            ]
+        )
+
+    def test_reference_shaped_entities_recalled(self, spark):
+        from erkg_tutorials_spark.text.ner import shape_ner
+
+        got = {
+            (r.text, r.label)
+            for r in shape_ner(self._docs(spark)).collect()
+        }
+        assert ("Khadija Ismayilova", "PERSON") in got
+        assert ("Barack Obama", "PERSON") in got
+        assert ("Londex Resources S.A.", "ORG") in got
+        # all-lowercase doc contributes nothing; sentence-start singleton
+        # "Investigative" is dropped, "The" never starts a span
+        texts = {t for t, _ in got}
+        assert "Investigative" not in texts
+        assert not any(t.startswith("The ") for t in texts)
+
+    def test_ner_mentions_flow_to_unlinked_report(self, spark):
+        from erkg_tutorials_spark.pipelines.entity_linking import (
+            extract_mentions,
+            link_entities,
+        )
+
+        docs = self._docs(spark)
+        entities = spark.createDataFrame(
+            [Row(entity_id="E1", name="acme corp", description="a company")]
+        )
+        aliases = spark.createDataFrame(
+            [Row(alias="acme corp", entities=["E1"], probabilities=[1.0])]
+        )
+        kb = with_self_aliases(aliases, entities)
+        mentions = extract_mentions(docs, kb, with_shape_ner=True)
+        got = {r.text for r in mentions.collect()}
+        assert {"Khadija Ismayilova", "Barack Obama", "Londex Resources S.A."} <= got
+
+        linked = link_entities(docs, mentions, kb, entities)
+        unlinked = {r.text for r in linked.where(F.col("kb_id") == "").collect()}
+        assert {"Khadija Ismayilova", "Barack Obama", "Londex Resources S.A."} <= unlinked
+
+    def test_ruler_overlap_suppresses_ner_span(self, spark):
+        from erkg_tutorials_spark.pipelines.entity_linking import extract_mentions
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="He visited Acme Corp. headquarters downtown .")]
+        )
+        entities = spark.createDataFrame(
+            [Row(entity_id="E1", name="Acme Corp.", description="a company")]
+        )
+        aliases = spark.createDataFrame(
+            [Row(alias="Acme Corp.", entities=["E1"], probabilities=[1.0])]
+        )
+        kb = with_self_aliases(aliases, entities)
+        mentions = extract_mentions(docs, kb, with_shape_ner=True).collect()
+        # the dictionary match wins; the NER tier must not duplicate it
+        acme = [r for r in mentions if "acme" in r.text.lower()]
+        assert len(acme) == 1
+        assert acme[0].ent_id == "E1"
