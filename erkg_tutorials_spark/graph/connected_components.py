@@ -79,12 +79,21 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    tune_loop_confs: bool = True,
 ) -> DataFrame:
     """(id, component) — component is the minimum vertex id reachable.
 
     Iterates large-star/small-star until the edge set is a forest of
     stars (fixpoint), then reads components off the star edges.
-    """
+
+    ``tune_loop_confs``: same rationale (and measurement method) as
+    graph/pagerank.py — every round re-shuffles an edge set of known,
+    shrinking size, so AQE's per-round re-planning is pure driver
+    overhead and the partition count is derived once from the
+    materialized canonical edge count. The stars' min-aggregations
+    partial-aggregate map-side, so hub-vertex skew arrives
+    pre-combined and loses nothing from AQE being off. Confs restored
+    in a ``finally``."""
     vertices = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
@@ -108,14 +117,28 @@ def connected_components(
         ).collect()[0]
         return (row["c"], row["h"])
 
-    prev_sig = None
-    for _ in range(max_rounds):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = signature(nxt)
-        if sig == prev_sig:
-            e = nxt
-            break
-        e, prev_sig = nxt, sig
+    spark = edges.sparkSession
+    saved_aqe = saved_parts = None
+    if tune_loop_confs:
+        n_edges = e.count()
+        parts = max(8, min(10_000, -(-n_edges // 1_000_000)))
+        saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        saved_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        prev_sig = None
+        for _ in range(max_rounds):
+            nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            sig = signature(nxt)
+            if sig == prev_sig:
+                e = nxt
+                break
+            e, prev_sig = nxt, sig
+    finally:
+        if tune_loop_confs:
+            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     comp = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
     return (
         vertices.join(comp, "id", "left")

@@ -22,6 +22,8 @@ engine, optimizable by Catalyst, no driver-side graph state.
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -30,6 +32,40 @@ from pyspark.sql import functions as F
 from erkg_tutorials_spark.graph.connected_components import connected_components
 from erkg_tutorials_spark.graph.khop import k_hop, k_hop_labeled
 from erkg_tutorials_spark.graph.pagerank import pagerank
+
+
+@dataclass(frozen=True)
+class _MotifTerm:
+    src: str
+    edge: str
+    dst: str
+
+
+_TERM_RE = re.compile(r"^(!?)\s*\((\w*)\)\s*-\s*\[(\w*)\]\s*->\s*\((\w*)\)$")
+
+
+def _parse_motif(pattern: str) -> tuple[list[_MotifTerm], list[_MotifTerm]]:
+    """GraphFrames motif grammar: ``(a)-[e]->(b)`` terms joined by
+    ``;``, ``!`` prefix for negation. Returns (positive, negated)."""
+    pos: list[_MotifTerm] = []
+    neg: list[_MotifTerm] = []
+    seen_edges: set[str] = set()
+    for raw in pattern.split(";"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        m = _TERM_RE.match(raw)
+        if not m:
+            raise ValueError(f"unparseable motif term: {raw!r}")
+        bang, src, edge, dst = m.groups()
+        if bang and edge:
+            raise ValueError(f"negated term can't bind an edge name: {raw!r}")
+        if edge:
+            if edge in seen_edges:
+                raise ValueError(f"duplicate edge name {edge!r}")
+            seen_edges.add(edge)
+        (neg if bang else pos).append(_MotifTerm(src, edge, dst))
+    return pos, neg
 
 
 class PropertyGraph:
@@ -152,6 +188,66 @@ class PropertyGraph:
             )
             chains = chains.join(nxt, f"v{i}")
         return chains.select(*[f"v{i}" for i in range(n + 1)])
+
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames motif search: semicolon-separated edge terms
+        ``(a)-[e]->(b)``, anonymous vertices/edges via empty names,
+        negated terms via a ``!`` prefix (``!(a)-[]->(b)``).
+
+        Returns one struct column per named vertex (the full vertex
+        row) and per named edge (the full edge row) — the GraphFrames
+        result shape. Terms sharing a vertex name join on it; terms
+        sharing none produce a cartesian product (GraphFrames
+        semantics); negated terms become anti-joins and may only use
+        vertices bound by positive terms. Everything compiles to plain
+        equi-joins, so Catalyst reorders/broadcasts as usual."""
+        pos, neg = _parse_motif(pattern)
+        if not pos:
+            raise ValueError("pattern needs at least one positive edge term")
+
+        edge_attrs = self.edges.columns
+
+        def term_df(t: "_MotifTerm", idx: int) -> DataFrame:
+            cols = [
+                F.col("src").alias(f"__v_{t.src}" if t.src else f"__anon_{idx}_s"),
+                F.col("dst").alias(f"__v_{t.dst}" if t.dst else f"__anon_{idx}_d"),
+            ]
+            if t.edge:
+                cols.append(F.struct(*edge_attrs).alias(t.edge))
+            return self.edges.select(*cols)
+
+        out = term_df(pos[0], 0)
+        bound = {c for c in out.columns if c.startswith("__v_")}
+        for i, t in enumerate(pos[1:], start=1):
+            df = term_df(t, i)
+            shared = [c for c in df.columns if c in bound]
+            if shared:
+                out = out.join(df, shared)
+            else:
+                out = out.crossJoin(df)
+            bound |= {c for c in df.columns if c.startswith("__v_")}
+
+        for i, t in enumerate(neg):
+            for v in (t.src, t.dst):
+                if not v or f"__v_{v}" not in bound:
+                    raise ValueError(
+                        f"negated term vertex ({v}) must be bound by a positive term"
+                    )
+            n = self.edges.select(
+                F.col("src").alias(f"__v_{t.src}"), F.col("dst").alias(f"__v_{t.dst}")
+            )
+            out = out.join(n, [f"__v_{t.src}", f"__v_{t.dst}"], "left_anti")
+
+        # attach vertex-attribute structs for every named vertex
+        vcols = self.vertices.columns
+        named = sorted(c[len("__v_"):] for c in bound)
+        for v in named:
+            vstruct = self.vertices.select(
+                F.col("id").alias(f"__v_{v}"), F.struct(*vcols).alias(v)
+            )
+            out = out.join(vstruct, f"__v_{v}")
+        edge_names = [t.edge for t in pos if t.edge]
+        return out.select(*named, *edge_names)
 
 
 def from_edges(edges: DataFrame) -> PropertyGraph:

@@ -590,16 +590,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-label near-dup pairs by embedding cosine.
 
     The pair generation is the centroid-bound-pruned exact cosine
-    join (similarity/cosine_join.py) — no within-label cross join
-    anywhere, so a hot label can never trigger O(block²) single-key
-    work; the label constraint is an ordinary predicate on the
-    cell-pair-driven join. The join is EXACT (spherical triangle
-    inequality pruning only discards cell pairs that cannot reach the
-    threshold), so the plain all-pairs SQL oracle still hash-matches.
-    On this near-uniform synthetic corpus the geometric pruning is
-    weak (cells are wide); on clustered real embeddings it is strong
-    — tests/test_scale_ops.py pins both the exactness and a
-    planted-cluster fixture where >80% of cell pairs prune.
+    join (similarity/cosine_join.py): vectors live in k-means cells
+    (hash-split to a size cap), candidate enumeration is keyed by
+    (sub-cell, label) — the label is part of the hash-join KEY, so the
+    blocking selectivity is kept, but a hot label can never form one
+    O(block²) task: cells cap every block. The join is EXACT
+    (spherical triangle-inequality pruning only discards cell pairs
+    that cannot reach the threshold), so the plain all-pairs SQL
+    oracle still hash-matches. On this near-uniform synthetic corpus
+    the geometric pruning is weak (cells are wide); on clustered real
+    embeddings it is strong — tests/test_scale_ops.py pins both the
+    exactness and a planted-cluster fixture.
     """
     from erkg_tutorials_spark.similarity.cosine_join import cosine_similarity_join
 
@@ -607,11 +608,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_similarity_join(
         t["embeddings"],
         threshold=EMB_DUP_THRESHOLD,
-        carry_cols=("label",),
+        block_cols=("label",),
         k=8,
-        iters=2,
+        # one Lloyd round: cell quality only affects pruning rate, not
+        # correctness — the extra round's ~1.5s of local job floor buys
+        # nothing on this corpus (measured)
+        iters=1,
     )
-    return (
-        pairs.where(F.col("label_a") == F.col("label_b"))
-        .select("id_a", "id_b", "cosine")
-    )
+    return pairs.select("id_a", "id_b", "cosine")

@@ -294,3 +294,47 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("count") > 0)
         .select("id", "count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Motif search (GraphFrames DSL, graph/frames.py find): two-relation
+# graph — customer→supplier trade edges ∪ supplier→nation location
+# edges — queried with "(a)-[]->(b); (b)-[]->(c)" and aggregated to
+# customers-reaching-each-nation. Exercises the motif compiler
+# end-to-end under the hash-match gate.
+# ---------------------------------------------------------------------------
+@register(
+    "g_motif_reach",
+    """
+    WITH trade AS (
+      SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    loc AS (
+      SELECT 's:' || s_suppkey AS src, 'n:' || s_nationkey AS dst FROM supplier
+    ),
+    edges AS (SELECT * FROM trade UNION ALL SELECT * FROM loc),
+    paths AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    )
+    SELECT c AS nation, CAST(COUNT(DISTINCT a) AS BIGINT) AS n_customers
+    FROM paths GROUP BY c
+    """,
+)
+def g_motif_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with a 2-edge path into each nation vertex."""
+    from erkg_tutorials_spark.graph.frames import from_edges
+
+    t = load_tables(spark, sf_dir)
+    trade = trade_edges_directed(t).distinct()
+    loc = t["supplier"].select(
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("s_nationkey")).alias("dst"),
+    )
+    g = from_edges(trade.unionByName(loc))
+    m = g.find("(a)-[]->(b); (b)-[]->(c)")
+    return (
+        m.groupBy(F.col("c")["id"].alias("nation"))
+        .agg(F.count_distinct(F.col("a")["id"]).alias("n_customers"))
+    )

@@ -55,6 +55,7 @@ def cosine_similarity_join(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_cols: tuple[str, ...] = (),
     carry_cols: tuple[str, ...] = (),
     k: int = 16,
     iters: int = 2,
@@ -62,14 +63,21 @@ def cosine_similarity_join(
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with rounded cosine >= threshold; (id_a < id_b,
-    cosine, *carry_cols as <col>_a/<col>_b).
+    cosine, *block_cols, *carry_cols as <col>_a/<col>_b).
 
-    ``cosine`` is rounded to 6dp before the threshold compare (oracle
-    parity convention). ``centroids`` overrides in-engine training.
+    ``block_cols`` are equality-blocking keys (e.g. a label both ends
+    must share): they join as part of the hash-join key alongside the
+    sub-cell id, so non-matching candidates are never enumerated — the
+    selectivity of traditional blocking without its hot-block hazard
+    (cells still cap every block's size). ``carry_cols`` are plain
+    passthrough attributes. ``cosine`` is rounded to 6dp before the
+    threshold compare (oracle parity convention). ``centroids``
+    overrides in-engine training.
     """
+    block = list(block_cols)
     carry = list(carry_cols)
     v = vectors.select(
-        F.col(id_col).alias("vid"), _as_double(vec_col).alias("emb"), *carry
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("emb"), *block, *carry
     ).withColumn("vn", F.sqrt(_dot("emb", "emb")))
 
     cent = centroids if centroids is not None else kmeans_cosine(
@@ -87,7 +95,7 @@ def cosine_similarity_join(
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
         .select(
-            "vid", "emb", "vn", *carry,
+            "vid", "emb", "vn", *block, *carry,
             F.col("cent_id").alias("cell"),
             _acos_clamped(F.col("rawcos")).alias("ang"),
         )
@@ -156,13 +164,13 @@ def cosine_similarity_join(
     a = assigned.select(
         F.col("cell").alias("cell_a"), F.col("salt").alias("salt_a"),
         F.col("vid").alias("vid_a"), F.col("emb").alias("emb_a"),
-        F.col("vn").alias("vn_a"),
+        F.col("vn").alias("vn_a"), *block,
         *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     b = assigned.select(
         F.col("cell").alias("cell_b"), F.col("salt").alias("salt_b"),
         F.col("vid").alias("vid_b"), F.col("emb").alias("emb_b"),
-        F.col("vn").alias("vn_b"),
+        F.col("vn").alias("vn_b"), *block,
         *[F.col(c).alias(f"{c}_b") for c in carry],
     )
     same_sub = (F.col("cell_a") == F.col("cell_b")) & (
@@ -171,7 +179,7 @@ def cosine_similarity_join(
     cos = F.round(_dot("emb_a", "emb_b") / (F.col("vn_a") * F.col("vn_b")), 6)
     return (
         a.join(F.broadcast(cellpairs), ["cell_a", "salt_a"])
-        .join(b, ["cell_b", "salt_b"])
+        .join(b, ["cell_b", "salt_b", *block])
         # distinct sub-cells enumerate each cross pair once; within a
         # sub-cell keep the ordered half
         .where(~same_sub | (F.col("vid_a") < F.col("vid_b")))
@@ -179,6 +187,7 @@ def cosine_similarity_join(
             F.least("vid_a", "vid_b").alias("id_a"),
             F.greatest("vid_a", "vid_b").alias("id_b"),
             cos.alias("cosine"),
+            *block,
             *[
                 F.when(F.col("vid_a") < F.col("vid_b"), F.col(f"{c}_a"))
                 .otherwise(F.col(f"{c}_b"))

@@ -81,3 +81,77 @@ class TestMotifAndKHop:
         seeds = spark.createDataFrame([(1,)], ["id"])
         hops = {r["id"]: r["hop"] for r in g.kHop(seeds, k=3, labeled=True).collect()}
         assert hops == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+class TestMotifFind:
+    """General GraphFrames-DSL motif search (SURVEY §2.7 G2-G3
+    mapping), checked against find_chain / k-hop ground truth."""
+
+    def test_two_edge_chain_matches_find_chain(self, g):
+        got = {
+            (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+            for r in g.find("(a)-[]->(b); (b)-[]->(c)").collect()
+        }
+        want = {
+            (r["v0"], r["v1"], r["v2"]) for r in g.find_chain(2).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_named_edge_struct(self, g):
+        rows = g.find("(a)-[e]->(b)").collect()
+        assert {(r["e"]["src"], r["e"]["dst"]) for r in rows} == {
+            (1, 2), (2, 3), (3, 1), (3, 4),
+        }
+        # vertex structs carry the full vertex row
+        assert all(r["a"]["id"] == r["e"]["src"] for r in rows)
+
+    def test_negated_term(self, g):
+        # edges without a reciprocal: all of them (the triangle is
+        # directed one way, the tail has no return edge)
+        got = {
+            (r["a"]["id"], r["b"]["id"])
+            for r in g.find("(a)-[]->(b); !(b)-[]->(a)").collect()
+        }
+        assert got == {(1, 2), (2, 3), (3, 1), (3, 4)}
+
+    def test_negated_term_filters_reciprocal(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3)], ["src", "dst"]
+        )
+        g2 = from_edges(edges)
+        got = {
+            (r["a"]["id"], r["b"]["id"])
+            for r in g2.find("(a)-[]->(b); !(b)-[]->(a)").collect()
+        }
+        assert got == {(2, 3)}
+
+    def test_anonymous_vertex(self, g):
+        # vertices with any outgoing edge
+        got = {r["a"]["id"] for r in g.find("(a)-[]->()").collect()}
+        assert got == {1, 2, 3}
+
+    def test_disconnected_terms_cartesian(self, spark):
+        edges = spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
+        g2 = from_edges(edges)
+        rows = g2.find("(a)-[]->(b); (c)-[]->(d)").collect()
+        # 2 edges × 2 edges = 4 combinations (GraphFrames cartesian)
+        assert len(rows) == 4
+
+    def test_triangle_motif_matches_triangle_count(self, g):
+        tri = g.find("(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)").collect()
+        # directed triangle 1->2->3->1 found from each rotation
+        assert {(r["a"]["id"], r["b"]["id"], r["c"]["id"]) for r in tri} == {
+            (1, 2, 3), (2, 3, 1), (3, 1, 2),
+        }
+
+    def test_errors(self, g):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            g.find("(a)-[e]->(b); (b)-[e]->(c)")  # duplicate edge name
+        with _pt.raises(ValueError):
+            g.find("!(a)-[]->(b)")  # no positive term
+        with _pt.raises(ValueError):
+            g.find("(a)-[]->(b); !(b)-[]->(z)")  # unbound negation vertex
+        with _pt.raises(ValueError):
+            g.find("(a)->(b)")  # bad grammar
