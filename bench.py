@@ -51,6 +51,45 @@ HEADLINE = [
 ]
 
 
+def _bench_e1(spark, sf: float | None) -> float:
+    """End-to-end E1 (the reference's actual pipeline): Senzing JSONL
+    report → graph → suspicious 2-hop filter → entity/alias artifacts.
+
+    The registry queries exercise operators; this times the composed
+    pipeline at a report size matched to the scale factor
+    (sf0.1 → 15k resolved entities, ~150× the unit fixture). The
+    fixture is deterministic (seed 42) and cached under /tmp keyed by
+    size, so repeat runs re-read, not re-generate."""
+    import tempfile
+
+    from erkg_tutorials_spark.pipelines.senzing_pipeline import run_senzing_pipeline
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from senzing_fixture import write_fixture
+
+    n = max(200, int(150_000 * (sf or 0.1)))
+    fix_dir = os.path.join(tempfile.gettempdir(), f"erkg_senzing_bench_{n}")
+    report = os.path.join(fix_dir, "senzing_report.jsonl")
+    if not os.path.exists(report):
+        paths = write_fixture(fix_dir, n_entities=n)
+    else:
+        paths = {
+            "report": report,
+            "suspicious": os.path.join(fix_dir, "suspicious.txt"),
+            "countries": os.path.join(fix_dir, "country.tsv"),
+        }
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        ents, aliases = run_senzing_pipeline(
+            spark, paths["report"], paths["suspicious"], paths["countries"]
+        )
+        ents.write.format("noop").mode("overwrite").save()
+        aliases.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -79,6 +118,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    timings["e1_senzing_pipeline"] = round(_bench_e1(spark, sf), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -25,9 +25,9 @@ ORG_A = ["Global", "Pacific", "Summit", "Apex", "Delta", "Orion", "Vertex", "Nov
 ORG_B = ["Holdings", "Trading", "Partners", "Ventures", "Capital", "Group", "Trust", "Services"]
 
 
-def make_report(rng: random.Random) -> list[dict]:
+def make_report(rng: random.Random, n_entities: int = N_ENTITIES) -> list[dict]:
     rows = []
-    for uid in range(1, N_ENTITIES + 1):
+    for uid in range(1, n_entities + 1):
         is_person = rng.random() < 0.4
         if rng.random() < 0.06:
             name = rng.choice(BEARER_NAMES)
@@ -72,7 +72,7 @@ def make_report(rng: random.Random) -> list[dict]:
                     "RECORD_ID": f"r{uid}-{r}",
                     "MATCH_KEY": "" if rng.random() < 0.1 else f"+NAME+DOB{r}",
                     "ENTITY_DESC": "" if rng.random() < 0.1 else name,
-                    "INTERNAL_ID": rng.randint(1, N_ENTITIES),
+                    "INTERNAL_ID": rng.randint(1, n_entities),
                 }
             )
 
@@ -92,9 +92,9 @@ def make_report(rng: random.Random) -> list[dict]:
     levels = ["POSSIBLY_SAME", "POSSIBLY_RELATED", "RESOLVED", "DISCLOSED"]
     for i, row in enumerate(rows):
         uid = row["RESOLVED_ENTITY"]["ENTITY_ID"]
-        neighbors = {(uid % N_ENTITIES) + 1}
+        neighbors = {(uid % n_entities) + 1}
         for _ in range(rng.randint(0, 3)):
-            neighbors.add(rng.randint(1, N_ENTITIES))
+            neighbors.add(rng.randint(1, n_entities))
         neighbors.discard(uid)
         row["RELATED_ENTITIES"] = [
             {"ENTITY_ID": n, "MATCH_LEVEL_CODE": rng.choice(levels)} for n in sorted(neighbors)
@@ -102,10 +102,14 @@ def make_report(rng: random.Random) -> list[dict]:
     return rows
 
 
-def write_fixture(dirpath: str) -> dict[str, str]:
-    """Write report/suspicious/countries files; returns paths."""
+def write_fixture(dirpath: str, n_entities: int = N_ENTITIES) -> dict[str, str]:
+    """Write report/suspicious/countries files; returns paths.
+
+    ``n_entities`` scales the report (seed stays 42, so any size is
+    deterministic); suspicious seeds are picked by stride so the 2-hop
+    reach stays a similar fraction of the graph at every scale."""
     rng = random.Random(42)
-    rows = make_report(rng)
+    rows = make_report(rng, n_entities)
     os.makedirs(dirpath, exist_ok=True)
     report = os.path.join(dirpath, "senzing_report.jsonl")
     with open(report, "w") as f:
@@ -120,7 +124,8 @@ def write_fixture(dirpath: str) -> dict[str, str]:
         descs = [rec["ENTITY_DESC"] for rec in r["RESOLVED_ENTITY"]["RECORDS"] if rec["ENTITY_DESC"]]
         if descs:
             graph_names.append(descs[0])
-    hits = [graph_names[i] for i in (0, 7, 19, 31, 43)]
+    stride = max(1, len(graph_names) // 16)
+    hits = graph_names[::stride][:16]
     suspicious = os.path.join(dirpath, "suspicious.txt")
     with open(suspicious, "w") as f:
         for n in hits + ["No Such Person", "Ghost Corp LLC", "Missing Name 999"]:
