@@ -26,7 +26,7 @@ import re
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.graph.connected_components import connected_components
@@ -164,6 +164,130 @@ class PropertyGraph:
             self.vertices.join(per_vertex, "id", "left")
             .withColumn("count", F.coalesce("count", F.lit(0)).cast("long"))
         )
+
+    def shortestPaths(self, landmarks: list, max_rounds: int = 20) -> DataFrame:
+        """(id, landmark, dist) — directed shortest-path distances from
+        every vertex TO each landmark (GraphFrames semantics, result
+        flattened to rows instead of a map column so it joins/oracles
+        cleanly). Unreachable pairs are absent.
+
+        Min-distance relaxation to a fixpoint (same loop discipline as
+        connected_components: localCheckpoint per round + one-job
+        fingerprint convergence); each round is one edges⋈state join
+        keyed by vertex id and a (id, landmark) min — fully
+        shuffle-partitioned, no per-landmark driver loop."""
+        spark = self.edges.sparkSession
+        lms = spark.createDataFrame([(lm,) for lm in landmarks], ["lm"])
+        e = self.edges.select("src", "dst").localCheckpoint(eager=True)
+        state = lms.select(
+            F.col("lm").alias("id"), "lm", F.lit(0).alias("dist")
+        ).localCheckpoint(eager=True)
+
+        def signature(df: DataFrame) -> tuple:
+            row = df.agg(
+                F.count("*").alias("c"),
+                F.sum(
+                    F.xxhash64("id", "lm", "dist").cast("decimal(38,0)")
+                ).alias("h"),
+            ).collect()[0]
+            return (row["c"], row["h"])
+
+        prev = None
+        for _ in range(max_rounds):
+            relaxed = (
+                e.join(state, e["dst"] == state["id"])
+                .select(
+                    F.col("src").alias("id"), "lm", (F.col("dist") + 1).alias("dist")
+                )
+                .unionByName(state)
+                .groupBy("id", "lm")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            sig = signature(relaxed)
+            if sig == prev:
+                state = relaxed
+                break
+            state, prev = relaxed, sig
+        return state.select("id", F.col("lm").alias("landmark"), "dist")
+
+    def labelPropagation(self, maxIter: int = 5) -> DataFrame:
+        """(id, label) — synchronous label propagation run for exactly
+        ``maxIter`` rounds (GraphFrames labelPropagation, made
+        deterministic: most-frequent in-neighbor label, ties to the
+        smallest; isolated/in-degree-0 vertices keep their own label).
+        Fixed rounds rather than convergence because synchronous LPA
+        can oscillate — determinism is the contract here."""
+        verts = self.vertices.select("id")
+        labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint(
+            eager=True
+        )
+        e = self.edges.select("src", "dst").localCheckpoint(eager=True)
+        w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+        for _ in range(maxIter):
+            winner = (
+                e.join(labels, e["src"] == labels["id"])
+                .select(F.col("dst").alias("id"), "lbl")
+                .groupBy("id", "lbl")
+                .agg(F.count("*").alias("c"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("id", F.col("lbl").alias("new_lbl"))
+            )
+            labels = (
+                labels.join(winner, "id", "left")
+                .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+        return labels.select("id", F.col("lbl").alias("label"))
+
+    def triplets(self) -> DataFrame:
+        """(src, edge, dst) struct columns — the GraphFrames triplet
+        view backing aggregateMessages."""
+        vcols = self.vertices.columns
+        ecols = self.edges.columns
+        sv = self.vertices.select(
+            F.col("id").alias("__sid"), F.struct(*vcols).alias("src")
+        )
+        dv = self.vertices.select(
+            F.col("id").alias("__did"), F.struct(*vcols).alias("dst")
+        )
+        return (
+            self.edges.select(F.struct(*ecols).alias("edge"))
+            .join(sv, F.col("edge.src") == F.col("__sid"))
+            .join(dv, F.col("edge.dst") == F.col("__did"))
+            .select("src", "edge", "dst")
+        )
+
+    def aggregateMessages(
+        self,
+        agg,
+        sendToSrc: str | None = None,
+        sendToDst: str | None = None,
+    ) -> DataFrame:
+        """GraphFrames aggregateMessages: evaluate the send expressions
+        (SQL strings over the triplet columns ``src``/``edge``/``dst``)
+        per edge, deliver to the edge's src/dst vertex, aggregate per
+        vertex with ``agg`` (a Column over the ``msg`` column).
+        Returns (id, agg-result)."""
+        if sendToSrc is None and sendToDst is None:
+            raise ValueError("need sendToSrc and/or sendToDst")
+        t = self.triplets()
+        parts = []
+        if sendToSrc is not None:
+            parts.append(
+                t.select(
+                    F.col("src.id").alias("id"), F.expr(sendToSrc).alias("msg")
+                )
+            )
+        if sendToDst is not None:
+            parts.append(
+                t.select(
+                    F.col("dst.id").alias("id"), F.expr(sendToDst).alias("msg")
+                )
+            )
+        msgs = reduce(lambda a, b: a.unionByName(b), parts)
+        return msgs.where(F.col("msg").isNotNull()).groupBy("id").agg(agg)
 
     # -- queries -----------------------------------------------------------
     def kHop(self, seeds: DataFrame, k: int = 2, labeled: bool = False) -> DataFrame:

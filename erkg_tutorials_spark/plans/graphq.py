@@ -338,3 +338,80 @@ def g_motif_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.groupBy(F.col("c")["id"].alias("nation"))
         .agg(F.count_distinct(F.col("a")["id"]).alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# shortestPaths (GraphFrames verb): directed distances from every
+# vertex toward landmark vertices over the trade graph. Spark runs
+# min-distance relaxation to a fixpoint; the oracle unrolls 20
+# relaxation rounds (>= directed eccentricity, checked by the match).
+# ---------------------------------------------------------------------------
+def _sp_oracle() -> str:
+    from erkg_tutorials_spark.plans.oracle_pr import shortest_paths_sql
+
+    return (
+        _SYM_EDGES_CTE
+        + """,
+    lms AS (SELECT 'c:' || c_custkey AS lm FROM customer WHERE c_custkey % 500 = 0),
+"""
+        + shortest_paths_sql(rounds=20)
+        + """
+    SELECT id, lm AS landmark, CAST(dist AS BIGINT) AS dist FROM d20
+    """
+    )
+
+
+@register("g_shortest_paths", _sp_oracle())
+def g_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.graph.frames import from_edges
+
+    t = load_tables(spark, sf_dir)
+    fwd = trade_edges_directed(t).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lms = [
+        r["lm"]
+        for r in t["customer"]
+        .where(F.col("c_custkey") % 500 == 0)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("lm"))
+        .collect()
+    ]
+    g = from_edges(edges)
+    sp = g.shortestPaths(lms)
+    return sp.select("id", "landmark", F.col("dist").cast("long").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# labelPropagation (GraphFrames verb): deterministic synchronous LPA,
+# fixed 3 rounds on BOTH engines (sync LPA may oscillate, so the
+# contract is fixed-round determinism, not convergence).
+# ---------------------------------------------------------------------------
+def _lpa_oracle() -> str:
+    from erkg_tutorials_spark.plans.oracle_pr import label_propagation_sql
+
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + label_propagation_sql(rounds=3)
+        + """
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lp3 GROUP BY lbl
+    """
+    )
+
+
+@register("g_label_propagation", _lpa_oracle())
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.graph.frames import from_edges
+
+    t = load_tables(spark, sf_dir)
+    fwd = trade_edges_directed(t).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lp = from_edges(edges).labelPropagation(maxIter=3)
+    return (
+        lp.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+    )

@@ -116,3 +116,61 @@ def cc_label_prop_sql(*, rounds: int) -> str:
       ) u GROUP BY id
     )""")
     return ",".join(parts)
+
+
+def shortest_paths_sql(*, rounds: int) -> str:
+    """CTE chain ``d0 .. d{rounds}`` of min-distance relaxation toward
+    landmark vertices, following edge direction (GraphFrames
+    ``shortestPaths`` semantics: distance FROM each vertex TO each
+    landmark along directed edges).
+
+    Expects ``edges(src, dst)`` and ``lms(lm)`` (landmark ids). After
+    round k, ``d(id, lm)`` holds exact distances of length <= k; with
+    ``rounds`` >= the graph's directed eccentricity toward every
+    landmark this is the exact distance table (checked by the
+    hash-match, same argument as cc_label_prop_sql)."""
+    parts = ["""
+    d0 AS MATERIALIZED (SELECT lm AS id, lm, 0 AS dist FROM lms)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT id, lm, MIN(dist) AS dist FROM (
+        SELECT id, lm, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.src AS id, p.lm, p.dist + 1 AS dist
+        FROM d{i - 1} p JOIN edges e ON e.dst = p.id
+      ) u GROUP BY id, lm
+    )""")
+    return ",".join(parts)
+
+
+def label_propagation_sql(*, rounds: int) -> str:
+    """CTE chain ``lp0 .. lp{rounds}`` of synchronous label
+    propagation (GraphFrames ``labelPropagation`` shape, made
+    deterministic): each round every vertex adopts the most frequent
+    label among its in-neighbors (ties -> smallest label); vertices
+    with no in-neighbors keep their label. Fixed ``rounds`` on BOTH
+    engines, so the oracle is exact regardless of convergence.
+
+    Expects ``edges(src, dst)`` (mirror beforehand for undirected
+    semantics) and ``verts(id)``."""
+    parts = ["""
+    lp0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    lp{i} AS MATERIALIZED (
+      SELECT v.id, COALESCE(w.lbl, p.lbl) AS lbl
+      FROM verts v
+      JOIN lp{i - 1} p ON p.id = v.id
+      LEFT JOIN (
+        SELECT id, lbl FROM (
+          SELECT e.dst AS id, p.lbl, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.dst ORDER BY COUNT(*) DESC, p.lbl ASC
+                 ) AS rn
+          FROM lp{i - 1} p JOIN edges e ON e.src = p.id
+          GROUP BY e.dst, p.lbl
+        ) s WHERE rn = 1
+      ) w ON w.id = v.id
+    )""")
+    return ",".join(parts)

@@ -155,3 +155,68 @@ class TestMotifFind:
             g.find("(a)-[]->(b); !(b)-[]->(z)")  # unbound negation vertex
         with _pt.raises(ValueError):
             g.find("(a)->(b)")  # bad grammar
+
+
+class TestShortestPaths:
+    def test_known_distances(self, g):
+        # graph: 1->2->3->1 triangle, 3->4 tail; landmark 1
+        d = {
+            (r["id"], r["landmark"]): r["dist"]
+            for r in g.shortestPaths([1]).collect()
+        }
+        assert d == {(1, 1): 0, (3, 1): 1, (2, 1): 2}
+        # vertex 4 has no outgoing path to 1 -> absent
+
+    def test_multiple_landmarks(self, g):
+        d = {
+            (r["id"], r["landmark"]): r["dist"]
+            for r in g.shortestPaths([1, 4]).collect()
+        }
+        assert d[(3, 4)] == 1 and d[(1, 4)] == 3 and d[(2, 4)] == 2
+        assert d[(4, 4)] == 0 and (4, 1) not in d
+
+
+class TestLabelPropagation:
+    def test_deterministic_and_total(self, g):
+        a = sorted(map(tuple, g.labelPropagation(maxIter=3).collect()))
+        b = sorted(map(tuple, g.labelPropagation(maxIter=3).collect()))
+        assert a == b
+        assert {x[0] for x in a} == {1, 2, 3, 4, 5}  # every vertex labeled
+
+    def test_two_cliques_two_communities(self, spark):
+        # two triangles joined by nothing: communities = the cliques
+        tri = lambda a, b, c: [(a, b), (b, a), (b, c), (c, b), (a, c), (c, a)]
+        edges = spark.createDataFrame(tri(1, 2, 3) + tri(10, 11, 12), ["src", "dst"])
+        lp = from_edges(edges).labelPropagation(maxIter=5)
+        comm = {r["id"]: r["label"] for r in lp.collect()}
+        assert len({comm[1], comm[2], comm[3]}) == 1
+        assert len({comm[10], comm[11], comm[12]}) == 1
+        assert comm[1] != comm[10]
+
+
+class TestAggregateMessages:
+    def test_in_degree_via_messages(self, g):
+        got = {
+            r["id"]: r["cnt"]
+            for r in g.aggregateMessages(
+                F.count("msg").alias("cnt"), sendToDst="1"
+            ).collect()
+        }
+        want = {r["id"]: r["inDegree"] for r in g.inDegrees.collect()}
+        assert got == want
+
+    def test_neighbor_id_sum(self, g):
+        # each edge sends dst id to src: sum of out-neighbor ids
+        got = {
+            r["id"]: r["s"]
+            for r in g.aggregateMessages(
+                F.sum("msg").alias("s"), sendToSrc="dst.id"
+            ).collect()
+        }
+        assert got == {1: 2, 2: 3, 3: 5}
+
+    def test_requires_a_direction(self, g):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            g.aggregateMessages(F.count("msg"))
