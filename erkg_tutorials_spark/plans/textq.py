@@ -350,3 +350,64 @@ def r1_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021 table A1, n-gram
+# family) — the dedup-adjacent quality gates a 100 TB training-data
+# pipeline runs before near-dup detection. text/quality.py::
+# repetition_scores; "characters covered" = occurrences × gram length
+# (deterministic overlap-free approximation, identical on both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, LENGTH(text) AS doc_len,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ),
+    g2 AS MATERIALIZED (
+      SELECT doc_id, doc_len, concat_ws(' ', w[i], w[i+1]) AS gram, COUNT(*) AS c
+      FROM base CROSS JOIN unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+      GROUP BY doc_id, doc_len, gram
+    ),
+    top2 AS (
+      SELECT doc_id, ROUND(c * LENGTH(gram) / (1.0 * doc_len), 6) AS frac_top_2gram
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        FROM g2
+      ) s WHERE rn = 1
+    ),
+    g3 AS MATERIALIZED (
+      SELECT doc_id, doc_len, concat_ws(' ', w[i], w[i+1], w[i+2]) AS gram, COUNT(*) AS c
+      FROM base CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+      GROUP BY doc_id, doc_len, gram
+    ),
+    dup3 AS (
+      SELECT doc_id, ROUND(SUM(c * LENGTH(gram)) / (1.0 * doc_len), 6) AS frac_dup_3gram
+      FROM g3 WHERE c > 1 GROUP BY doc_id, doc_len
+    ),
+    tt AS (
+      SELECT doc_id, ROUND(MAX(c) / (1.0 * SUM(c)), 6) AS top_token_ratio
+      FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) u
+        GROUP BY doc_id, tok
+      ) s GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(top2.frac_top_2gram, 0.0) AS frac_top_2gram,
+           COALESCE(dup3.frac_dup_3gram, 0.0) AS frac_dup_3gram,
+           COALESCE(tt.top_token_ratio, 0.0) AS top_token_ratio
+    FROM base b
+    LEFT JOIN top2 ON top2.doc_id = b.doc_id
+    LEFT JOIN dup3 ON dup3.doc_id = b.doc_id
+    LEFT JOIN tt ON tt.doc_id = b.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.text.quality import repetition_scores
+
+    t = load_tables(spark, sf_dir)
+    return repetition_scores(t["documents"])

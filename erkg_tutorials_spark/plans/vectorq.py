@@ -148,3 +148,33 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_NPROBE,
         k=IVF_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate embedding near-dup: signed-random-projection LSH
+# (dedup/embedding_lsh.py). The hyperplane sign vectors are inlined
+# into BOTH plans, so the approximation itself — false negatives
+# included — replays bit-for-bit and the oracle is a full hash match.
+# ---------------------------------------------------------------------------
+SRP_THRESHOLD = 0.5
+SRP_DIM = 64
+
+
+def _srp_oracle() -> str:
+    from erkg_tutorials_spark.dedup.embedding_lsh import srp_oracle_sql
+
+    return srp_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        threshold=SRP_THRESHOLD,
+        dim=SRP_DIM,
+    )
+
+
+@register("dedup_embedding_lsh", _srp_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.dedup.embedding_lsh import srp_near_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return srp_near_dup_pairs(
+        t["embeddings"], threshold=SRP_THRESHOLD, dim=SRP_DIM
+    )

@@ -105,3 +105,95 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for l in langs[1:]:
         pred = pred.when(F.col(f"{l}_hits") == best, l)
     return scored.withColumn("pred_lang", pred)
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1 —
+    public paper), the n-gram family (the line-based family needs
+    multi-line docs):
+
+    - ``frac_top_2gram``  — characters covered by the most frequent
+      token 2-gram / total characters (Gopher drops > 0.20)
+    - ``frac_dup_3gram``  — characters covered by all 3-grams that
+      occur more than once / total characters (drops > 0.18)
+    - ``top_token_ratio`` — occurrences of the most frequent token /
+      token count
+
+    Gram "characters covered" = occurrences × gram string length, the
+    deterministic overlap-free approximation both engines compute
+    identically. Single scan per gram order, groupBy (doc, gram),
+    per-doc window argmax — no Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("doc_len"),
+        F.split(F.lower(F.col(text_col)), " ").alias("w"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        return base.select(
+            "doc_id",
+            "doc_len",
+            F.explode(
+                # sequence(1, 0) DESCENDS in Spark, so short docs need
+                # the explicit size guard, not a greatest() clamp
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN"
+                    f" transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> array_join(slice(w, i, {n}), ' '))"
+                    " ELSE cast(array() as array<string>) END"
+                )
+            ).alias("gram"),
+        ).groupBy("doc_id", "doc_len", "gram").agg(F.count("*").alias("c"))
+
+    w_top = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.asc("gram")
+    )
+    top2 = (
+        grams(2)
+        .withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("c") * F.length("gram") / F.col("doc_len"), 6
+            ).alias("frac_top_2gram"),
+        )
+    )
+    dup3 = (
+        grams(3)
+        .where(F.col("c") > 1)
+        .groupBy("doc_id", "doc_len")
+        .agg(F.sum(F.col("c") * F.length("gram")).alias("dup_chars"))
+        .select(
+            "doc_id",
+            F.round(F.col("dup_chars") / F.col("doc_len"), 6).alias(
+                "frac_dup_3gram"
+            ),
+        )
+    )
+    toptok = (
+        tokens(df, text_col, id_col)
+        .groupBy(F.col(id_col).alias("doc_id"), "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_token_ratio")
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .join(toptok, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("frac_top_2gram", F.lit(0.0)).alias("frac_top_2gram"),
+            F.coalesce("frac_dup_3gram", F.lit(0.0)).alias("frac_dup_3gram"),
+            F.coalesce("top_token_ratio", F.lit(0.0)).alias("top_token_ratio"),
+        )
+    )

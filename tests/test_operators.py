@@ -118,3 +118,38 @@ class TestA1Invariants:
         total = pdf["cnt"].sum()
         expected = duckdb.sql(f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'").fetchone()[0]
         assert total == expected
+
+
+class TestRepetitionScores:
+    def test_known_repetition(self, spark):
+        from pyspark.sql import Row
+
+        from erkg_tutorials_spark.text.quality import repetition_scores
+
+        docs = spark.createDataFrame(
+            [
+                # "ab cd" repeated 4x: top 2-gram "ab cd" occurs 4 times
+                Row(doc_id=1, text="ab cd ab cd ab cd ab cd"),
+                Row(doc_id=2, text="all distinct words here now"),
+            ]
+        )
+        got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+        # doc 1: len 23; "ab cd" (5 chars) x4 = 20/23
+        assert abs(got[1].frac_top_2gram - round(20 / 23, 6)) < 1e-9
+        assert got[1].top_token_ratio == 0.5
+        assert got[1].frac_dup_3gram > 0.5
+        # doc 2: no repeats anywhere
+        assert got[2].frac_dup_3gram == 0.0
+        assert got[2].top_token_ratio == 0.2
+
+    def test_single_token_doc(self, spark):
+        from pyspark.sql import Row
+
+        from erkg_tutorials_spark.text.quality import repetition_scores
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="lonely")])
+        r = repetition_scores(docs).collect()[0]
+        # no 2-grams at all -> 0.0 via the coalesce
+        assert (r.frac_top_2gram, r.frac_dup_3gram, r.top_token_ratio) == (
+            0.0, 0.0, 1.0,
+        )

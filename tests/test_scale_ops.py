@@ -315,3 +315,39 @@ class TestCosineSimilarityJoin:
         got = cosine_similarity_join(df, threshold=0.999, k=2, iters=1, max_cell=10)
         # all 50*49/2 pairs qualify (identical vectors) — exactness under splitting
         assert got.count() == 50 * 49 // 2
+
+
+class TestSrpEmbeddingLsh:
+    def test_recall_on_planted_near_dups(self, spark):
+        # pairs (2i, 2i+1) are tiny perturbations -> cosine ~0.99+;
+        # SRP banding must recover nearly all of them
+        import numpy as np
+
+        rs = np.random.RandomState(13)
+        rows = []
+        for i in range(40):
+            base = rs.randn(16)
+            rows.append((2 * i, [float(x) for x in base]))
+            rows.append((2 * i + 1, [float(x) for x in base + rs.randn(16) * 0.01]))
+        df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in rows])
+        from erkg_tutorials_spark.dedup.embedding_lsh import srp_near_dup_pairs
+
+        got = {
+            (r.id_a, r.id_b)
+            for r in srp_near_dup_pairs(df, threshold=0.9, dim=16).collect()
+        }
+        planted = {(2 * i, 2 * i + 1) for i in range(40)}
+        recall = len(got & planted) / len(planted)
+        assert recall >= 0.9, f"SRP recall {recall:.2f} < 0.9"
+        # precision: everything returned really is >= 0.9 cosine (exact
+        # rescore) — verify against numpy
+        vecs = {i: np.array(v) for i, v in rows}
+        for a, b in got:
+            c = vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            assert round(float(c), 6) >= 0.9
+
+    def test_signs_deterministic(self):
+        from erkg_tutorials_spark.dedup.embedding_lsh import srp_signs
+
+        assert srp_signs(4, 8) == srp_signs(4, 8)
+        assert all(x in (1.0, -1.0) for row in srp_signs(4, 8) for x in row)
