@@ -48,6 +48,14 @@ HEADLINE = [
     "text_contamination",
     "split_assign",
     "corpus_filter_stats",
+    # round-2 additions
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "text_repetition",
+    "n2_shape_ner",
+    "g_motif_reach",
+    "g_shortest_paths",
+    "g_label_propagation",
 ]
 
 

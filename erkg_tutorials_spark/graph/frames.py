@@ -175,7 +175,12 @@ class PropertyGraph:
         connected_components: localCheckpoint per round + one-job
         fingerprint convergence); each round is one edges⋈state join
         keyed by vertex id and a (id, landmark) min — fully
-        shuffle-partitioned, no per-landmark driver loop."""
+        shuffle-partitioned, no per-landmark driver loop. Runs inside
+        the tuned-conf window (graph/loop_confs.py): per-round rows =
+        |E| × |landmarks| in the worst case, which also sizes the
+        partitions."""
+        from erkg_tutorials_spark.graph.loop_confs import tuned_loop_confs
+
         spark = self.edges.sparkSession
         lms = spark.createDataFrame([(lm,) for lm in landmarks], ["lm"])
         e = self.edges.select("src", "dst").localCheckpoint(eager=True)
@@ -193,22 +198,23 @@ class PropertyGraph:
             return (row["c"], row["h"])
 
         prev = None
-        for _ in range(max_rounds):
-            relaxed = (
-                e.join(state, e["dst"] == state["id"])
-                .select(
-                    F.col("src").alias("id"), "lm", (F.col("dist") + 1).alias("dist")
+        with tuned_loop_confs(spark, e.count() * max(1, len(landmarks))):
+            for _ in range(max_rounds):
+                relaxed = (
+                    e.join(state, e["dst"] == state["id"])
+                    .select(
+                        F.col("src").alias("id"), "lm", (F.col("dist") + 1).alias("dist")
+                    )
+                    .unionByName(state)
+                    .groupBy("id", "lm")
+                    .agg(F.min("dist").alias("dist"))
+                    .localCheckpoint(eager=True)
                 )
-                .unionByName(state)
-                .groupBy("id", "lm")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
-            )
-            sig = signature(relaxed)
-            if sig == prev:
-                state = relaxed
-                break
-            state, prev = relaxed, sig
+                sig = signature(relaxed)
+                if sig == prev:
+                    state = relaxed
+                    break
+                state, prev = relaxed, sig
         return state.select("id", F.col("lm").alias("landmark"), "dist")
 
     def labelPropagation(self, maxIter: int = 5) -> DataFrame:
@@ -218,27 +224,30 @@ class PropertyGraph:
         smallest; isolated/in-degree-0 vertices keep their own label).
         Fixed rounds rather than convergence because synchronous LPA
         can oscillate — determinism is the contract here."""
+        from erkg_tutorials_spark.graph.loop_confs import tuned_loop_confs
+
         verts = self.vertices.select("id")
         labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint(
             eager=True
         )
         e = self.edges.select("src", "dst").localCheckpoint(eager=True)
         w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
-        for _ in range(maxIter):
-            winner = (
-                e.join(labels, e["src"] == labels["id"])
-                .select(F.col("dst").alias("id"), "lbl")
-                .groupBy("id", "lbl")
-                .agg(F.count("*").alias("c"))
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("id", F.col("lbl").alias("new_lbl"))
-            )
-            labels = (
-                labels.join(winner, "id", "left")
-                .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
-            )
+        with tuned_loop_confs(e.sparkSession, e.count()):
+            for _ in range(maxIter):
+                winner = (
+                    e.join(labels, e["src"] == labels["id"])
+                    .select(F.col("dst").alias("id"), "lbl")
+                    .groupBy("id", "lbl")
+                    .agg(F.count("*").alias("c"))
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1)
+                    .select("id", F.col("lbl").alias("new_lbl"))
+                )
+                labels = (
+                    labels.join(winner, "id", "left")
+                    .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+                    .localCheckpoint(eager=True)
+                )
         return labels.select("id", F.col("lbl").alias("label"))
 
     def triplets(self) -> DataFrame:

@@ -352,7 +352,10 @@ def _sp_oracle() -> str:
     return (
         _SYM_EDGES_CTE
         + """,
-    lms AS (SELECT 'c:' || c_custkey AS lm FROM customer WHERE c_custkey % 500 = 0),
+    lms AS (
+      SELECT 'c:' || c_custkey AS lm FROM customer
+      WHERE c_custkey % 500 = 0 AND c_custkey <= 1500
+    ),
 """
         + shortest_paths_sql(rounds=20)
         + """
@@ -370,10 +373,13 @@ def g_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # bounded landmark set (3 ids, present at every sf): landmarks are
+    # an API-level list in GraphFrames too — the state table scales as
+    # |V| x |landmarks|, so the query keeps the list small by design
     lms = [
         r["lm"]
         for r in t["customer"]
-        .where(F.col("c_custkey") % 500 == 0)
+        .where((F.col("c_custkey") % 500 == 0) & (F.col("c_custkey") <= 1500))
         .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("lm"))
         .collect()
     ]
