@@ -14,6 +14,13 @@ workflow (Readme.md:19, deleted src/neo4j module) gets the same verbs:
   2-hop "friends of friends" filter, senzing_pipeline.py:373-397)
 - ``g.find_chain(n)``                     (the motif subset the
   reference's queries need: "(a)-[]->(b); (b)-[]->(c)" chains)
+- ``g.find(pattern)``                     (full GraphFrames motif DSL:
+  anonymous vertices/edges, ``!`` negation, attribute structs)
+- ``g.bfs(fromExpr, toExpr)``             (shortest-path search, struct
+  path rows ``from, e0, v1, …, to``)
+- ``g.shortestPaths(landmarks)``          (directed landmark distances)
+- ``g.labelPropagation(maxIter)``         (deterministic sync LPA)
+- ``g.aggregateMessages(...)``            (triplet message passing)
 - ``g.triangleCount()``                   (GraphFrames analytics parity)
 
 Every method returns a DataFrame — composable with the rest of the
@@ -297,6 +304,69 @@ class PropertyGraph:
             )
         msgs = reduce(lambda a, b: a.unionByName(b), parts)
         return msgs.where(F.col("msg").isNotNull()).groupBy("id").agg(agg)
+
+    def bfs(
+        self, fromExpr: str, toExpr: str, maxPathLength: int = 10
+    ) -> DataFrame:
+        """GraphFrames bfs: shortest directed paths from vertices
+        matching ``fromExpr`` to vertices matching ``toExpr`` (SQL
+        predicates over vertex attributes). Returns the GraphFrames
+        result shape — struct columns ``from, e0, v1, e1, …, to`` —
+        for the FIRST depth at which any match exists (all matches at
+        that depth, nothing deeper). Zero-length matches (a vertex
+        satisfying both) return just ``from``/``to``.
+
+        Each expansion is one edges⋈frontier join; the per-depth
+        existence probe is a cheap ``isEmpty`` on a lazy limit-1 plan,
+        so the driver never pulls path data."""
+        vcols = self.vertices.columns
+        ecols = self.edges.columns
+        src_v = self.vertices.where(F.expr(fromExpr))
+        targets = self.vertices.where(F.expr(toExpr)).select(
+            F.col("id").alias("__tid")
+        )
+
+        zero = (
+            src_v.where(F.expr(toExpr))
+            .select(F.struct(*vcols).alias("from"))
+            .withColumn("to", F.col("from"))
+        )
+        if not zero.isEmpty():
+            return zero
+
+        # frontier carries (from-struct, path structs so far, __cur);
+        # GraphFrames allows revisits on a path, mirrored here
+        frontier = src_v.select(
+            F.struct(*vcols).alias("from"), F.col("id").alias("__cur")
+        )
+        for depth in range(maxPathLength):
+            estruct = self.edges.select(
+                F.struct(*ecols).alias(f"e{depth}"),
+                F.col("src").alias("__cur"),
+                F.col("dst").alias("__nxt"),
+            )
+            vstruct = self.vertices.select(
+                F.col("id").alias("__nxt"), F.struct(*vcols).alias(f"v{depth + 1}")
+            )
+            frontier = (
+                frontier.join(estruct, "__cur")
+                .join(vstruct, "__nxt")
+                .drop("__cur")
+                .withColumnRenamed("__nxt", "__cur")
+                .localCheckpoint(eager=True)
+            )
+            hits = frontier.join(
+                targets, F.col("__cur") == F.col("__tid"), "left_semi"
+            )
+            if not hits.limit(1).isEmpty():
+                out_cols = ["from"]
+                for d in range(depth):
+                    out_cols += [f"e{d}", f"v{d + 1}"]
+                out_cols.append(f"e{depth}")
+                return hits.withColumnRenamed(f"v{depth + 1}", "to").select(
+                    *out_cols, "to"
+                )
+        return frontier.limit(0).select("from", F.col("from").alias("to"))
 
     # -- queries -----------------------------------------------------------
     def kHop(self, seeds: DataFrame, k: int = 2, labeled: bool = False) -> DataFrame:

@@ -220,3 +220,37 @@ class TestAggregateMessages:
 
         with _pt.raises(ValueError):
             g.aggregateMessages(F.count("msg"))
+
+
+class TestBfs:
+    def test_shortest_path_structs(self, g):
+        # 1 -> 2 -> 3: shortest 1-to-3 path has length 2
+        rows = g.bfs("id = 1", "id = 3").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["from"]["id"] == 1 and r["to"]["id"] == 3
+        assert (r["e0"]["src"], r["e0"]["dst"]) == (1, 2)
+        assert r["v1"]["id"] == 2
+        assert (r["e1"]["src"], r["e1"]["dst"]) == (2, 3)
+
+    def test_first_depth_only(self, g):
+        # 3 -> 1 direct: depth-1 path returned, the 3->1 via 3-step
+        # cycle is NOT (GraphFrames returns shortest only)
+        rows = g.bfs("id = 3", "id = 1").collect()
+        assert len(rows) == 1
+        assert "v1" not in rows[0].asDict()
+
+    def test_zero_length_match(self, g):
+        rows = g.bfs("id = 2", "id = 2").collect()
+        assert len(rows) == 1
+        assert rows[0]["from"]["id"] == 2 and rows[0]["to"]["id"] == 2
+
+    def test_unreachable_is_empty(self, g):
+        # vertex 5 is isolated
+        assert g.bfs("id = 1", "id = 5", maxPathLength=4).count() == 0
+
+    def test_multiple_sources_and_targets(self, g):
+        rows = g.bfs("id IN (1, 2)", "id = 3").collect()
+        # shortest depth with any hit: 2->3 at depth 1; 1's depth-2
+        # path must NOT appear
+        assert {r["from"]["id"] for r in rows} == {2}
