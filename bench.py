@@ -56,6 +56,11 @@ HEADLINE = [
     "g_motif_reach",
     "g_shortest_paths",
     "g_label_propagation",
+    # temporal / time-series tier
+    "asof_join_last_purchase",
+    "range_join_view_purchase",
+    "hypertable_rollup",
+    "funnel_signup_view_purchase",
 ]
 
 

@@ -16,6 +16,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -34,19 +35,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, whose ``ts`` is parquet TIMESTAMP(NANOS).
+    """Read the events table and normalize its ``ts`` encoding.
 
-    Spark has no nanosecond timestamp type; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a
-    BIGINT of epoch-nanoseconds, from which we derive exact epoch
-    seconds (``ts_sec``, integer division — no double rounding) next to
-    the raw ``ts_ns``. Downstream operators use whole seconds, which any
-    engine reproduces bit-for-bit.
+    The driver has shipped the events parquet in two encodings across
+    rounds — TIMESTAMP(NANOS) (readable only as a BIGINT of
+    epoch-nanoseconds via ``spark.sql.legacy.parquet.nanosAsLong``) and
+    plain ``timestamp[us]``. Both normalize to the same two columns so
+    downstream operators never see the difference:
+
+    - ``ts_ns``  — BIGINT epoch-nanoseconds (exact ordering key)
+    - ``ts_sec`` — BIGINT whole epoch seconds (integer division, no
+      double rounding; epoch values in the testdata are positive so
+      truncating ``div`` equals floor, matching DuckDB's
+      ``FLOOR(epoch(ts))``)
+
+    The session timezone is pinned to UTC (session.py), so a
+    TIMESTAMP_NTZ value converts to epoch micros without offset.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+        )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     return (
-        df.withColumnRenamed("ts", "ts_ns")
+        df.withColumn("ts_ns", us * F.lit(1000))
+        .drop("ts")
         .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
     )
 

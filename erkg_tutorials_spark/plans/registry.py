@@ -10,11 +10,12 @@ from erkg_tutorials_spark.plans import (
     eventsq,
     graphq,
     relational,
+    temporal,
     textq,
     vectorq,
 )
 
-_MODULES = (relational, graphq, textq, vectorq, eventsq, coverage, coverage2)
+_MODULES = (relational, graphq, textq, vectorq, eventsq, temporal, coverage, coverage2)
 
 QUERIES: dict = {}
 ORACLES: dict = {}

@@ -6,12 +6,17 @@ streaming queries — file source → watermarked event-time windows →
 sink. ``Trigger.AvailableNow`` drains the backlog and stops, which is
 both the test harness mode and the production backfill mode.
 
-ts is TIMESTAMP(NANOS) in parquet → read as ns-longs (same trick as
-the batch catalog) and converted to a µs timestamp column for
-watermark/window semantics.
+The batch catalog (catalog.read_events) normalizes the two ts
+encodings the driver has shipped — TIMESTAMP(NANOS) (ns-longs via the
+legacy reader flag) and plain ``timestamp[us]``. Streaming needs an
+explicit schema up front, so ``read_events_stream`` peeks at the batch
+footer schema once, streams with the matching schema, and normalizes
+to the same ``event_time`` (µs timestamp) column either way.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,12 +26,13 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns since epoch (nanosAsLong)
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -34,15 +40,37 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
+# Legacy testdata encoding: ts was TIMESTAMP(NANOS), readable only as a
+# BIGINT of epoch-nanoseconds under spark.sql.legacy.parquet.nanosAsLong.
+EVENTS_SCHEMA_NANOS = StructType(
+    [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_SCHEMA]
+)
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """Normalize either ts encoding to an ``event_time`` µs timestamp."""
+    if isinstance(events.schema["ts"].dataType, LongType):
+        return events.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return events.withColumn("event_time", F.col("ts").cast("timestamp"))
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (event-time = ts)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    batch_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
+    schema = (
+        EVENTS_SCHEMA_NANOS if isinstance(batch_ts, LongType) else EVENTS_SCHEMA
+    )
+    return with_event_time(
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 

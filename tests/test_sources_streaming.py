@@ -65,15 +65,20 @@ class TestStatefulSessionize:
         """The streaming operator must emit exactly the batch sessions
         minus each user's open tail session (which stays in state)."""
         from erkg_tutorials_spark.plans.eventsq import events_sessionize
-        from erkg_tutorials_spark.streaming.events import EVENTS_SCHEMA
+        from erkg_tutorials_spark.streaming.events import (
+            EVENTS_SCHEMA,
+            with_event_time,
+        )
         from erkg_tutorials_spark.streaming.sessionize import sessionize_stream
         from tests.conftest import SF_DIR
 
         stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(SF_DIR)
-            .selectExpr("user_id", "ts div 1000000000 as ts_sec")
+            with_event_time(
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(SF_DIR)
+            )
+            .selectExpr("user_id", "unix_micros(event_time) div 1000000 as ts_sec")
         )
         q = (
             sessionize_stream(stream)
@@ -144,38 +149,27 @@ class TestSlidingAndDedupStreams:
         from erkg_tutorials_spark.streaming.events import (
             EVENTS_SCHEMA,
             dedup_stream,
+            with_event_time,
         )
         from tests.conftest import SF_DIR
 
-        from pyspark.sql import functions as F
+        events = spark.read.schema(EVENTS_SCHEMA).parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        )
+        feed_dir = str(tmp_path / "feed")
+        # duplicate every event (two identical files = exact replay)
+        events.write.mode("overwrite").parquet(feed_dir)
+        events.write.mode("append").parquet(feed_dir)
 
-        # session-scoped fixture: restore the legacy-reader flag so it
-        # can't leak into unrelated tests that run afterwards
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            events = spark.read.schema(EVENTS_SCHEMA).parquet(
-                os.path.join(SF_DIR, "events.parquet")
-            )
-            feed_dir = str(tmp_path / "feed")
-            # duplicate every event (two identical files = exact replay)
-            events.write.mode("overwrite").parquet(feed_dir)
-            events.write.mode("append").parquet(feed_dir)
-
-            stream = (
-                spark.readStream.schema(EVENTS_SCHEMA)
-                .parquet(feed_dir)
-                .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-            )
-            q = (
-                dedup_stream(stream, keys=["event_id"])
-                .writeStream.format("memory")
-                .queryName("dedup_feed_test")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            n_unique = events.select("event_id").distinct().count()
-            assert spark.table("dedup_feed_test").count() == n_unique
-        finally:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        stream = with_event_time(spark.readStream.schema(EVENTS_SCHEMA).parquet(feed_dir))
+        q = (
+            dedup_stream(stream, keys=["event_id"])
+            .writeStream.format("memory")
+            .queryName("dedup_feed_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_unique = events.select("event_id").distinct().count()
+        assert spark.table("dedup_feed_test").count() == n_unique
