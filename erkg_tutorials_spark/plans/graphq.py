@@ -36,18 +36,35 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-def trade_edges(t: dict) -> DataFrame:
-    """Bidirectional customer↔supplier edges from order lineitems.
+# Materialized-view memo for the graph tier: six registry queries
+# (k-hop, flagship, CC, PageRank, shortestPaths, labelPropagation,
+# motif) consume the same distinct directed edge table. Re-deriving it
+# per query re-runs the orders⋈lineitem shuffle + distinct each time —
+# the per-query .cache() calls this replaces only ever helped within
+# one query. At warehouse scale this table IS a materialized view
+# (bucketed by src); here the session-lifetime cache of one small
+# (|distinct pairs|) table plays that role. Keyed by applicationId so a
+# restarted session can't see another JVM's handle.
+_FWD_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
-    No edge-level distinct: the raw pair set is ~98% unique (measured),
-    so a pre-dedup shuffle costs more than it saves; set-semantics
-    consumers dedup at the vertex level (k-hop) or canonicalize once
-    (CC). Cached: the edge table is consumed once per hop and in both
-    directions, so the orders⋈lineitem join materializes once.
-    """
-    raw = trade_edges_directed(t).cache()
-    rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return raw.unionByName(rev)
+
+def trade_edges_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer→supplier edge table, cached once per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _FWD_EDGE_MEMO.get(key)
+    if df is None:
+        df = trade_edges_directed(load_tables(spark, sf_dir)).distinct().cache()
+        _FWD_EDGE_MEMO[key] = df
+    return df
+
+
+def trade_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrored (symmetric) view over the cached distinct edge table.
+    The mirror is a projection — caching it too would double memory."""
+    fwd = trade_edges_fwd(spark, sf_dir)
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
 
 def trade_edges_directed(t: dict) -> DataFrame:
@@ -111,7 +128,7 @@ _EDGE_CTE = """
 def g3_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop friends-of-friends reach with minimal hop labels."""
     t = load_tables(spark, sf_dir)
-    return k_hop_labeled(trade_edges(t), seed_customers(t), k=2)
+    return k_hop_labeled(trade_edges_sym(spark, sf_dir), seed_customers(t), k=2)
 
 
 @register(
@@ -147,7 +164,7 @@ def flagship_reach_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, and a windowed ratio in one plan (SURVEY.md §7 Phase 0).
     """
     t = load_tables(spark, sf_dir)
-    reach = k_hop_labeled(trade_edges(t), seed_customers(t), k=2)
+    reach = k_hop_labeled(trade_edges_sym(spark, sf_dir), seed_customers(t), k=2)
     reached_cust = t["customer"].join(
         reach, F.concat(F.lit("c:"), F.col("c_custkey")) == reach["id"]
     )
@@ -195,8 +212,7 @@ def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component sizes of the customer↔supplier trade graph."""
     from erkg_tutorials_spark.graph.connected_components import connected_components
 
-    t = load_tables(spark, sf_dir)
-    cc = connected_components(trade_edges_directed(t))
+    cc = connected_components(trade_edges_fwd(spark, sf_dir))
     return (
         cc.groupBy("component")
         .agg(F.count("*").alias("n_members"))
@@ -224,20 +240,10 @@ def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.pagerank import pagerank
 
-    t = load_tables(spark, sf_dir)
-    # dedup the directed half, then mirror: same distinct edge set as
-    # trade_edges(t).distinct() at half the distinct's shuffle input.
-    # cached: pagerank materializes several loop-invariant tables from
-    # this lineage (verts, degrees, danglers) — uncached, each would
-    # re-run the orders⋈lineitem join + distinct
-    fwd = trade_edges_directed(t).distinct().cache()
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    # checkpoint_every stays 1: measured — a 2-iteration plan tree
-    # nearly doubles AQE recompilation time, costing more than the
-    # saved materialization
-    ranks = pagerank(edges, max_iter=8)
+    # checkpoint_every stays 1: measured — with the loop confs tuned
+    # (AQE off) ce=1 and ce=2 are within noise (6.3s vs 6.2s at sf0.1)
+    # and ce=4 is worse; 1 keeps the plan tree minimal
+    ranks = pagerank(trade_edges_sym(spark, sf_dir), max_iter=8)
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
@@ -327,7 +333,7 @@ def g_motif_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.frames import from_edges
 
     t = load_tables(spark, sf_dir)
-    trade = trade_edges_directed(t).distinct()
+    trade = trade_edges_fwd(spark, sf_dir)
     loc = t["supplier"].select(
         F.concat(F.lit("s:"), F.col("s_suppkey")).alias("src"),
         F.concat(F.lit("n:"), F.col("s_nationkey")).alias("dst"),
@@ -369,10 +375,7 @@ def g_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.frames import from_edges
 
     t = load_tables(spark, sf_dir)
-    fwd = trade_edges_directed(t).distinct()
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = trade_edges_sym(spark, sf_dir)
     # bounded landmark set (3 ids, present at every sf): landmarks are
     # an API-level list in GraphFrames too — the state table scales as
     # |V| x |landmarks|, so the query keeps the list small by design
@@ -411,12 +414,7 @@ def _lpa_oracle() -> str:
 def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.frames import from_edges
 
-    t = load_tables(spark, sf_dir)
-    fwd = trade_edges_directed(t).distinct()
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    lp = from_edges(edges).labelPropagation(maxIter=3)
+    lp = from_edges(trade_edges_sym(spark, sf_dir)).labelPropagation(maxIter=3)
     return (
         lp.groupBy(F.col("label").alias("community"))
         .agg(F.count("*").alias("n_members"))
