@@ -61,6 +61,10 @@ HEADLINE = [
     "range_join_view_purchase",
     "hypertable_rollup",
     "funnel_signup_view_purchase",
+    # OLAP + sketch tier
+    "hll_distinct_users",
+    "olap_rollup_revenue",
+    "retention_cohorts",
 ]
 
 

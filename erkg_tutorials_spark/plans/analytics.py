@@ -1,0 +1,330 @@
+"""OLAP + sketch analytics tier: grouping sets (ROLLUP/CUBE),
+retention cohorts, unpivot, PII masking, and an engine-portable
+HyperLogLog distinct sketch.
+
+Every query here has a full DuckDB oracle. The HLL follows the
+portable-hash recipe proven by dedup/minhash.py: the hash family is
+md5 (identical in every engine), register sums ride as exact
+DECIMAL(38) integers (sums of powers of two overflow a double's
+53-bit mantissa, so float summation would be order-dependent), and
+the only floating-point steps are a fixed expression tree evaluated
+identically by both engines, rounded to 4dp.
+
+Scale notes (100 TB):
+- ROLLUP/CUBE are single-pass partial-aggregating plans in Spark —
+  the grouping-set expansion happens inside the Expand operator
+  before the shuffle, so each row is combined map-side.
+- The HLL sketch is two aggregations (register max, then register
+  sum); state is 256 registers per group regardless of cardinality —
+  this is exactly the sketch you'd keep per partition at 100 TB.
+- Retention joins each event to its user's first-seen day: the
+  first-seen table is user-keyed (small) and the join co-partitions
+  on user_id — one shuffle each side, no window over the event log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.functions.exact_math import money_cents
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-user sketch per event type (m=256 registers).
+#
+# Register: bucket = first byte of md5(user_id); rho = 1 + number of
+# leading zero bits in the next 60 bits (15 hex chars — 60 bits keeps
+# the value inside a signed BIGINT on both engines). Estimator is the
+# standard HLL-with-linear-counting-fallback (Flajolet et al. 2007):
+#   S = sum over 256 registers of 2^(64-M_j)   (empty register: 2^64)
+#   E_raw = alpha_256 * 256^2 * 2^64 / S
+#   if E_raw <= 2.5*256 and V>0:  E = 256 * ln(256/V)   (V = empty)
+# The sum is computed in DECIMAL(38,0): every term is an exact power
+# of two up to 2^64 and the mantissa of a double cannot hold the
+# mixed-magnitude sum exactly, so float summation would be
+# order-dependent across engines.
+# ---------------------------------------------------------------------------
+_HLL_ALPHA = "0.7213 / (1 + 1.079 / 256)"
+
+_HLL_SQL = f"""
+    WITH h AS (
+      SELECT event_type,
+             md5(CAST(user_id AS VARCHAR)) AS hx,
+             user_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(hx, 3, 15)) AS BIGINT) AS w
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS m
+      FROM r GROUP BY event_type, bucket
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CAST(power(2, 64 - m) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_present,
+             COUNT(*) AS n_buckets
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             (256 - n_buckets) AS v,
+             CAST(s_present + (256 - n_buckets) * CAST(power(2, 64) AS DECIMAL(38,0))
+                  AS DOUBLE) AS s,
+             ({_HLL_ALPHA}) * 256 * 256 * power(2, 64) AS num
+      FROM agg
+    ),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM h GROUP BY event_type
+    )
+    SELECT est.event_type,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN num / s <= 640 AND v > 0
+                      THEN 256 * ln(256.0 / v)
+                      ELSE num / s END, 4) AS hll_estimate
+    FROM est JOIN ex ON est.event_type = ex.event_type
+"""
+
+
+@register("hll_distinct_users", _HLL_SQL)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"].select("event_type", "user_id")
+    h = e.select(
+        "event_type",
+        "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("hx"),
+    )
+    r = h.select(
+        "event_type",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring("hx", 3, 15), 16, 10).cast("bigint").alias("w"),
+    )
+    regs = r.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(61)).otherwise(
+                F.lit(61) - F.length(F.bin(F.col("w")))
+            )
+        ).alias("m")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(power(2, 64 - m) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("s_present"),
+        F.count("*").alias("n_buckets"),
+    )
+    est = agg.select(
+        "event_type",
+        (F.lit(256) - F.col("n_buckets")).alias("v"),
+        (
+            F.col("s_present")
+            + (F.lit(256) - F.col("n_buckets"))
+            * F.expr("CAST(power(2, 64) AS DECIMAL(38,0))")
+        )
+        .cast("double")
+        .alias("s"),
+        F.expr(f"({_HLL_ALPHA}) * 256 * 256 * power(2, 64)").alias("num"),
+    )
+    ex = h.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
+    return est.join(ex, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(
+            F.when(
+                (F.col("num") / F.col("s") <= 640) & (F.col("v") > 0),
+                F.lit(256) * F.log(F.lit(256.0) / F.col("v")),
+            ).otherwise(F.col("num") / F.col("s")),
+            4,
+        ).alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: order revenue by (region, nation) with subtotal rows.
+# grouping_id disambiguates real NULLs from subtotal NULLs (none in
+# this data, but the column is part of the operator's contract).
+# ---------------------------------------------------------------------------
+@register(
+    "olap_rollup_revenue",
+    """
+    SELECT r_name, n_name,
+           GROUPING(r_name, n_name) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name", money_cents(F.col("o_totalprice")).alias("cents"))
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+        )
+        .select("r_name", "n_name", F.col("gid").cast("long"), "n_orders", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: order counts across (order year × status), all marginals.
+# ---------------------------------------------------------------------------
+@register(
+    "olap_cube_orders",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           o_orderstatus,
+           GROUPING(EXTRACT(year FROM o_orderdate), o_orderstatus) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue
+    FROM orders
+    GROUP BY CUBE (EXTRACT(year FROM o_orderdate), o_orderstatus)
+    """,
+)
+def olap_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        "o_orderstatus",
+        money_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    return (
+        o.cube("o_year", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+        )
+        .select("o_year", "o_orderstatus", F.col("gid").cast("long"), "n_orders", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users cohorted by first-seen day; a cohort cell
+# counts distinct users active day_offset days after their first day.
+# ---------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+    )
+    SELECT cohort_day, (day - cohort_day) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM e JOIN first_seen ON e.user_id = first_seen.user_id
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.expr("ts_sec div 86400").alias("day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first_seen, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): part metrics to (metric, value) rows. The
+# retail price rides as exact cents so the long value column is BIGINT.
+# Spark's native unpivot compiles to Expand — map-side, no shuffle;
+# the oracle is the portable UNION ALL formulation.
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail_cents', CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)
+    FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir)["part"].select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        money_cents(F.col("p_retailprice")).alias("retail_cents"),
+    )
+    return p.unpivot("p_partkey", ["size", "retail_cents"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# PII anonymization: direct identifiers masked (digits in the customer
+# name become '*' except the last 2 — enough to eyeball joins in a
+# debug sample without recovering the id), quasi-identifiers
+# generalized (account balance → width-1000-cent bucket), plus the
+# bucket's occupancy so a k-anonymity audit can read suppression
+# candidates straight off the result. The regexes stay inside the
+# dialect subset Java regex and RE2 share.
+# ---------------------------------------------------------------------------
+@register(
+    "pii_mask_customers",
+    """
+    WITH m AS (
+      SELECT c_custkey,
+             concat(regexp_replace(substring(c_name, 1, length(c_name) - 2),
+                                   '[0-9]', '*', 'g'),
+                    substring(c_name, length(c_name) - 1, 2)) AS name_masked,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) // 100000 AS acctbal_bucket
+      FROM customer
+    )
+    SELECT c_custkey, name_masked, acctbal_bucket,
+           CAST(COUNT(*) OVER (PARTITION BY acctbal_bucket) AS BIGINT) AS bucket_k
+    FROM m
+    """,
+)
+def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_tables(spark, sf_dir)["customer"]
+    m = c.select(
+        "c_custkey",
+        F.concat(
+            F.regexp_replace(
+                F.expr("substring(c_name, 1, length(c_name) - 2)"), "[0-9]", "*"
+            ),
+            F.expr("substring(c_name, length(c_name) - 1, 2)"),
+        ).alias("name_masked"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) div 100000"
+        ).alias("acctbal_bucket"),
+    )
+    w = Window.partitionBy("acctbal_bucket")
+    return m.withColumn("bucket_k", F.count("*").over(w).cast("long"))

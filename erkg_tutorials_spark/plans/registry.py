@@ -5,6 +5,7 @@ its DuckDB oracle twin (driver contract, see /root/repo/__spark_entry__.py).
 from __future__ import annotations
 
 from erkg_tutorials_spark.plans import (
+    analytics,
     coverage,
     coverage2,
     eventsq,
@@ -15,7 +16,17 @@ from erkg_tutorials_spark.plans import (
     vectorq,
 )
 
-_MODULES = (relational, graphq, textq, vectorq, eventsq, temporal, coverage, coverage2)
+_MODULES = (
+    relational,
+    graphq,
+    textq,
+    vectorq,
+    eventsq,
+    temporal,
+    analytics,
+    coverage,
+    coverage2,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
