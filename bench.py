@@ -65,6 +65,10 @@ HEADLINE = [
     "hll_distinct_users",
     "olap_rollup_revenue",
     "retention_cohorts",
+    # relational depth tier
+    "q4_exists_late_ship",
+    "q17_small_quantity_revenue",
+    "merge_upsert_customers",
 ]
 
 

@@ -11,6 +11,7 @@ from erkg_tutorials_spark.plans import (
     eventsq,
     graphq,
     relational,
+    relational2,
     temporal,
     textq,
     vectorq,
@@ -18,6 +19,7 @@ from erkg_tutorials_spark.plans import (
 
 _MODULES = (
     relational,
+    relational2,
     graphq,
     textq,
     vectorq,
