@@ -166,3 +166,152 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.groupBy(
         "event_type", "w_start", (F.col("w_start") + 1800).alias("w_end")
     ).agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles: Spark's `percentile` and DuckDB's
+# `quantile_cont` implement the same (n-1)*p linear interpolation over
+# the sorted group — measured bit-equal at 6dp on this data. (The
+# *approximate* tier — percentile_approx / t-digest — is deliberately
+# not oracle-paired: its buckets are engine-specific. Exact percentile
+# is a full sort per group; at 100 TB you reach for the sketch and
+# accept approximation, here the contract is exactness.)
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame moving window: per event type, daily revenue plus the
+# trailing-7-day moving sum and average. RANGE BETWEEN 6 PRECEDING
+# over the integer day key counts *days*, not rows — days with no
+# events simply don't contribute, and both engines define the frame
+# identically. Sums ride as exact cents; the average divides the exact
+# sum by the exact in-frame day count (one double division).
+# ---------------------------------------------------------------------------
+@register(
+    "events_moving_7d",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           cents / 100.0 AS day_value,
+           CAST(SUM(cents) OVER w AS BIGINT) / 100.0 AS movsum_7d,
+           CAST(SUM(cents) OVER w AS BIGINT) / 100.0
+             / CAST(COUNT(*) OVER w AS BIGINT) AS movavg_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.expr("ts_sec div 86400").alias("day"),
+        money_cents(F.col("value")).alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("cents").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    movsum = F.sum("cents").over(w).cast("bigint")
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("cents") / 100.0).alias("day_value"),
+        (movsum / 100.0).alias("movsum_7d"),
+        ((movsum / 100.0) / F.count("*").over(w).cast("bigint")).alias("movavg_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 interval build: each user's event stream becomes a history of
+# (state, valid_from, valid_to) rows — state is the event type, the
+# interval closes when the next event arrives (lead window), the last
+# interval stays open (NULL). The standard change-stream → slowly-
+# changing-dimension transformation, one window over (user, time).
+# Tie-break inside the same second: event_id (monotone in the feed).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_user_state_history",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    )
+    SELECT user_id, event_type AS state, sec AS valid_from,
+           lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+             AS valid_to,
+           CAST((lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id))
+                IS NULL AS BOOLEAN) AS is_current
+    FROM e
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "event_type", F.col("ts_sec").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    nxt = F.lead("sec").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("sec").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sample: ~10% of each event type, membership
+# decided by a content hash (md5 of the event id), never an RNG — the
+# same rows are sampled on every engine, every run, at any
+# parallelism. This is the reproducible-split pattern (same family as
+# split_assign) applied to per-stratum rate sampling.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_stratified_events",
+    """
+    SELECT event_id, event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+    FROM events
+    WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          % 100 < 10
+    """,
+)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+
+    e = load_tables(spark, sf_dir)["events"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return e.where(bucket < 10).select(
+        "event_id", "event_type", money_cents(F.col("value")).alias("value_cents")
+    )

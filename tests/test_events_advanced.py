@@ -1,0 +1,69 @@
+"""Semantic tests for the advanced events ops (quantiles, RANGE moving
+window, SCD-2 intervals, stratified sampling)."""
+
+from collections import defaultdict
+
+from erkg_tutorials_spark.plans.eventsq import (
+    events_moving_7d,
+    events_value_quantiles,
+    sample_stratified_events,
+    scd2_user_state_history,
+)
+from tests.conftest import SF_DIR
+
+
+class TestQuantiles:
+    def test_monotone(self, spark):
+        for r in events_value_quantiles(spark, SF_DIR).collect():
+            assert r.p50 <= r.p90 <= r.p99
+
+
+class TestMovingWindow:
+    def test_movsum_matches_bruteforce(self, spark):
+        rows = events_moving_7d(spark, SF_DIR).collect()
+        daily = {(r.event_type, r.day): r.day_value for r in rows}
+        for r in rows:
+            want = sum(
+                daily.get((r.event_type, d), 0.0)
+                for d in range(r.day - 6, r.day + 1)
+            )
+            assert abs(r.movsum_7d - want) < 1e-6
+            n_days = sum(
+                1 for d in range(r.day - 6, r.day + 1) if (r.event_type, d) in daily
+            )
+            assert abs(r.movavg_7d - r.movsum_7d / n_days) < 1e-9
+
+
+class TestSCD2:
+    def test_intervals_chain_and_single_current(self, spark):
+        rows = scd2_user_state_history(spark, SF_DIR).collect()
+        by_user = defaultdict(list)
+        for r in rows:
+            by_user[r.user_id].append(r)
+        for user, ivs in by_user.items():
+            ivs.sort(key=lambda r: (r.valid_from, r.valid_to is None))
+            currents = [r for r in ivs if r.is_current]
+            assert len(currents) == 1
+            assert currents[0].valid_to is None
+            closed = [r for r in ivs if not r.is_current]
+            for r in closed:
+                assert r.valid_to >= r.valid_from
+            # every closed interval's end equals some interval's start
+            starts = defaultdict(int)
+            for r in ivs:
+                starts[r.valid_from] += 1
+            for r in closed:
+                assert starts[r.valid_to] > 0
+
+
+class TestStratifiedSample:
+    def test_rate_and_determinism(self, spark):
+        out = sample_stratified_events(spark, SF_DIR)
+        a = {r.event_id for r in out.collect()}
+        b = {r.event_id for r in sample_stratified_events(spark, SF_DIR).collect()}
+        assert a == b
+        from erkg_tutorials_spark.catalog import load_tables
+
+        n_total = load_tables(spark, SF_DIR)["events"].count()
+        rate = len(a) / n_total
+        assert 0.05 < rate < 0.15
