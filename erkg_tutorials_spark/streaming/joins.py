@@ -1,0 +1,78 @@
+"""Streaming joins (SURVEY.md §2.13 extension tier): stream-static
+enrichment and the watermarked stream-stream interval join.
+
+- ``enrich_stream``: stream ⋈ static dimension. The static side is a
+  plain DataFrame — Spark broadcasts it per micro-batch, no state.
+- ``attribution_stream``: the streaming twin of the batch
+  ``range_join_view_purchase`` operator (plans/temporal.py) — every
+  (view, purchase) pair by the same user with
+  ``view.time < purchase.time <= view.time + window``. Stream-stream
+  inner join with an event-time range condition: each side is
+  watermarked, and the range condition itself bounds how long a view
+  must be retained (Spark derives the state watermark from it), so
+  state is O(events inside the attribution window), not O(stream).
+
+The parity contract (tests/test_streaming_joins.py): replaying the
+events table through ``attribution_stream`` emits exactly the batch
+operator's pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ATTRIBUTION_WINDOW_SECONDS = 3600
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: attach dimension attributes to each event.
+
+    The static side re-resolves per micro-batch (Spark semantics), so
+    a dimension refresh is picked up without restarting the stream —
+    the streaming counterpart of the broadcast dim join (J1).
+    """
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def attribution_stream(
+    events: DataFrame,
+    window_seconds: int = ATTRIBUTION_WINDOW_SECONDS,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: views ⋈ purchases.
+
+    ``events`` must carry (user_id, event_id, event_type, event_time).
+    Both sides derive from the same input stream; each gets its own
+    watermark. The join condition's time bounds let Spark evict view
+    state once the purchase-side watermark passes
+    ``view.event_time + window_seconds`` — bounded state by
+    construction, the same eviction reasoning as the batch operator's
+    bucketing argument.
+    """
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("event_time").alias("view_time"),
+    ).withWatermark("view_time", watermark)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("event_time").alias("purchase_time"),
+    ).withWatermark("purchase_time", watermark)
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_time") > F.col("view_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("view_time") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        F.unix_micros(F.col("view_time")).alias("view_us"),
+        F.unix_micros(F.col("purchase_time")).alias("purchase_us"),
+    )

@@ -1,0 +1,84 @@
+"""Streaming joins: stream-static enrichment and the stream-stream
+interval join, checked for exact parity with their batch twins."""
+
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.streaming.events import read_events_stream
+from erkg_tutorials_spark.streaming.joins import attribution_stream, enrich_stream
+from tests.conftest import SF_DIR
+
+
+def _drain(df, name):
+    (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+class TestStreamStaticJoin:
+    def test_enrich_matches_batch_join(self, spark):
+        from erkg_tutorials_spark.catalog import load_tables, read_events
+
+        dim = load_tables(spark, SF_DIR)["customer"].select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        out = enrich_stream(
+            read_events_stream(spark, SF_DIR).select("event_id", "user_id", "event_time"),
+            dim,
+        ).select("event_id", "c_mktsegment")
+        _drain(out, "enrich_test")
+        got = {
+            (r.event_id, r.c_mktsegment) for r in spark.table("enrich_test").collect()
+        }
+        want = {
+            (r.event_id, r.c_mktsegment)
+            for r in read_events(spark, SF_DIR)
+            .select("event_id", "user_id")
+            .join(dim, "user_id", "left")
+            .collect()
+        }
+        assert got == want and len(want) > 0
+
+
+class TestStreamStreamIntervalJoin:
+    def test_attribution_matches_batch_microsecond_twin(self, spark):
+        """The streaming interval join must emit exactly the pairs the
+        same range predicate produces in batch at µs precision. (The
+        registered batch operator rounds to whole seconds first, so
+        the twin here re-applies the predicate on raw µs times.)"""
+        from erkg_tutorials_spark.catalog import read_events
+
+        out = attribution_stream(read_events_stream(spark, SF_DIR))
+        _drain(out, "attribution_test")
+        got = {
+            (r.user_id, r.view_event_id, r.purchase_event_id)
+            for r in spark.table("attribution_test").collect()
+        }
+
+        e = read_events(spark, SF_DIR).select(
+            "user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+        )
+        v = e.where("event_type = 'view'").select(
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("ve"),
+            F.col("us").alias("vus"),
+        )
+        p = e.where("event_type = 'purchase'").select(
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("pe"),
+            F.col("us").alias("pus"),
+        )
+        want = {
+            (r.u, r.ve, r.pe)
+            for r in v.join(p, "u")
+            .where(
+                (F.col("pus") > F.col("vus"))
+                & (F.col("pus") <= F.col("vus") + 3600 * 1_000_000)
+            )
+            .collect()
+        }
+        assert got == want and len(want) > 0
