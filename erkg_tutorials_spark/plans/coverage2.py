@@ -538,11 +538,11 @@ def _dedup_clusters_oracle() -> str:
 @register("dedup_clusters", _dedup_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.dedup.clusters import dedup_assign
-    from erkg_tutorials_spark.dedup.minhash import minhash_lsh_dedup
+    from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    pairs = minhash_lsh_dedup(docs, k=5, num_hashes=8, bands=2, threshold=0.5)
+    pairs = minhash_pairs_cached(spark, sf_dir)
     out = dedup_assign(docs.select("doc_id"), pairs)
     return out.select("doc_id", "cluster", "is_canonical")
 
