@@ -128,9 +128,23 @@ def main() -> None:
     for t in TABLES:
         cat[t].count()
 
+    # Shared materialized views (graph edge table, MinHash pair set)
+    # are consumed by several queries; their one-time build is timed
+    # HERE as an explicit suite entry so the per-query numbers below
+    # measure steady-state execution with the views available, while
+    # the suite total still pays every materialization exactly once.
+    # (Best-of-2 would otherwise silently drop the build cost.)
+    from erkg_tutorials_spark.plans.graphq import trade_edges_fwd
+    from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    trade_edges_fwd(spark, sf_dir).count()
+    minhash_pairs_cached(spark, sf_dir).count()
+    timings["shared_materializations"] = round(time.time() - t0, 3)
+
     # best-of-2 per query (JMH-style): the first run pays per-plan
     # codegen compilation; the second is the throughput number.
-    timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
