@@ -69,6 +69,9 @@ HEADLINE = [
     "q4_exists_late_ship",
     "q17_small_quantity_revenue",
     "merge_upsert_customers",
+    # search ranking tier
+    "bm25_rank",
+    "tfidf_top_terms",
 ]
 
 

@@ -429,3 +429,183 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return repetition_scores(t["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Search-engine ranking tier: BM25 and TF-IDF over the documents
+# table. Deterministic cross-engine by construction — term counts and
+# document lengths are integers; the floating-point score is one fixed
+# expression tree per term (no float aggregation: the 3-term query's
+# contributions are pivoted into columns and added in written order),
+# rounded to 6dp.
+#
+# Scale notes: tf/df/dl are plain aggregations over the exploded
+# token table (map-side partial combine); the per-term contribution
+# join brings a 3-row broadcast to the doc stats — no shuffle beyond
+# the token aggregation itself. This is the inverted-index-free
+# formulation; a real 100 TB search deployment would sink df/tf into
+# a term-partitioned index table, which is exactly the `bands`-style
+# layout the dedup tier already demonstrates.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("table", "hash", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_rank",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (
+      SELECT COUNT(*) AS n_docs, SUM(dl) / (1.0 * COUNT(*)) AS avgdl FROM dl
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('table', 'hash', 'merge') GROUP BY doc_id, tok
+    ),
+    df AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    wide AS (
+      SELECT dl.doc_id, dl.dl,
+             MAX(CASE WHEN tf.tok = 'table' THEN tf.tf END) AS tf_table,
+             MAX(CASE WHEN tf.tok = 'hash'  THEN tf.tf END) AS tf_hash,
+             MAX(CASE WHEN tf.tok = 'merge' THEN tf.tf END) AS tf_merge,
+             MAX(CASE WHEN tf.tok = 'table' THEN df1.df END) AS df_table,
+             MAX(CASE WHEN tf.tok = 'hash'  THEN df1.df END) AS df_hash,
+             MAX(CASE WHEN tf.tok = 'merge' THEN df1.df END) AS df_merge
+      FROM dl JOIN tf ON tf.doc_id = dl.doc_id
+      JOIN df df1 ON df1.tok = tf.tok
+      GROUP BY dl.doc_id, dl.dl
+    )
+    SELECT doc_id,
+           ROUND(
+             COALESCE(ln((s.n_docs - df_table + 0.5) / (df_table + 0.5) + 1)
+               * tf_table * ({_BM25_K1} + 1)
+               / (tf_table + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / s.avgdl)), 0.0)
+           + COALESCE(ln((s.n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1)
+               * tf_hash * ({_BM25_K1} + 1)
+               / (tf_hash + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / s.avgdl)), 0.0)
+           + COALESCE(ln((s.n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1)
+               * tf_merge * ({_BM25_K1} + 1)
+               / (tf_merge + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / s.avgdl)), 0.0),
+           6) AS score
+    FROM wide, stats s
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed 3-term query, BM25(k1=1.2, b=0.75)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / (1.0 * F.count("*"))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    wide = (
+        dl.join(tf, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .groupBy("doc_id", "dl")
+        .agg(
+            *[
+                F.max(F.when(F.col("tok") == t, F.col("tf"))).alias(f"tf_{t}")
+                for t in BM25_TERMS
+            ],
+            *[
+                F.max(F.when(F.col("tok") == t, F.col("df"))).alias(f"df_{t}")
+                for t in BM25_TERMS
+            ],
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contribs = [
+        F.coalesce(
+            F.log((F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1)
+            * F.col(f"tf_{t}") * (k1 + 1)
+            / (F.col(f"tf_{t}") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+            F.lit(0.0),
+        )
+        for t in BM25_TERMS
+    ]
+    score = F.round(contribs[0] + contribs[1] + contribs[2], 6)
+    return (
+        wide.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms: each document's 3 highest-weighted terms
+# (tf * ln(N/df)), ties broken lexicographically. Integer tf/df, one
+# ln + one multiply per (doc, term) — deterministic at 6dp.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    df AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln((1.0 * n_docs) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok, n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, tok, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((1.0 * F.col("n_docs")) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rk")
+    )
