@@ -256,3 +256,52 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function variety pack: the analytic-function family beyond
+# the row_number/rank/sum tiers already covered (W1-W5) — ntile,
+# percent_rank, cume_dist, lag, lead in one pass. The ordering key
+# (cents, o_orderkey) is unique, so every function is deterministic;
+# percent_rank/cume_dist derive doubles from integer ranks (single
+# division, identical in both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "w6_analytic_functions",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           lag(cents) OVER w AS prev_cents,
+           lead(cents) OVER w AS next_cents,
+           cents - COALESCE(lag(cents) OVER w, cents) AS step_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+    """,
+)
+def w6_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        money_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    lag = F.lag("cents").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        lag.alias("prev_cents"),
+        F.lead("cents").over(w).alias("next_cents"),
+        (F.col("cents") - F.coalesce(lag, F.col("cents"))).alias("step_cents"),
+    )

@@ -61,3 +61,50 @@ def write_partitioned(
     table into tiny files.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header + full quoting/escaping (round-trip safe
+    for embedded commas/quotes/newlines in string columns)."""
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        # the writer TRIMS cell whitespace by default — disable both
+        # so values round-trip verbatim
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV source; explicit schema (never inferSchema — schema
+    inference is a full extra pass over the data and type-unstable
+    across files, both unacceptable at scale).
+
+    ``multiLine`` honors quoted embedded newlines (note: a multiline
+    CSV file is not splittable — each file parses on one task, so
+    sinks feeding this reader should write many moderate files);
+    whitespace is preserved verbatim rather than trimmed."""
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — second columnar format beside parquet (same
+    predicate-pushdown / column-pruning behavior in the scan)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema read from file footers, like parquet)."""
+    return spark.read.orc(path)

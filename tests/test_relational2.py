@@ -90,3 +90,36 @@ class TestMergeUpsert:
     def test_keys_unique_after_merge(self, spark):
         out = merge_upsert_customers(spark, SF_DIR)
         assert out.select("c_custkey").distinct().count() == out.count()
+
+
+class TestAnalyticFunctions:
+    def test_w6_against_bruteforce(self, spark):
+        from erkg_tutorials_spark.plans.relational2 import w6_analytic_functions
+
+        rows = w6_analytic_functions(spark, SF_DIR).collect()
+        by_prio = {}
+        for r in rows:
+            by_prio.setdefault(r.o_orderpriority, []).append(r)
+        n_checked = 0
+        for prio, rs in by_prio.items():
+            rs.sort(key=lambda r: (r.pct_rank, r.o_orderkey))
+            n = len(rs)
+            # percent_rank endpoints and ntile balance
+            assert rs[0].pct_rank == 0.0
+            if n > 1:
+                assert rs[-1].pct_rank == 1.0
+            sizes = {}
+            for r in rs:
+                sizes[r.quartile] = sizes.get(r.quartile, 0) + 1
+            assert set(sizes) == {1, 2, 3, 4}
+            assert max(sizes.values()) - min(sizes.values()) <= 1
+            # lag/lead chain consistency on the sorted order:
+            # b.prev_cents is a's value, a.next_cents is b's value
+            # (= b.prev_cents + b.step_cents), first row has no prev
+            assert rs[0].prev_cents is None and rs[0].step_cents == 0
+            for a, b in zip(rs, rs[1:]):
+                assert b.prev_cents is not None
+                assert a.next_cents == b.prev_cents + b.step_cents
+            assert rs[-1].next_cents is None
+            n_checked += n
+        assert n_checked == len(rows) > 0
