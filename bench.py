@@ -72,6 +72,11 @@ HEADLINE = [
     # search ranking tier
     "bm25_rank",
     "tfidf_top_terms",
+    # sketch / fuzzy / vector breadth
+    "cm_sketch_user_counts",
+    "fuzzy_name_match",
+    "vector_stats",
+    "w6_analytic_functions",
 ]
 
 

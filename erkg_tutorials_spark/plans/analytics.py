@@ -328,3 +328,180 @@ def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("acctbal_bucket")
     return m.withColumn("bucket_k", F.count("*").over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy-hitter estimation (depth 4 × width 64,
+# md5-derived row hashes). Unlike the HLL (which needs one float
+# division), CM is PURE INTEGER end-to-end: registers are counts,
+# the estimate is min over depth rows — both engines replay the
+# sketch exactly, no rounding anywhere. Estimates are checked against
+# the true counts (always estimate >= truth; one-sided CM error).
+#
+# 100 TB shape: the sketch table is (depth × width) = 256 rows per
+# group regardless of stream length; register increments partial-
+# aggregate map-side. Querying = 4-row lookup per tracked key.
+# ---------------------------------------------------------------------------
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+
+
+def _cm_bucket_sql(row: int) -> str:
+    # row-seeded md5 → bucket in [0, width)
+    return (
+        f"CAST(('0x' || substring(md5(concat('{row}|', CAST(user_id AS VARCHAR))), 1, 8)) "
+        f"AS BIGINT) % {_CM_WIDTH}"
+    )
+
+
+@register(
+    "cm_sketch_user_counts",
+    f"""
+    WITH regs AS (
+      {' UNION ALL '.join(
+          f"SELECT {r} AS row_id, {_cm_bucket_sql(r)} AS bucket, COUNT(*) AS c "
+          f"FROM events GROUP BY 2"
+          for r in range(_CM_DEPTH)
+      )}
+    ),
+    tracked AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0
+    ),
+    lookups AS (
+      SELECT t.user_id, r.row_id, r.c
+      FROM tracked t JOIN regs r
+        ON r.bucket = CAST(('0x' || substring(md5(concat(CAST(r.row_id AS VARCHAR),
+                      '|', CAST(t.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % {_CM_WIDTH}
+    ),
+    est AS (
+      SELECT user_id, MIN(c) AS cm_estimate FROM lookups GROUP BY user_id
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+    )
+    SELECT est.user_id,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(true_count AS BIGINT) AS true_count
+    FROM est JOIN truth ON est.user_id = truth.user_id
+    """,
+)
+def cm_sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"].select("user_id")
+
+    def bucket(row: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{row}|"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CM_WIDTH
+        )
+
+    regs = None
+    for r in range(_CM_DEPTH):
+        part = e.groupBy(bucket(r, F.col("user_id")).alias("bucket")).agg(
+            F.count("*").alias("c")
+        ).select(F.lit(r).alias("row_id"), "bucket", "c")
+        regs = part if regs is None else regs.unionByName(part)
+    tracked = e.where(F.col("user_id") % 50 == 0).distinct()
+    lookups = tracked.crossJoin(F.broadcast(regs)).where(
+        F.col("bucket")
+        == (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("row_id").cast("string"),
+                            F.lit("|"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CM_WIDTH
+        )
+    )
+    est = lookups.groupBy("user_id").agg(F.min("c").alias("cm_estimate"))
+    truth = e.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return est.join(truth, "user_id").select(
+        "user_id",
+        F.col("cm_estimate").cast("long"),
+        F.col("true_count").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching: nearest customer-name neighbors among
+# a blocked candidate set (same name length ±1 — the trivial-but-
+# effective blocking for identifier typos). levenshtein() is exact and
+# identical in both engines; ranking is (distance, name) so ties are
+# deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_name_match",
+    """
+    WITH seeds AS (
+      SELECT c_custkey AS seed_key, c_name AS seed_name FROM customer
+      WHERE c_custkey % 200 = 0
+    ),
+    cands AS (
+      SELECT s.seed_key, s.seed_name, c.c_custkey AS cand_key, c.c_name AS cand_name,
+             levenshtein(s.seed_name, c.c_name) AS dist
+      FROM seeds s JOIN customer c
+        ON abs(length(s.seed_name) - length(c.c_name)) <= 1
+       AND s.seed_key <> c.c_custkey
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY seed_key
+                                   ORDER BY dist, cand_name, cand_key) AS rk
+      FROM cands
+    )
+    SELECT seed_key, seed_name, cand_key, cand_name,
+           CAST(dist AS BIGINT) AS dist, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_tables(spark, sf_dir)["customer"]
+    seeds = c.where(F.col("c_custkey") % 200 == 0).select(
+        F.col("c_custkey").alias("seed_key"), F.col("c_name").alias("seed_name")
+    )
+    cands = (
+        F.broadcast(seeds)
+        .join(
+            c,
+            (
+                F.abs(F.length("seed_name") - F.length("c_name")) <= 1
+            )
+            & (F.col("seed_key") != F.col("c_custkey")),
+        )
+        .select(
+            "seed_key",
+            "seed_name",
+            F.col("c_custkey").alias("cand_key"),
+            F.col("c_name").alias("cand_name"),
+            F.levenshtein("seed_name", "c_name").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("seed_key").orderBy("dist", "cand_name", "cand_key")
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "seed_key",
+            "seed_name",
+            "cand_key",
+            "cand_name",
+            F.col("dist").cast("long"),
+            F.col("rk").cast("long"),
+        )
+    )

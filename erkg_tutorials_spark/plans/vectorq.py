@@ -178,3 +178,45 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_dup_pairs(
         t["embeddings"], threshold=SRP_THRESHOLD, dim=SRP_DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order-function vector stats: per-embedding L2 norm, mean,
+# min/max element, computed entirely with SQL higher-order functions
+# (F.aggregate / F.transform — JVM-side, codegen, no Python). Float
+# accumulation order inside one array is left-to-right fold in BOTH
+# engines (Spark aggregate ≡ DuckDB list_reduce on the same list), so
+# the doubles match bit-for-bit; rounded to 6dp anyway.
+# ---------------------------------------------------------------------------
+@register(
+    "vector_stats",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_reduce(list_transform(emb, x -> x * x),
+                                  (a, b) -> a + b)), 6) AS l2_norm,
+           ROUND(list_reduce(emb, (a, b) -> a + b) / len(emb), 6) AS mean_elem,
+           ROUND(list_reduce(emb, (a, b) -> least(a, b)), 6) AS min_elem,
+           ROUND(list_reduce(emb, (a, b) -> greatest(a, b)), 6) AS max_elem
+    FROM v
+    """,
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    zero = F.lit(0.0)
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(F.transform("emb", lambda x: x * x), zero, lambda a, b: a + b)),
+            6,
+        ).alias("l2_norm"),
+        F.round(
+            F.aggregate("emb", zero, lambda a, b: a + b) / F.size("emb"), 6
+        ).alias("mean_elem"),
+        F.round(F.array_min("emb"), 6).alias("min_elem"),
+        F.round(F.array_max("emb"), 6).alias("max_elem"),
+    )

@@ -115,3 +115,54 @@ class TestUnpivotAndPII:
             k[r.acctbal_bucket] += 1
         for r in rows:
             assert r.bucket_k == k[r.acctbal_bucket]
+
+
+class TestCountMinSketch:
+    def test_estimate_one_sided_and_tight(self, spark):
+        from erkg_tutorials_spark.plans.analytics import cm_sketch_user_counts
+
+        rows = cm_sketch_user_counts(spark, SF_DIR).collect()
+        assert len(rows) > 0
+        for r in rows:
+            # CM error is strictly one-sided: estimate >= truth
+            assert r.cm_estimate >= r.true_count
+            # and bounded: collisions add at most the stream mass / width
+            assert r.cm_estimate <= r.true_count + (10000 // 64) * 4
+
+
+class TestFuzzyNameMatch:
+    def test_nearest_by_edit_distance(self, spark):
+        from erkg_tutorials_spark.plans.analytics import fuzzy_name_match
+
+        rows = fuzzy_name_match(spark, SF_DIR).collect()
+        assert len(rows) > 0
+        by_seed = {}
+        for r in rows:
+            by_seed.setdefault(r.seed_key, []).append(r)
+        for seed, rs in by_seed.items():
+            rs.sort(key=lambda r: r.rk)
+            dists = [r.dist for r in rs]
+            assert dists == sorted(dists)
+            assert all(r.dist >= 1 for r in rs)  # self excluded
+
+
+class TestVectorStats:
+    def test_norm_consistency(self, spark):
+        import math
+
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.vectorq import vector_stats
+
+        got = {r.vec_id: r for r in vector_stats(spark, SF_DIR).collect()}
+        sample = (
+            load_tables(spark, SF_DIR)["embeddings"]
+            .limit(20)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        for r in sample:
+            v = [float(x) for x in r.embedding]
+            g = got[r.vec_id]
+            assert abs(g.l2_norm - math.sqrt(sum(x * x for x in v))) < 1e-4
+            assert abs(g.mean_elem - sum(v) / len(v)) < 1e-4
+            assert g.min_elem <= g.mean_elem <= g.max_elem
