@@ -505,3 +505,85 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (data-quality summary): one row per column of the
+# orders table — null count, exact distinct count, min/max rendered to
+# strings. The single-pass Spark plan computes every column's stats in
+# one aggregation (no per-column scans); the oracle mirrors it with a
+# stacked UNION ALL. Numeric min/max go through exact cents / integer
+# casts so the string rendering is identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS col,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT),
+           CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR),
+           CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = money_cents(F.col("o_totalprice"))
+    specs = [
+        ("o_orderkey", F.col("o_orderkey")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice_cents", cents),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    # one aggregation computes every column's stats; min/max aggregate
+    # in the column's OWN type (numeric order, not lexicographic) and
+    # only the result is rendered to string. The stack to (col, stats)
+    # rows is a tiny 1-row explode afterwards.
+    aggs = []
+    for name, val in specs:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(val)).alias(f"null_{name}"),
+            F.count_distinct(val).alias(f"nd_{name}"),
+            F.min(val).cast("string").alias(f"min_{name}"),
+            F.max(val).cast("string").alias(f"max_{name}"),
+        ]
+    wide = o.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col"),
+                        F.col(f"null_{name}").cast("long").alias("n_null"),
+                        F.col(f"nd_{name}").cast("long").alias("n_distinct"),
+                        F.col(f"min_{name}").alias("min_val"),
+                        F.col(f"max_{name}").alias("max_val"),
+                    )
+                    for name, _ in specs
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.col", "s.n_null", "s.n_distinct", "s.min_val", "s.max_val")

@@ -166,3 +166,21 @@ class TestVectorStats:
             assert abs(g.l2_norm - math.sqrt(sum(x * x for x in v))) < 1e-4
             assert abs(g.mean_elem - sum(v) / len(v)) < 1e-4
             assert g.min_elem <= g.mean_elem <= g.max_elem
+
+
+class TestProfile:
+    def test_profile_matches_direct_queries(self, spark):
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.analytics import profile_orders
+
+        o = load_tables(spark, SF_DIR)["orders"]
+        got = {r.col: r for r in profile_orders(spark, SF_DIR).collect()}
+        assert set(got) == {
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice_cents", "o_orderpriority",
+        }
+        assert got["o_orderkey"].n_distinct == o.count()  # unique key
+        assert got["o_orderkey"].n_null == 0
+        n_status = o.select("o_orderstatus").distinct().count()
+        assert got["o_orderstatus"].n_distinct == n_status
+        assert int(got["o_custkey"].min_val) <= int(got["o_custkey"].max_val)
