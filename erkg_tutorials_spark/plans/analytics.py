@@ -472,18 +472,30 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     c = load_tables(spark, sf_dir)["customer"]
-    seeds = c.where(F.col("c_custkey") % 200 == 0).select(
-        F.col("c_custkey").alias("seed_key"), F.col("c_name").alias("seed_name")
+    # the ±1 length block becomes an EQUI join: each seed explodes into
+    # its three admissible candidate lengths and the join key is the
+    # candidate's exact length. A plain inequality condition would
+    # compile to BroadcastNestedLoopJoin (seeds × corpus pair
+    # evaluation) — harmless at 75 seeds, catastrophic at a real seed
+    # table's size; the equi form stays a hash join at any scale.
+    seeds = (
+        c.where(F.col("c_custkey") % 200 == 0)
+        .select(F.col("c_custkey").alias("seed_key"), F.col("c_name").alias("seed_name"))
+        .withColumn(
+            "cand_len",
+            F.explode(
+                F.array(
+                    F.length("seed_name") - 1,
+                    F.length("seed_name"),
+                    F.length("seed_name") + 1,
+                )
+            ),
+        )
     )
     cands = (
         F.broadcast(seeds)
-        .join(
-            c,
-            (
-                F.abs(F.length("seed_name") - F.length("c_name")) <= 1
-            )
-            & (F.col("seed_key") != F.col("c_custkey")),
-        )
+        .join(c, F.length("c_name") == F.col("cand_len"))
+        .where(F.col("seed_key") != F.col("c_custkey"))
         .select(
             "seed_key",
             "seed_name",
