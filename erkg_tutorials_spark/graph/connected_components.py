@@ -103,19 +103,25 @@ def connected_components(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
 
-    def signature(df: DataFrame) -> tuple:
-        # one-job convergence fingerprint of the (distinct) edge set:
-        # count + order-independent sum of 64-bit row hashes. A missed
-        # fixpoint would need a same-count hash-sum collision (~2^-64);
-        # vs the exceptAll alternative this saves two full shuffles per
-        # round, which at 100 TB is the difference between O(rounds)
-        # and O(2·rounds) passes over the edge set.
-        row = df.agg(
-            F.count("*").alias("c"),
-            # decimal accumulator: exact, no ANSI long-overflow
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["c"], row["h"])
+    def is_star_forest(df: DataFrame) -> bool:
+        # Direct fixpoint test, one job: the edge set is stable under
+        # both stars exactly when it is a star forest in canonical
+        # orientation — no vertex is both a center (u) and a leaf (v),
+        # and every leaf hangs off exactly one center. (Centers are
+        # then < all their leaves, which both star ops leave
+        # unchanged.) Detects convergence on the round that PRODUCES
+        # the forest — the fingerprint-equality alternative needs one
+        # extra full star round to observe no change, i.e. one more
+        # complete pass over the edge set at 100 TB.
+        stacked = df.select(F.col("u").alias("x"), F.lit(1).alias("is_u")).unionByName(
+            df.select(F.col("v").alias("x"), F.lit(0).alias("is_u"))
+        )
+        bad = (
+            stacked.groupBy("x")
+            .agg(F.max("is_u").alias("isu"), F.sum(1 - F.col("is_u")).alias("nv"))
+            .where(((F.col("isu") == 1) & (F.col("nv") > 0)) | (F.col("nv") > 1))
+        )
+        return bad.isEmpty()
 
     spark = edges.sparkSession
     saved_aqe = saved_parts = None
@@ -127,14 +133,10 @@ def connected_components(
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        prev_sig = None
         for _ in range(max_rounds):
-            nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            sig = signature(nxt)
-            if sig == prev_sig:
-                e = nxt
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            if is_star_forest(e):
                 break
-            e, prev_sig = nxt, sig
     finally:
         if tune_loop_confs:
             spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
