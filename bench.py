@@ -77,6 +77,7 @@ HEADLINE = [
     "fuzzy_name_match",
     "vector_stats",
     "w6_analytic_functions",
+    "events_anomaly_zscore",
 ]
 
 

@@ -315,3 +315,69 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.where(bucket < 10).select(
         "event_id", "event_type", money_cents(F.col("value")).alias("value_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection: flag events whose value deviates > 3σ
+# from their event type's mean. The entire threshold test is EXACT
+# integer/decimal arithmetic — cross-multiplied so no square root or
+# division ever runs:
+#   |x - μ| > 3σ   ⇔   (n·x - S)² · (n-1) > 9 · n · (n·Q - S²)
+# with S = Σ cents, Q = Σ cents² (both exact), carried in
+# DECIMAL(38,0) (the squared terms overflow BIGINT at sf ≥ 0.1).
+# Sample std (n-1); reported z is informational (one sqrt, 4dp).
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q
+      FROM e GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           e.c / 100.0 AS value,
+           ROUND((e.c * n - s) / sqrt(n * (n * q - s * s) / (n - 1)), 4) AS z,
+           CAST((e.c * n - s) * (e.c * n - s) * (n - 1) > 9 * n * (n * q - s * s)
+                AS BOOLEAN) AS is_anomaly
+    FROM e JOIN stats ON e.event_type = stats.event_type
+    WHERE (e.c * n - s) * (e.c * n - s) * (n - 1) > 9 * n * (n * q - s * s)
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type", money_cents(F.col("value")).alias("c")
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    dev = F.col("c") * F.col("n") - F.col("s")          # n·x − S, exact
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")  # n·(n·Q − S²)/... numerator
+    lhs = dev * dev * (F.col("n") - 1)
+    rhs = F.lit(9) * F.col("n") * var_num
+    return (
+        j.where(lhs > rhs)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("c") / 100.0).alias("value"),
+            F.round(
+                dev / F.sqrt(F.col("n") * var_num / (F.col("n") - 1)), 4
+            ).alias("z"),
+            (lhs > rhs).alias("is_anomaly"),
+        )
+    )

@@ -67,3 +67,37 @@ class TestStratifiedSample:
         n_total = load_tables(spark, SF_DIR)["events"].count()
         rate = len(a) / n_total
         assert 0.05 < rate < 0.15
+
+
+class TestAnomalyZScore:
+    def test_flags_match_bruteforce(self, spark):
+        import statistics
+
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.eventsq import events_anomaly_zscore
+
+        rows = (
+            load_tables(spark, SF_DIR)["events"]
+            .select("event_id", "event_type", "value")
+            .collect()
+        )
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append((r.event_id, round(r.value * 100)))
+        want = set()
+        for et, xs in by_type.items():
+            vals = [c for _, c in xs]
+            mu = statistics.mean(vals)
+            sd = statistics.stdev(vals)
+            for eid, c in xs:
+                if abs(c - mu) > 3 * sd:
+                    want.add(eid)
+        got = {r.event_id for r in events_anomaly_zscore(spark, SF_DIR).collect()}
+        assert got == want and len(want) > 0
+
+    def test_z_magnitude_exceeds_three(self, spark):
+        from erkg_tutorials_spark.plans.eventsq import events_anomaly_zscore
+
+        for r in events_anomaly_zscore(spark, SF_DIR).collect():
+            assert abs(r.z) > 3
+            assert r.is_anomaly
