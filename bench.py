@@ -145,11 +145,13 @@ def main() -> None:
     # (Best-of-2 would otherwise silently drop the build cost.)
     from erkg_tutorials_spark.plans.graphq import trade_edges_fwd
     from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
+    from erkg_tutorials_spark.plans.vectorq import ivf_centroids_cached
 
     timings: dict[str, float] = {}
     t0 = time.time()
     trade_edges_fwd(spark, sf_dir).count()
     minhash_pairs_cached(spark, sf_dir).count()
+    ivf_centroids_cached(spark, sf_dir).count()
     timings["shared_materializations"] = round(time.time() - t0, 3)
 
     # best-of-2 per query (JMH-style): the first run pays per-plan

@@ -42,20 +42,18 @@ def register(name: str, oracle: str | None):
 # per query re-runs the orders⋈lineitem shuffle + distinct each time —
 # the per-query .cache() calls this replaces only ever helped within
 # one query. At warehouse scale this table IS a materialized view
-# (bucketed by src); here the session-lifetime cache of one small
-# (|distinct pairs|) table plays that role. Keyed by applicationId so a
-# restarted session can't see another JVM's handle.
-_FWD_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
-
-
+# (bucketed by src); here the session-lifetime cache (plans/memo.py —
+# swept across sessions, releasable via memo.release) plays that role.
 def trade_edges_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer→supplier edge table, cached once per session."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _FWD_EDGE_MEMO.get(key)
-    if df is None:
-        df = trade_edges_directed(load_tables(spark, sf_dir)).distinct().cache()
-        _FWD_EDGE_MEMO[key] = df
-    return df
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    return memoized(
+        spark,
+        sf_dir,
+        "trade_edges_fwd",
+        lambda: trade_edges_directed(load_tables(spark, sf_dir)).distinct(),
+    )
 
 
 def trade_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:

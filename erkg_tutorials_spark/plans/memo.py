@@ -1,0 +1,85 @@
+"""Session-scoped materialized-view memo with an explicit release API.
+
+Several registry queries share expensive intermediate tables (the
+distinct trade-edge table, the MinHash near-dup pair set, trained IVF
+centroids). At warehouse scale these are materialized views; in a
+long-lived session the equivalent is a cached DataFrame built once per
+(application, sf_dir). Round-2 ADVICE flagged the original per-module
+dict memos: entries from stopped sessions leaked forever and there was
+no way to free the storage of a live one. This module centralizes the
+pattern and fixes both:
+
+* ``memoized(spark, sf_dir, name, build)`` — return the cached table,
+  building + ``.cache()``-ing it on first use. Every call first sweeps
+  entries belonging to a different ``applicationId`` (only one
+  SparkContext exists per process, so a differing id means that
+  session is gone — its handles are dead weight).
+* ``release(spark, sf_dir=None, name=None)`` — unpersist and evict
+  every entry matching the filters; returns the number evicted. With
+  no filters, the whole application's memo space is freed.
+
+The memo key deliberately includes ``sf_dir`` so a rewritten dataset
+under a *new* directory never sees stale data; rewriting parquet
+in-place under the *same* path within one session additionally needs
+``release(spark, sf_dir=path)`` (documented limitation, same as any
+materialized view).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _drop(key: tuple[str, str, str]) -> None:
+    df = _MEMO.pop(key, None)
+    if df is not None:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            # the owning SparkContext is already stopped — nothing to free
+            pass
+
+
+def _sweep(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _MEMO if k[0] != app]:
+        _drop(key)
+
+
+def memoized(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Cached-per-(application, sf_dir) table; built lazily once."""
+    _sweep(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _MEMO.get(key)
+    if df is None:
+        df = build().cache()
+        _MEMO[key] = df
+    return df
+
+
+def release(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    name: str | None = None,
+) -> int:
+    """Unpersist + evict matching memo entries; returns count evicted."""
+    app = spark.sparkContext.applicationId
+    victims = [
+        k
+        for k in _MEMO
+        if k[0] == app
+        and (sf_dir is None or k[1] == sf_dir)
+        and (name is None or k[2] == name)
+    ]
+    for k in victims:
+        _drop(k)
+    return len(victims)

@@ -98,25 +98,22 @@ MINHASH_PAIRS_CTE = """
     )
 """
 
-# Session-scoped memo (same pattern as graphq.trade_edges_fwd): the
+# Session-scoped memo (plans/memo.py, shared with graphq/vectorq): the
 # MinHash pair set is consumed by both dedup_minhash_lsh and
 # dedup_clusters with identical parameters — materialize the pair
 # lineage (shingle explosion + signature agg + band join + exact
 # jaccard) once per session instead of once per query. The pair set
 # itself is tiny (∝ true near-dups); the saving is the lineage re-run.
-_MINHASH_PAIRS_MEMO: dict = {}
-
-
 def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _MINHASH_PAIRS_MEMO.get(key)
-    if df is None:
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    def build() -> DataFrame:
         t = load_tables(spark, sf_dir)
-        df = minhash_lsh_dedup(
+        return minhash_lsh_dedup(
             t["documents"], k=5, num_hashes=8, bands=2, threshold=0.5
-        ).cache()
-        _MINHASH_PAIRS_MEMO[key] = df
-    return df
+        )
+
+    return memoized(spark, sf_dir, "minhash_pairs", build)
 
 
 @register(

@@ -1,0 +1,78 @@
+"""Session-memo registry (plans/memo.py): build-once semantics,
+release() freeing cached storage, and rebuild-after-release."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.plans import memo
+from erkg_tutorials_spark.plans.graphq import trade_edges_fwd
+from erkg_tutorials_spark.plans.vectorq import ivf_centroids_cached
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_memoized_returns_same_handle(spark):
+    a = trade_edges_fwd(spark, SF_DIR)
+    b = trade_edges_fwd(spark, SF_DIR)
+    assert a is b
+
+
+def test_release_unpersists_and_rebuilds(spark):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(100).select(F.col("id").alias("n"))
+
+    df1 = memo.memoized(spark, SF_DIR, "_test_release", build)
+    df1.count()
+    assert len(calls) == 1
+    assert df1.storageLevel.useMemory or df1.storageLevel.useDisk
+
+    evicted = memo.release(spark, sf_dir=SF_DIR, name="_test_release")
+    assert evicted == 1
+    # storage actually freed: the old handle reports StorageLevel NONE
+    assert not (df1.storageLevel.useMemory or df1.storageLevel.useDisk)
+
+    df2 = memo.memoized(spark, SF_DIR, "_test_release", build)
+    assert len(calls) == 2
+    assert df2 is not df1
+    assert df2.count() == 100
+    memo.release(spark, name="_test_release")
+
+
+def test_release_filters(spark):
+    build = lambda: spark.range(1)  # noqa: E731
+    memo.memoized(spark, "/a", "_t1", build)
+    memo.memoized(spark, "/b", "_t1", build)
+    memo.memoized(spark, "/a", "_t2", build)
+    assert memo.release(spark, sf_dir="/a") == 2
+    assert memo.release(spark, name="_t1") == 1
+    assert memo.release(spark, sf_dir="/a") == 0
+
+
+def test_sweep_drops_foreign_application_entries(spark):
+    app = spark.sparkContext.applicationId
+    foreign = ("app-0000-dead", SF_DIR, "_ghost")
+    memo._MEMO[foreign] = spark.range(1)
+    memo.memoized(spark, SF_DIR, "_live", lambda: spark.range(1))
+    assert foreign not in memo._MEMO
+    assert (app, SF_DIR, "_live") in memo._MEMO
+    memo.release(spark, name="_live")
+
+
+def test_centroid_memo_matches_fresh_training(spark):
+    """The memoized centroids are bit-identical to a fresh training
+    run — memoization is a pure latency optimization."""
+    from erkg_tutorials_spark.plans.vectorq import KMEANS_ITERS, KMEANS_K
+    from erkg_tutorials_spark.similarity.kmeans import kmeans_cosine
+    from erkg_tutorials_spark.catalog import load_tables
+
+    cached = ivf_centroids_cached(spark, SF_DIR)
+    fresh = kmeans_cosine(
+        load_tables(spark, SF_DIR)["embeddings"], k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    a = {r["cent_id"]: r["cvec"] for r in cached.collect()}
+    b = {r["cent_id"]: r["cvec"] for r in fresh.collect()}
+    assert a == b
