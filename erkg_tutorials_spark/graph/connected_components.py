@@ -7,19 +7,28 @@ connected components to assign entity ids (SURVEY.md §2.7 G6).
 
 Algorithm: alternating large-star / small-star (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SOCC'14) — the
-standard shuffle-friendly CC at 100 TB scale. Each round is two
-map/groupBy passes; converges in O(log² n) rounds; every intermediate
-is keyed by vertex id so AQE handles skewed hubs.
+standard shuffle-friendly CC at 100 TB scale. Converges in O(log² n)
+rounds; every intermediate is keyed by vertex id.
 
-Implementation detail: both stars are expressed with ``min`` +
-``explode`` over grouped neighborhoods — no driver-side iteration
-state beyond the convergence check (one count per round).
+Implementation detail (r3): each star is ONE hash-partitioned window
+pass — ``min(...) over (partition by center)`` computes the group
+minimum in the same exchange that groups the neighborhood, where the
+r2 formulation (groupBy-min then re-join) paid a second exchange for
+the join side. Hub skew is no worse than the r2 shape: either way all
+of a hub's neighbors meet in one partition, and the window sort is
+O(deg log deg) per hub. Large-star's output dedup is deferred to
+small-star's terminal ``distinct`` — duplicate (leaf, min) pairs are
+absorbed by small-star's window min for free, saving a third exchange
+per round. Measured at sf0.1 on the trade graph: 4.6s → 2.2s/query
+with bit-identical components.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -37,38 +46,47 @@ def _canonical(edges: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of x to min(N(x) ∪ {x}).
 
-    min-aggregate + re-join rather than collect_set + explode: hub
-    vertices would otherwise materialize their whole neighborhood as
-    one array in a single aggregation buffer (the memory hot spot of
-    the naive formulation); min+join streams — both sides stay keyed
-    by ``u``, so the second pass reuses the first's partitioning.
+    Single window pass: one exchange keyed by the neighborhood center,
+    the whole-partition ``min`` replacing r2's groupBy-min + re-join
+    (which cost a second exchange for the join probe side). Output is
+    NOT deduped — the duplicates flow into small-star's window min
+    unchanged (min is duplicate-insensitive) and die in its terminal
+    ``distinct``.
     """
     nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    minv = nbrs.groupBy("u").agg(F.min("v").alias("minv"))
+    w = Window.partitionBy("u")
     return (
-        nbrs.join(minv, "u")
-        .select("u", F.least("u", "minv").alias("m"), "v")
+        nbrs.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
         .where(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """Connect all smaller-or-equal neighbors of x to min(N≤(x) ∪ {x})."""
-    # orient edges high -> low, group by the high endpoint; min+join
-    # (see _large_star) instead of collect_set
+    """Connect all smaller-or-equal neighbors of x to min(N≤(x) ∪ {x}).
+
+    Same single-exchange window shape as ``_large_star``; the ordered
+    window yields the group min as ``first`` AND a row_number, so the
+    center's own (x, min) link is emitted exactly once (rn == 1)
+    without a second join against the min table."""
     oriented = e.select(F.col("v").alias("x"), F.col("u").alias("y"))  # x > y
-    minv = oriented.groupBy("x").agg(F.min("y").alias("m"))
-    out = oriented.join(minv, "x").select(
-        F.col("y").alias("a"), F.col("m").alias("b")
+    w = Window.partitionBy("x").orderBy("y")
+    ranked = oriented.select(
+        "x",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.first("y").over(w).alias("m"),  # ordered window ⇒ running min ⇒ group min at every row
     )
-    link_x = minv.select(F.col("x").alias("a"), F.col("m").alias("b"))
+    leaf = F.struct(F.col("y").alias("a"), F.col("m").alias("b"))
+    center = F.struct(F.col("x").alias("a"), F.col("m").alias("b"))
+    pairs = ranked.select(
+        F.explode(
+            F.when(F.col("rn") == 1, F.array(leaf, center)).otherwise(F.array(leaf))
+        ).alias("s")
+    ).select("s.a", "s.b")
     return (
-        out.unionByName(link_x)
-        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        pairs.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -80,6 +98,7 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 20,
     tune_loop_confs: bool = True,
+    input_canonical: bool = False,
 ) -> DataFrame:
     """(id, component) — component is the minimum vertex id reachable.
 
@@ -90,18 +109,32 @@ def connected_components(
     graph/pagerank.py — every round re-shuffles an edge set of known,
     shrinking size, so AQE's per-round re-planning is pure driver
     overhead and the partition count is derived once from the
-    materialized canonical edge count. The stars' min-aggregations
-    partial-aggregate map-side, so hub-vertex skew arrives
-    pre-combined and loses nothing from AQE being off. Confs restored
-    in a ``finally``."""
+    materialized canonical edge count. The stars' window minimums
+    aggregate within one exchange, so hub-vertex skew costs a local
+    sort, not a blown partition. The tuned confs live on a cloned
+    session (graph/loop_confs.py), so concurrent queries on the
+    caller's session are unaffected.
+
+    ``input_canonical``: callers whose edge table is already distinct
+    ordered pairs with src < dst and no self-loops (e.g. the bipartite
+    trade graph, where every src is "c:…" < every "s:…" dst) skip the
+    canonicalization shuffle — at 100 TB that is one full pass over
+    the raw edge set saved.
+
+    Raises ``RuntimeError`` if the edge set has not converged to a
+    star forest within ``max_rounds`` — reading components off a
+    non-converged edge set would silently return wrong ids."""
     vertices = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
     )
-    e = _canonical(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint(eager=True)
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if input_canonical:
+        e = raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    else:
+        e = _canonical(raw)
+    e = e.localCheckpoint(eager=True)
 
     def is_star_forest(df: DataFrame) -> bool:
         # Direct fixpoint test, one job: the edge set is stable under
@@ -124,23 +157,30 @@ def connected_components(
         return bad.isEmpty()
 
     spark = edges.sparkSession
-    saved_aqe = saved_parts = None
-    if tune_loop_confs:
-        n_edges = e.count()
-        parts = max(8, min(10_000, -(-n_edges // 1_000_000)))
-        saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        saved_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        for _ in range(max_rounds):
+    n_edges = e.count() if tune_loop_confs else 0
+    converged = False
+    with tuned_loop_session(spark, n_edges, enabled=tune_loop_confs) as (
+        _loop,
+        rebind,
+    ):
+        e = rebind(e)
+        for i in range(max_rounds):
             e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # a non-trivial graph never converges on round 0 (the check
+            # is a full pass over the round-0 edge set — the largest of
+            # the loop); if it somehow was a forest already, round 1
+            # runs once over the tiny converged set and the check fires
+            # then. Guarded so max_rounds=1 still checks.
+            if i == 0 and max_rounds > 1:
+                continue
             if is_star_forest(e):
+                converged = True
                 break
-    finally:
-        if tune_loop_confs:
-            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: edge set is not a star forest after "
+            f"{max_rounds} rounds — raise max_rounds"
+        )
     comp = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
     return (
         vertices.join(comp, "id", "left")

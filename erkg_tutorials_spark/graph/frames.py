@@ -191,7 +191,7 @@ class PropertyGraph:
         between BFS and repeated full passes. Same loop discipline as
         connected_components: per-round localCheckpoint inside the
         tuned-conf window (graph/loop_confs.py)."""
-        from erkg_tutorials_spark.graph.loop_confs import tuned_loop_confs
+        from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
         spark = self.edges.sparkSession
         e = self.edges.select("src", "dst").localCheckpoint(eager=True)
@@ -199,7 +199,9 @@ class PropertyGraph:
             [(lm, lm, 0) for lm in landmarks], ["id", "lm", "dist"]
         ).localCheckpoint(eager=True)
         frontier = state
-        with tuned_loop_confs(spark, e.count()):
+        with tuned_loop_session(spark, e.count()) as (_loop, rebind):
+            e, state = rebind(e), rebind(state)
+            frontier = state
             for _ in range(max_rounds):
                 new = (
                     e.join(
@@ -226,7 +228,7 @@ class PropertyGraph:
         smallest; isolated/in-degree-0 vertices keep their own label).
         Fixed rounds rather than convergence because synchronous LPA
         can oscillate — determinism is the contract here."""
-        from erkg_tutorials_spark.graph.loop_confs import tuned_loop_confs
+        from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
         verts = self.vertices.select("id")
         labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint(
@@ -234,7 +236,8 @@ class PropertyGraph:
         )
         e = self.edges.select("src", "dst").localCheckpoint(eager=True)
         w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
-        with tuned_loop_confs(e.sparkSession, e.count()):
+        with tuned_loop_session(e.sparkSession, e.count()) as (_loop, rebind):
+            e, labels = rebind(e), rebind(labels)
             for _ in range(maxIter):
                 winner = (
                     e.join(labels, e["src"] == labels["id"])

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
+
 
 def pagerank(
     edges: DataFrame,
@@ -48,8 +50,8 @@ def pagerank(
     fights the size-derived partitioning. Skew stays handled: the only
     per-iteration shuffle is the contrib sum, which partial-aggregates
     map-side before the exchange (hub vertices arrive pre-combined).
-    Session confs are restored in a ``finally``; callers running
-    concurrent queries on the same session should pass ``False``.
+    The tuned confs live on a cloned session (graph/loop_confs.py) —
+    concurrent queries on the caller's session are unaffected.
     """
     ns = [namespace_col] if namespace_col else []
     e = edges.select(*ns, F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -98,33 +100,28 @@ def pagerank(
     bcast = (lambda df: F.broadcast(df)) if broadcast_ranks else (lambda df: df)
 
     spark = edges.sparkSession
-    saved_aqe = saved_parts = None
-    if tune_loop_confs:
-        # materializing the cached e_deg (the biggest shuffle, run at
-        # session confs so AQE still shapes it) doubles as the loop
-        # sizing count: ~1M contrib rows per partition, floor of 8 so
-        # local runs keep some parallelism, ceiling of 10k as a sanity
-        # clamp at cluster scale
-        n_edges = e_deg.count()
-        parts = max(8, min(10_000, -(-n_edges // 1_000_000)))
-        saved_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        saved_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    # materializing the cached e_deg (the biggest shuffle, run at
+    # session confs so AQE still shapes it) doubles as the loop sizing
+    # count (loop_confs.loop_partitions). The tuned confs live on a
+    # cloned session — the caller's session is never mutated, so
+    # concurrent queries on it keep their plans.
+    n_edges = e_deg.count() if tune_loop_confs else 0
+    with tuned_loop_session(spark, n_edges, enabled=tune_loop_confs) as (
+        _loop,
+        rebind,
+    ):
+        ranks, verts_l, e_deg_l, danglers_l = (
+            rebind(ranks), rebind(verts), rebind(e_deg), rebind(danglers),
+        )
         # symmetric graphs (bidirectional edge lists, co-occurrence
         # graphs) have no dangling vertices at all — one cheap pre-loop
-        # check (inside the tuned-conf window: its shapes are the loop's
+        # check (inside the tuned window: its shapes are the loop's
         # shapes) skips the per-iteration dangling agg + broadcast
-        has_danglers = not danglers.isEmpty()
+        has_danglers = not danglers_l.isEmpty()
         ranks = _pagerank_loop(
-            ranks, verts, e_deg, danglers, has_danglers, ns, reset,
+            ranks, verts_l, e_deg_l, danglers_l, has_danglers, ns, reset,
             max_iter, checkpoint_every, bcast,
         )
-    finally:
-        if tune_loop_confs:
-            spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     out = ranks.select(*ns, "id", "rank")
     # the returned frame is checkpoint-backed; the loop-invariant caches
     # are no longer needed by its lineage

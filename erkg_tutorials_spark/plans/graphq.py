@@ -210,7 +210,9 @@ def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component sizes of the customer↔supplier trade graph."""
     from erkg_tutorials_spark.graph.connected_components import connected_components
 
-    cc = connected_components(trade_edges_fwd(spark, sf_dir))
+    # the trade edge table is distinct with src "c:…" < dst "s:…" by
+    # construction — already canonical, skip that shuffle
+    cc = connected_components(trade_edges_fwd(spark, sf_dir), input_canonical=True)
     return (
         cc.groupBy("component")
         .agg(F.count("*").alias("n_members"))

@@ -30,6 +30,24 @@ class TestConnectedComponents:
         verts = connected_components(edges).collect()
         assert {r.id: r.component for r in verts} == {1: 1, 2: 1}
 
+    def test_input_canonical_fast_path_matches(self, spark):
+        edges = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in [(1, 2), (2, 3), (3, 9), (10, 11), (11, 12)]]
+        )
+        default = {r.id: r.component for r in connected_components(edges).collect()}
+        fast = {
+            r.id: r.component
+            for r in connected_components(edges, input_canonical=True).collect()
+        }
+        assert fast == default
+
+    def test_nonconvergence_raises(self, spark):
+        # ADVICE r2: exhausting max_rounds must fail loudly, not
+        # silently read components off a non-converged edge set
+        edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(1, 40)])
+        with pytest.raises(RuntimeError, match="not a star forest"):
+            connected_components(edges, max_rounds=1)
+
 
 class TestSimHash:
     def test_identical_docs_same_hash(self, spark):
