@@ -56,10 +56,72 @@ def hashing_embedder(dim: int = 64, normalize: bool = True):
     return embed
 
 
+def encoder_embedder(encode):
+    """Wrap ANY ``encode: list[str] -> np.ndarray`` callable as the
+    same Arrow-batched pandas_udf shape the hashing tier uses — this
+    is the real-model seam: the callable (e.g. a sentence-transformer
+    adapter) is serialized to executors and invoked once per Arrow
+    batch, never per row."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def embed(s: pd.Series) -> pd.Series:
+        mat = np.asarray(encode(s.fillna("").tolist()), dtype=np.float32)
+        return pd.Series(list(mat))
+
+    return embed
+
+
+# per-worker-process model cache (see text/ner_model.py for rationale)
+_ST_SINGLETON: dict = {}
+
+
+def _get_st_model(model_name: str):
+    m = _ST_SINGLETON.get(model_name)
+    if m is None:
+        from sentence_transformers import SentenceTransformer  # optional dep
+
+        m = SentenceTransformer(model_name)
+        _ST_SINGLETON[model_name] = m
+    return m
+
+
+def sentence_transformer_available(model_name: str = "all-MiniLM-L6-v2") -> bool:
+    """True iff sentence-transformers AND the named model load here."""
+    try:
+        _get_st_model(model_name)
+        return True
+    except Exception:
+        return False
+
+
+def sentence_transformer_encode(model_name: str = "all-MiniLM-L6-v2"):
+    """``encode`` callable backed by a per-executor-process
+    sentence-transformer singleton; pass to :func:`encoder_embedder`
+    or :func:`embed_column`. The closure carries only the model NAME —
+    executors load (and cache) the weights themselves."""
+
+    def encode(texts: list[str]) -> np.ndarray:
+        from erkg_tutorials_spark.linking.embed import _get_st_model
+
+        return _get_st_model(model_name).encode(texts, convert_to_numpy=True)
+
+    return encode
+
+
 def embed_column(
-    df: DataFrame, text_col: str, out_col: str = "embedding", dim: int = 64
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "embedding",
+    dim: int = 64,
+    encode=None,
 ) -> DataFrame:
-    return df.withColumn(out_col, hashing_embedder(dim)(F.col(text_col)))
+    """Embedding column via the hashing tier (default, deterministic,
+    always available) or any injected ``encode`` callable (real-model
+    tier — e.g. ``sentence_transformer_encode()`` when the package is
+    installed). Both paths produce ``array<float>`` through the same
+    Arrow-batched pandas_udf plumbing."""
+    udf = encoder_embedder(encode) if encode is not None else hashing_embedder(dim)
+    return df.withColumn(out_col, udf(F.col(text_col)))
 
 
 def cosine(a: str, b: str) -> Column:
