@@ -26,13 +26,39 @@ ATTRIBUTION_WINDOW_SECONDS = 3600
 
 
 def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
-    """Stream-static join: attach dimension attributes to each event.
-
-    The static side re-resolves per micro-batch (Spark semantics), so
-    a dimension refresh is picked up without restarting the stream —
+    """Stream-static join: attach dimension attributes to each event —
     the streaming counterpart of the broadcast dim join (J1).
+
+    Snapshot semantics: for a file-backed ``dim`` the file listing is
+    resolved when the query plan is built, so rows appended to the
+    dimension while the query runs are NOT visible to later
+    micro-batches (measured on this engine — a batch-1 probe sees the
+    batch-0 listing; tests/test_streaming_joins.py pins it). For a
+    dimension that must refresh without a restart, use
+    :func:`enrich_each_batch`, which re-resolves the dimension per
+    micro-batch inside ``foreachBatch``.
     """
     return events.join(F.broadcast(dim), key, "left")
+
+
+def enrich_each_batch(dim_loader, sink, key: str = "user_id"):
+    """Refreshing stream-static enrichment: a ``foreachBatch`` callable
+    that re-loads the dimension via ``dim_loader()`` on EVERY
+    micro-batch (fresh file listing → appended dim rows are visible),
+    broadcast-joins it onto the batch, and hands the result to
+    ``sink(enriched_df, batch_id)``.
+
+    This is the standard production pattern for slowly-changing
+    dimensions under Structured Streaming: the stream side stays
+    incremental while the dimension is a per-batch snapshot read —
+    one tiny broadcast per micro-batch, no restart, no join state.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = batch_df.join(F.broadcast(dim_loader()), key, "left")
+        sink(enriched, batch_id)
+
+    return fn
 
 
 def attribution_stream(

@@ -4,7 +4,11 @@ interval join, checked for exact parity with their batch twins."""
 from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.streaming.events import read_events_stream
-from erkg_tutorials_spark.streaming.joins import attribution_stream, enrich_stream
+from erkg_tutorials_spark.streaming.joins import (
+    attribution_stream,
+    enrich_each_batch,
+    enrich_stream,
+)
 from tests.conftest import SF_DIR
 
 
@@ -42,6 +46,73 @@ class TestStreamStaticJoin:
             .collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestDimensionRefresh:
+    """Pins the two refresh semantics (ADVICE r2): a file-backed static
+    side is a plan-time snapshot; enrich_each_batch re-resolves it per
+    micro-batch."""
+
+    def _setup(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        dim_dir = str(tmp_path / "dim")
+        in_dir = str(tmp_path / "in")
+        spark.createDataFrame([Row(user_id=1, tier="gold")]).write.parquet(dim_dir)
+        spark.createDataFrame([Row(user_id=1, event_id=10)]).coalesce(1).write.parquet(
+            in_dir + "/f0"
+        )
+        spark.createDataFrame([Row(user_id=2, event_id=20)]).coalesce(1).write.parquet(
+            in_dir + "/f1"
+        )
+        stream = (
+            spark.readStream.schema("user_id LONG, event_id LONG")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir + "/*")
+        )
+        return dim_dir, stream
+
+    def _refresh_dim_after_batch0(self, spark, dim_dir, seen):
+        from pyspark.sql import Row
+
+        def sink(df, bid):
+            seen.append((bid, sorted((r.user_id, r.tier) for r in df.collect())))
+            if bid == 0:
+                spark.createDataFrame(
+                    [Row(user_id=2, tier="silver")]
+                ).write.mode("append").parquet(dim_dir)
+
+        return sink
+
+    def test_static_side_is_plan_time_snapshot(self, spark, tmp_path):
+        dim_dir, stream = self._setup(spark, tmp_path)
+        seen = []
+        sink = self._refresh_dim_after_batch0(spark, dim_dir, seen)
+        out = enrich_stream(stream, spark.read.parquet(dim_dir))
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # batch 1 does NOT see the appended dim row — snapshot semantics
+        assert seen == [(0, [(1, "gold")]), (1, [(2, None)])]
+
+    def test_enrich_each_batch_sees_refresh(self, spark, tmp_path):
+        dim_dir, stream = self._setup(spark, tmp_path)
+        seen = []
+        inner = self._refresh_dim_after_batch0(spark, dim_dir, seen)
+        fn = enrich_each_batch(lambda: spark.read.parquet(dim_dir), inner)
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # batch 1 DOES see the appended dim row — per-batch re-resolution
+        assert seen == [(0, [(1, "gold")]), (1, [(2, "silver")])]
 
 
 class TestStreamStreamIntervalJoin:
