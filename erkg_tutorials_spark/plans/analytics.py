@@ -58,8 +58,20 @@ def register(name: str, oracle: str | None):
 # of two up to 2^64 and the mantissa of a double cannot hold the
 # mixed-magnitude sum exactly, so float summation would be
 # order-dependent across engines.
+#
+# The estimate itself is also exact integer arithmetic (r3 — the sf0.1
+# sweep caught a 1-ulp double division landing on either side of a
+# ROUND(·, 4) tie between engines): alpha_256 is the exact rational
+#   0.7213 / (1 + 1.079/256) = 7213·256 / 2570790 = 1846528 / 2570790
+# so E_raw·10^4 = N4 / (2570790·S) with N4 = 1846528·65536·2^64·10^4
+# (35 digits — fits DECIMAL(38,0)/HUGEINT). hll_estimate is the
+# 4dp-FLOORED estimate, floor done by integer division — bit-equal on
+# any engine. The linear-counting branch predicate (E_raw <= 2.5·256)
+# becomes the exact compare est_scaled <= 640·10^4; the ln() in that
+# branch stays float (255 possible inputs, round-to-4dp ties aren't
+# realistically hittable, and the small-cardinality gates exercise it).
 # ---------------------------------------------------------------------------
-_HLL_ALPHA = "0.7213 / (1 + 1.079 / 256)"
+_HLL_N4 = str(1846528 * 65536 * 2**64 * 10**4)
 
 _HLL_SQL = f"""
     WITH h AS (
@@ -88,9 +100,10 @@ _HLL_SQL = f"""
     est AS (
       SELECT event_type,
              (256 - n_buckets) AS v,
-             CAST(s_present + (256 - n_buckets) * CAST(power(2, 64) AS DECIMAL(38,0))
-                  AS DOUBLE) AS s,
-             ({_HLL_ALPHA}) * 256 * 256 * power(2, 64) AS num
+             CAST('{_HLL_N4}' AS HUGEINT)
+               // (2570790 * CAST(s_present + (256 - n_buckets)
+                                  * CAST(power(2, 64) AS DECIMAL(38,0)) AS HUGEINT))
+               AS est_scaled
       FROM agg
     ),
     ex AS (
@@ -98,9 +111,9 @@ _HLL_SQL = f"""
     )
     SELECT est.event_type,
            CAST(n_exact AS BIGINT) AS n_exact,
-           ROUND(CASE WHEN num / s <= 640 AND v > 0
-                      THEN 256 * ln(256.0 / v)
-                      ELSE num / s END, 4) AS hll_estimate
+           CASE WHEN est_scaled <= 6400000 AND v > 0
+                THEN ROUND(256 * ln(256.0 / v), 4)
+                ELSE CAST(est_scaled AS BIGINT) / 10000.0 END AS hll_estimate
     FROM est JOIN ex ON est.event_type = ex.event_type
 """
 
@@ -134,26 +147,23 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = agg.select(
         "event_type",
         (F.lit(256) - F.col("n_buckets")).alias("v"),
-        (
-            F.col("s_present")
-            + (F.lit(256) - F.col("n_buckets"))
-            * F.expr("CAST(power(2, 64) AS DECIMAL(38,0))")
-        )
-        .cast("double")
-        .alias("s"),
-        F.expr(f"({_HLL_ALPHA}) * 256 * 256 * power(2, 64)").alias("num"),
+        F.expr(
+            f"CAST(CAST('{_HLL_N4}' AS DECIMAL(38,0)) DIV "
+            "(CAST(2570790 AS DECIMAL(38,0)) * "
+            "(s_present + (256 - n_buckets) * CAST(power(2, 64) AS DECIMAL(38,0)))) "
+            "AS BIGINT)"
+        ).alias("est_scaled"),
     )
     ex = h.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
     return est.join(ex, "event_type").select(
         "event_type",
         F.col("n_exact").cast("long").alias("n_exact"),
-        F.round(
-            F.when(
-                (F.col("num") / F.col("s") <= 640) & (F.col("v") > 0),
-                F.lit(256) * F.log(F.lit(256.0) / F.col("v")),
-            ).otherwise(F.col("num") / F.col("s")),
-            4,
-        ).alias("hll_estimate"),
+        F.when(
+            (F.col("est_scaled") <= 6400000) & (F.col("v") > 0),
+            F.round(F.lit(256) * F.log(F.lit(256.0) / F.col("v")), 4),
+        )
+        .otherwise(F.col("est_scaled") / F.lit(10000.0))
+        .alias("hll_estimate"),
     )
 
 
