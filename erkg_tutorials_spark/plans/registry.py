@@ -12,6 +12,7 @@ from erkg_tutorials_spark.plans import (
     graphq,
     relational,
     relational2,
+    relational3,
     temporal,
     textq,
     vectorq,
@@ -20,6 +21,7 @@ from erkg_tutorials_spark.plans import (
 _MODULES = (
     relational,
     relational2,
+    relational3,
     graphq,
     textq,
     vectorq,
