@@ -419,3 +419,32 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.groupBy(F.col("label").alias("community"))
         .agg(F.count("*").alias("n_members"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (graph/kcore.py): the maximal subgraph where
+# every vertex keeps ≥ k trade partners. Spark peels to a fixpoint
+# (raises if > 6 rounds); the oracle replays a fixed 6-round peel —
+# rounds past the fixpoint are no-ops, so the hash gate also verifies
+# the convergence claim.
+# ---------------------------------------------------------------------------
+def _kcore_oracle(k: int = 40, rounds: int = 6) -> str:
+    from erkg_tutorials_spark.graph.kcore import k_core_peel_sql
+
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + k_core_peel_sql(k=k, rounds=rounds)
+        + f"""
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM core{rounds} GROUP BY src
+    """
+    )
+
+
+@register("g_kcore", _kcore_oracle())
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices of the 40-core of the trade graph with in-core degree."""
+    from erkg_tutorials_spark.graph.kcore import k_core
+
+    return k_core(trade_edges_sym(spark, sf_dir), k=40, max_rounds=6)

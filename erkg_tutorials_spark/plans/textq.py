@@ -606,3 +606,136 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "tok", "tfidf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document exact dedup (chunk granularity): the RefinedWeb/C4-style
+# repeated-passage pass — documents are split into fixed 20-word
+# chunks, a chunk repeated across ≥2 documents is "duplicated text",
+# and each doc reports its duplicated-chunk ratio (the filter signal a
+# curation pipeline thresholds on).
+#
+# Scale notes (100 TB): chunking + hashing is embarrassingly parallel;
+# the only shuffle is the chunk-hash groupBy whose fan-in is bounded by
+# true repetition (unique chunks aggregate to count 1 map-side). No
+# pairwise work at all — this is the cheap first tier before MinHash.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_chunk_exact",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             md5(array_to_string(w[(i * 20 + 1):(i * 20 + 20)], ' ')) AS chunk_hash
+      FROM w, UNNEST(generate_series(0, CAST(len(w) // 20 AS INT) - 1)) AS t(i)
+      WHERE len(w) >= 20
+    ),
+    shared AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_ratio
+    FROM chunks JOIN shared USING (chunk_hash)
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # DuckDB list slicing w[a:b] clamps to list end; Spark's
+    # slice(w, start, 20) would pad nothing but produce a SHORT last
+    # chunk — both engines drop partial chunks via the i-range bound,
+    # so only full 20-word windows are hashed.
+    chunks = (
+        t["documents"]
+        .select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .where(F.size("w") >= 20)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int(size(w) / 20) - 1),"
+                    " i -> md5(array_join(slice(w, i * 20 + 1, 20), ' ')))"
+                )
+            ).alias("chunk_idx", "chunk_hash"),
+        )
+    )
+    shared = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(shared, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-rarity quality score: the exact-arithmetic surrogate for
+# unigram-LM perplexity filtering. Words are ranked by global corpus
+# frequency (dense_rank over count DESC, word ASC — a total integer
+# order, no log() cross-engine ulp risk); a document's score is its
+# mean word rank (integer sum ÷ integer count, one division). High
+# mean rank = rare vocabulary = the same tail a perplexity filter
+# trims. n_hapax counts corpus-hapax occurrences per doc.
+#
+# Scale notes: the vocabulary table is tiny relative to the corpus
+# (heavy-tail dedup) → broadcast join back onto occurrences; the
+# per-doc agg shuffles on doc_id once.
+# ---------------------------------------------------------------------------
+@register(
+    "text_rarity_score",
+    """
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS n,
+             CAST(dense_rank() OVER (ORDER BY COUNT(*) DESC, word ASC) AS BIGINT)
+               AS rnk
+      FROM occ GROUP BY word
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(SUM(rnk) * 1.0 / COUNT(*), 6) AS mean_rank,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM occ JOIN vocab USING (word)
+    GROUP BY doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    occ = t["documents"].select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    vocab = (
+        occ.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rnk",
+            F.dense_rank()
+            .over(Window.orderBy(F.desc("n"), F.asc("word")))
+            .cast("long"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.sum("rnk") / F.count("*"), 6).alias("mean_rank"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+    )

@@ -246,3 +246,164 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("emb"), 6).alias("min_elem"),
         F.round(F.array_max("emb"), 6).alias("max_elem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN (the faiss-SQ8 pattern): per-dimension
+# global [min,max] → 8-bit codes → integer-dot coarse scoring over the
+# codes → exact float rerank of the top-C candidates only.
+#
+# Why this tier exists between bruteforce and IVF: the coarse pass
+# reads 8× fewer bytes per vector (uint8 codes vs float64) and its dot
+# products are exact INTEGER arithmetic — at 100 TB the scan is memory-
+# bandwidth-bound, so byte width IS throughput; combine with IVF cells
+# (codes within probed cells) for the full scale path. Candidate
+# selection and rerank are both deterministic: integer dot products
+# are exact, the only floats are the final cosine divisions, rounded
+# to 6dp before ranking with id tie-breaks (house float-parity rule).
+#
+# The quantization grid (256 buckets, clamp 255, zero-width guard) is
+# replayed verbatim by the oracle, so code assignment itself is under
+# the hash gate.
+# ---------------------------------------------------------------------------
+SQ8_DIM = 64
+SQ8_QUERIES = 5
+SQ8_CAND = 10
+SQ8_K = 3
+
+_SQ8_ORACLE = f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    stats AS MATERIALIZED (
+      SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs
+      FROM (
+        SELECT d, MIN(emb[d]) AS mn, MAX(emb[d]) AS mx
+        FROM v, UNNEST(generate_series(1, {SQ8_DIM})) AS t(d)
+        GROUP BY d
+      )
+    ),
+    coded AS MATERIALIZED (
+      SELECT vec_id,
+             emb,
+             list_transform(generate_series(1, {SQ8_DIM}), i ->
+               CASE WHEN maxs[i] = mins[i] THEN 0.0
+                    ELSE CAST(least(255, CAST(floor(((emb[i] - mins[i])
+                           / (maxs[i] - mins[i])) * 256.0) AS INT)) AS DOUBLE)
+               END) AS code
+      FROM v CROSS JOIN stats
+    ),
+    cn AS MATERIALIZED (
+      SELECT vec_id, emb, code, list_dot_product(code, code) AS cnorm2,
+             sqrt(list_dot_product(emb, emb)) AS en
+      FROM coded
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, code AS qcode,
+                 cnorm2 AS qnorm2, en AS qen
+          FROM cn WHERE vec_id < {SQ8_QUERIES}),
+    coarse AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.emb, q.qemb, c.en, q.qen,
+             ROUND(list_dot_product(c.code, q.qcode)
+                   / (sqrt(c.cnorm2) * sqrt(q.qnorm2)), 6) AS acos
+      FROM cn c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY acos DESC, neighbor_id) AS crank
+      FROM coarse
+    ),
+    rerank AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(emb, qemb) / (en * qen), 6) AS cosine
+      FROM cand WHERE crank <= {SQ8_CAND}
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM rerank
+    QUALIFY rank <= {SQ8_K}
+    """
+
+
+@register("knn_cosine_sq8", _SQ8_ORACLE)
+def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    v = t["embeddings"].select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    stats = v.agg(
+        F.array(*[F.min(F.col("emb")[i]) for i in range(SQ8_DIM)]).alias("mins"),
+        F.array(*[F.max(F.col("emb")[i]) for i in range(SQ8_DIM)]).alias("maxs"),
+    )
+    # codes kept as BIGINT so the coarse dot/norms are exact integer
+    # arithmetic (values ≤ 255 → dot ≤ 64·255² ≈ 4.2M, no overflow)
+    coded = (
+        v.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "code",
+            F.expr(
+                f"transform(sequence(0, {SQ8_DIM - 1}), i -> "
+                "CASE WHEN maxs[i] = mins[i] THEN 0L "
+                "ELSE cast(least(255, cast(floor(((emb[i] - mins[i])"
+                " / (maxs[i] - mins[i])) * 256.0) as int)) as bigint) END)"
+            ),
+        )
+        .withColumn(
+            "cnorm2",
+            F.expr("aggregate(zip_with(code, code, (x, y) -> x * y), 0L, (a, b) -> a + b)"),
+        )
+        .withColumn(
+            "en",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(emb, emb, (x, y) -> x * y),"
+                    " cast(0.0 as double), (a, b) -> a + b)"
+                )
+            ),
+        )
+        .select("vec_id", "emb", "code", "cnorm2", "en")
+    )
+    q = coded.where(F.col("vec_id") < SQ8_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("code").alias("qcode"),
+        F.col("cnorm2").alias("qnorm2"),
+        F.col("en").alias("qen"),
+    )
+    coarse = (
+        coded.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "acos",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(code, qcode, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+                )
+                / (F.sqrt(F.col("cnorm2")) * F.sqrt(F.col("qnorm2"))),
+                6,
+            ),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cand = coarse.withColumn("crank", F.row_number().over(wc)).where(
+        F.col("crank") <= SQ8_CAND
+    )
+    rerank = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(emb, qemb, (x, y) -> x * y),"
+                " cast(0.0 as double), (a, b) -> a + b)"
+            )
+            / (F.col("en") * F.col("qen")),
+            6,
+        ).alias("cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return rerank.withColumn("rank", F.row_number().over(wr).cast("long")).where(
+        F.col("rank") <= SQ8_K
+    )
