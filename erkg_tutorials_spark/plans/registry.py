@@ -10,9 +10,11 @@ from erkg_tutorials_spark.plans import (
     coverage2,
     eventsq,
     graphq,
+    llmops,
     relational,
     relational2,
     relational3,
+    scale,
     temporal,
     textq,
     vectorq,
@@ -22,6 +24,8 @@ _MODULES = (
     relational,
     relational2,
     relational3,
+    scale,
+    llmops,
     graphq,
     textq,
     vectorq,

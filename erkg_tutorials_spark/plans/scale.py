@@ -1,0 +1,252 @@
+"""Scale-execution patterns as first-class registry queries.
+
+These four queries demonstrate — with exact, fully-oracled results —
+the physical-layer techniques a 100 TB deployment leans on:
+
+- ``runtime_prefilter_join``: a hand-rolled runtime filter (the
+  coarse-key half of a Bloom/DPP filter): the fact scan is prefiltered
+  by a tiny broadcast set of hashed build-side keys before the exact
+  semi-join. The prefilter is a strict superset filter, so the result
+  is bit-identical to the plain semi-join the oracle runs.
+- ``skew_salted_agg``: the two-phase salted aggregation rewrite for
+  skewed groupBy keys (AQE splits skewed *join* partitions but not
+  skewed aggregation groups). Exact-integer sums make the two-phase
+  result order-independent and identical to the one-phase oracle.
+- ``zorder_clustering``: multi-dimensional Z-order (Morton) layout
+  keys — the data-layout primitive behind Delta/Iceberg Z-ordering —
+  computed with pure integer bit arithmetic that both engines replay
+  exactly.
+- ``events_histogram``: fixed-width histogram over a double column
+  using only per-row IEEE ops (divide, floor) plus exact counts, so
+  no cross-engine summation-order risk exists.
+
+All plans are single-shuffle (one groupBy each) except the prefilter
+join, whose extra exchange is a broadcast build — nothing here grows
+super-linearly with the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.functions.exact_math import exact_money_sum
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter join: coarse hashed-key prefilter + exact confirm.
+#
+# At 100 TB the build side's distinct-key set may be too large to
+# broadcast raw, but its *hashed coarse image* (mod M) is at most M
+# rows regardless of build size — that tiny set broadcasts to every
+# fact scan task and discards the bulk of fact rows before the real
+# join pays its shuffle/build cost. Spark's own
+# ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects the
+# same shape automatically; this query pins the explicit rewrite so
+# the pattern (and its exactness guarantee: prefilter ⊇ matches) is
+# part of the tested surface.
+# ---------------------------------------------------------------------------
+PREFILTER_MOD = 4096
+ACCTBAL_MIN = 9000.0
+
+
+@register(
+    "runtime_prefilter_join",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > {ACCTBAL_MIN}
+    )
+    GROUP BY 1
+    """,
+)
+def runtime_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rich = t["customer"].where(F.col("c_acctbal") > ACCTBAL_MIN)
+    coarse = (
+        rich.select(
+            F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(PREFILTER_MOD)).alias("__ck")
+        )
+        .distinct()
+    )
+    fact = t["orders"].withColumn(
+        "__ck", F.pmod(F.xxhash64(F.col("o_custkey")), F.lit(PREFILTER_MOD))
+    )
+    # stage 1: coarse prefilter — ≤ PREFILTER_MOD broadcast rows, never
+    # false-negative (same hash both sides)
+    prefiltered = fact.join(F.broadcast(coarse), "__ck", "left_semi")
+    # stage 2: exact confirm against the true key set
+    confirmed = prefiltered.join(
+        F.broadcast(rich.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    )
+    return confirmed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        exact_money_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation. event_type has ~5 distinct values over
+# every event row — the canonical aggregation-skew shape (5 reducers do
+# all the work no matter how many partitions you shuffle into). The
+# rewrite scatters each group over SALT partial groups first; integer
+# sums make the recombination exact.
+# ---------------------------------------------------------------------------
+AGG_SALT = 16
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+
+    ev = load_tables(spark, sf_dir)["events"]
+    # content-derived salt from a UNIQUE column: uniform by
+    # construction, deterministic under task retry (unlike a random or
+    # position-derived salt)
+    salted = ev.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(AGG_SALT))
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("_n"), F.sum(money_cents(F.col("value"))).alias("_c")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        (F.sum("_c") / 100.0).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys. Interleaving the low 8 bits of two bucketed
+# dimensions gives a 16-bit Morton key; range-partitioning/sorting by
+# it co-locates rows that are close in BOTH dimensions, which is what
+# lets a 100 TB table prune files on either predicate. The query
+# reports per-z-range extents: each 64-key range touches only a
+# narrow band of custkey-buckets AND date-buckets — the locality
+# property itself, made visible (and hash-gated) as data.
+# ---------------------------------------------------------------------------
+ZBITS = 8
+
+
+def _interleave_expr(x: str, y: str, engine: str) -> str:
+    """Morton interleave of the low ZBITS bits of x (even positions)
+    and y (odd positions), as a SQL expression both engines evaluate
+    identically on BIGINTs."""
+    terms = []
+    for i in range(ZBITS):
+        if engine == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_clustering",
+    f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS y
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, x, y, {_interleave_expr('x', 'y', 'duck')} AS zkey
+      FROM b
+    )
+    SELECT CAST(zkey >> 6 AS BIGINT) AS zrange,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256).alias("y"),
+    )
+    z = b.withColumn("zkey", F.expr(_interleave_expr("x", "y", "spark")))
+    return z.groupBy(
+        F.shiftright(F.col("zkey"), 6).cast("long").alias("zrange")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+
+
+def zorder_deinterleave(zkey: int) -> tuple[int, int]:
+    """Inverse of the interleave (test helper): recover (x, y)."""
+    x = y = 0
+    for i in range(ZBITS):
+        x |= ((zkey >> (2 * i)) & 1) << i
+        y |= ((zkey >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram. The binning op is per-row IEEE (value/width,
+# floor) — deterministic across engines — and every aggregate is a
+# count or extremum, so the whole query is exact with no scaling
+# tricks. One shuffle, output bounded by bin count.
+# ---------------------------------------------------------------------------
+HIST_WIDTH = 25.0
+
+
+@register(
+    "events_histogram",
+    f"""
+    SELECT CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bin,
+           CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH} AS bin_lo,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    binned = ev.withColumn(
+        "bin", F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long")
+    )
+    return binned.groupBy("bin", (F.col("bin") * HIST_WIDTH).alias("bin_lo")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )

@@ -1,0 +1,196 @@
+"""Semantic tests for the scale-pattern and LLM-ops-batch-2 tiers
+(plans/scale.py, plans/llmops.py). Oracle parity is covered by
+test_oracle_parity.py; these pin the invariants a hash match alone
+would not explain (prefilter exactness, salt-invariance, Morton
+bijectivity, postings/count accounting, SemDeDup keeper rule).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.plans.llmops import (
+    SEMDEDUP_TAU,
+    dedup_semantic,
+    inverted_index_postings,
+    text_bigram_lm,
+)
+from erkg_tutorials_spark.plans.scale import (
+    AGG_SALT,
+    HIST_WIDTH,
+    events_histogram,
+    runtime_prefilter_join,
+    skew_salted_agg,
+    zorder_clustering,
+    zorder_deinterleave,
+    _interleave_expr,
+)
+from tests.conftest import SF_DIR
+
+
+class TestRuntimePrefilterJoin:
+    def test_equals_plain_semi_join(self, spark):
+        """The coarse prefilter must be invisible in the result: same
+        rows as the unfiltered exact semi-join + aggregation."""
+        from erkg_tutorials_spark.functions.exact_math import exact_money_sum
+        from erkg_tutorials_spark.plans.scale import ACCTBAL_MIN
+
+        t = load_tables(spark, SF_DIR)
+        rich = t["customer"].where(F.col("c_acctbal") > ACCTBAL_MIN)
+        plain = (
+            t["orders"]
+            .join(
+                rich.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                exact_money_sum(F.col("o_totalprice")).alias("total_price"),
+            )
+        )
+        got = {
+            (r.o_orderpriority, r.n_orders, r.total_price)
+            for r in runtime_prefilter_join(spark, SF_DIR).collect()
+        }
+        want = {
+            (r.o_orderpriority, r.n_orders, r.total_price) for r in plain.collect()
+        }
+        assert got == want
+
+
+class TestSkewSaltedAgg:
+    def test_equals_one_phase_agg(self, spark):
+        ev = load_tables(spark, SF_DIR)["events"]
+        plain = {
+            (r.event_type, r["count"]): None
+            for r in ev.groupBy("event_type").agg(F.count("*").alias("count")).collect()
+        }
+        got = skew_salted_agg(spark, SF_DIR).collect()
+        assert {(r.event_type, r.n_events) for r in got} == set(plain)
+
+    def test_salt_actually_scatters(self, spark):
+        """Each event_type must hit >1 salt bucket (else the rewrite
+        degenerates back to the skewed single-group shape)."""
+        ev = load_tables(spark, SF_DIR)["events"]
+        n = (
+            ev.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(AGG_SALT))
+            )
+            .groupBy("event_type")
+            .agg(F.countDistinct("__salt").alias("ns"))
+            .agg(F.min("ns"))
+            .first()[0]
+        )
+        assert n > AGG_SALT // 2
+
+
+class TestZOrder:
+    def test_interleave_roundtrip_exhaustive_corners(self, spark):
+        """Spark-evaluated Morton keys must deinterleave back to the
+        original coordinates (bijectivity on the 8-bit×8-bit grid)."""
+        pts = [(x, y) for x in (0, 1, 37, 128, 255) for y in (0, 2, 99, 200, 255)]
+        df = spark.createDataFrame(pts, "x: long, y: long").withColumn(
+            "zkey", F.expr(_interleave_expr("x", "y", "spark"))
+        )
+        for r in df.collect():
+            assert zorder_deinterleave(r.zkey) == (r.x, r.y)
+
+    def test_zrange_locality(self, spark):
+        """A 64-key z-range spans at most a 16-wide band in x and a
+        16-wide band in y (the prune-both-dimensions property)."""
+        for r in zorder_clustering(spark, SF_DIR).collect():
+            assert r.max_x - r.min_x <= 15
+            assert r.max_y - r.min_y <= 15
+
+    def test_counts_cover_table(self, spark):
+        total = (
+            zorder_clustering(spark, SF_DIR).agg(F.sum("n_rows")).first()[0]
+        )
+        assert total == load_tables(spark, SF_DIR)["orders"].count()
+
+
+class TestEventsHistogram:
+    def test_bins_cover_and_bound(self, spark):
+        rows = events_histogram(spark, SF_DIR).collect()
+        assert sum(r.n for r in rows) == load_tables(spark, SF_DIR)["events"].count()
+        for r in rows:
+            assert r.bin_lo <= r.min_value <= r.max_value < r.bin_lo + HIST_WIDTH
+
+
+class TestInvertedIndex:
+    def test_tf_accounts_for_every_token(self, spark):
+        idx = inverted_index_postings(spark, SF_DIR)
+        total_tf = idx.agg(F.sum("tf")).first()[0]
+        docs = load_tables(spark, SF_DIR)["documents"]
+        total_tokens = docs.select(
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("n")
+        ).agg(F.sum("n")).first()[0]
+        assert total_tf == total_tokens
+
+    def test_positions_sorted_and_sized(self, spark):
+        for r in inverted_index_postings(spark, SF_DIR).limit(200).collect():
+            assert list(r.positions) == sorted(r.positions)
+            assert len(r.positions) == r.tf
+
+    def test_df_counts_docs(self, spark):
+        idx = inverted_index_postings(spark, SF_DIR)
+        bad = idx.groupBy("term", "df").agg(
+            F.countDistinct("doc_id").alias("nd")
+        ).where(F.col("nd") != F.col("df"))
+        assert bad.count() == 0
+
+
+class TestBigramLM:
+    def test_left_counts_consistent(self, spark):
+        """Σ_w2 c_bigram(w1, w2) == c_left(w1) and Σ p_cond ≈ 1."""
+        lm = text_bigram_lm(spark, SF_DIR)
+        bad = (
+            lm.groupBy("w1", "c_left")
+            .agg(F.sum("c_bigram").alias("s"), F.sum("p_cond").alias("p"))
+            .where((F.col("s") != F.col("c_left")) | (F.abs(F.col("p") - 1) > 1e-4))
+        )
+        assert bad.count() == 0
+
+
+class TestSemDeDup:
+    def test_min_id_of_each_cell_never_dup(self, spark):
+        """The smallest vec_id in every cell has no lower-id neighbor,
+        so it must survive — the keeper rule."""
+        out = dedup_semantic(spark, SF_DIR)
+        mins = out.groupBy("cell").agg(F.min("vec_id").alias("vec_id"))
+        flagged_min = out.join(mins, ["cell", "vec_id"]).where(F.col("is_dup"))
+        assert flagged_min.count() == 0
+
+    def test_dup_implies_close_lower_neighbor_in_cell(self, spark):
+        from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+
+        out = dedup_semantic(spark, SF_DIR)
+        emb = load_tables(spark, SF_DIR)["embeddings"].select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+        withv = out.join(emb, "vec_id")
+        a = withv.select(
+            F.col("vec_id").alias("id_a"), "cell", F.col("emb").alias("ea")
+        )
+        b = withv.where("is_dup").select(
+            F.col("vec_id").alias("id_b"), "cell", F.col("emb").alias("eb")
+        )
+        close = (
+            a.join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos",
+                F.round(
+                    _dot("ea", "eb")
+                    / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))),
+                    6,
+                ),
+            )
+            .where(F.col("cos") >= SEMDEDUP_TAU)
+            .select("id_b")
+            .distinct()
+        )
+        n_dups = b.select("id_b").distinct().count()
+        assert close.count() == n_dups
