@@ -407,3 +407,75 @@ def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.withColumn("rank", F.row_number().over(wr).cast("long")).where(
         F.col("rank") <= SQ8_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity/pq.py): the third member of the
+# quantization family. Codebook training + encoding are index
+# construction — memoized per (application, sf_dir) like the IVF
+# centroids, timed under the bench's shared_materializations entry.
+# The oracle replays the ENTIRE pipeline (joint per-subspace Lloyd,
+# encoding, integer ADC, exact rerank) as one CTE chain, so the
+# approximation itself hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+PQ_QUERIES = 5
+PQ_RERANK = 50
+PQ_K = 3
+
+
+def pq_codebooks_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.plans.memo import memoized
+    from erkg_tutorials_spark.similarity.pq import pq_train_codebooks
+
+    return memoized(
+        spark,
+        sf_dir,
+        "pq_codebooks",
+        lambda: pq_train_codebooks(load_tables(spark, sf_dir)["embeddings"]),
+    )
+
+
+def pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.plans.memo import memoized
+    from erkg_tutorials_spark.similarity.pq import pq_encode
+
+    return memoized(
+        spark,
+        sf_dir,
+        "pq_codes",
+        lambda: pq_encode(
+            load_tables(spark, sf_dir)["embeddings"],
+            pq_codebooks_cached(spark, sf_dir),
+        ),
+    )
+
+
+def _pq_oracle() -> str:
+    from erkg_tutorials_spark.similarity.pq import pq_sql
+
+    return (
+        """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),"""
+        + pq_sql(n_queries=PQ_QUERIES, rerank=PQ_RERANK, k=PQ_K)
+    )
+
+
+@register("knn_cosine_pq", _pq_oracle())
+def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k: integer asymmetric-distance scoring over 8-byte
+    codes, exact rerank of the top-RERANK candidates. At 100 TB this
+    layers under the IVF router (scan only probed cells' code lists);
+    flat here to keep the registry query single-purpose."""
+    from erkg_tutorials_spark.similarity.pq import cosine_knn_pq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return cosine_knn_pq(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < PQ_QUERIES),
+        codebooks=pq_codebooks_cached(spark, sf_dir),
+        codes=pq_codes_cached(spark, sf_dir),
+        rerank=PQ_RERANK,
+        k=PQ_K,
+    )

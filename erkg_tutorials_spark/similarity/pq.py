@@ -1,0 +1,277 @@
+"""Product-quantization ANN (the faiss ``PQ`` pattern), in-engine.
+
+Completes the quantization family next to IVF (similarity/ivf.py) and
+SQ8 (plans/vectorq.py): split each d-dim vector into M subvectors,
+train a tiny k-means codebook per subspace, store each vector as M
+one-byte codes, and score queries against the codes with an
+asymmetric-distance (ADC) lookup table — the full-precision corpus is
+touched only to rerank the short ADC candidate list.
+
+Scale shape (the reason PQ exists): the codes table is M small ints
+per vector (~8 bytes vs 256+ for the raw embedding), the codebooks are
+M·k_sub tiny rows (broadcast), and ADC scoring is a map-side
+broadcast-join + one integer-sum groupBy — no full-precision vector
+ever shuffles. At 100 TB this layers under the IVF cell router
+(IVF-PQ); here the flat variant keeps the registry query single-
+purpose, and the docstringed composition is the production path.
+
+Engine-parity design (same discipline as similarity/kmeans.py):
+
+* deterministic RNG-free seeding — every subspace seeds from the SAME
+  k_sub vectors with the smallest ``(md5(vec_id), vec_id)``, so the
+  oracle replays seeding with one ROW_NUMBER;
+* joint training — all M subspaces train in ONE Lloyd loop keyed by
+  (subspace, cell): one broadcast join + one (m, cell, pos) shuffle
+  per round, not M separate jobs;
+* L2 assignment via the three-dot expansion ``x·x - 2x·c + c·c``
+  ROUNDed to 6dp with cell-id tiebreak — the identical expression on
+  both engines (list_dot_product parity is the established base of
+  the cosine oracles);
+* ADC partial dots are scaled to exact BIGINTs per (subspace, code)
+  BEFORE the per-candidate sum, so the M-term accumulation is
+  order-independent integer math on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+
+PQ_M = 8          # subspaces (64-dim testdata embeddings → 8 dims each)
+PQ_SUBDIM = 8
+PQ_KSUB = 16      # codebook size per subspace
+PQ_ITERS = 2      # Lloyd rounds (deterministic, replayed by the oracle)
+ADC_SCALE = 1_000_000  # partial-dot integer scaling (6dp, matches ROUND(...,6))
+
+
+def _l2(a: str, b: str) -> F.Column:
+    """Rounded squared L2 distance via the three-dot expansion —
+    written identically in the DuckDB oracle so both engines compute
+    the same float expression before the 6dp round."""
+    return F.round(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b), 6)
+
+
+def pq_subvectors(vectors: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, m, sub): the m-th PQ_SUBDIM-dim slice of each vector."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb"))
+    slices = F.array(*[
+        F.slice("emb", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)
+    ])
+    return v.select(
+        "vec_id", F.posexplode(slices).alias("m", "sub")
+    ).select("vec_id", F.col("m").cast("long").alias("m"), "sub")
+
+
+def pq_train_codebooks(vectors: DataFrame) -> DataFrame:
+    """Train all M codebooks jointly; returns (m, cid, cvec).
+
+    One Lloyd loop over the exploded (vec_id, m, sub) table: the
+    assignment join is keyed by subspace (codebooks broadcast), the
+    centroid update is a single (m, cell, pos) aggregation. Cells that
+    lose every member drop out — identically in the oracle replay.
+    """
+    sub = pq_subvectors(vectors).localCheckpoint(eager=True)
+
+    seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    seed_ids = (
+        sub.select("vec_id").distinct()
+        .withColumn("cid", F.row_number().over(seed_w) - F.lit(1))
+        .where(F.col("cid") < PQ_KSUB)
+    )
+    cb = sub.join(seed_ids, "vec_id").select(
+        "m", F.col("cid").cast("long").alias("cid"), F.col("sub").alias("cvec")
+    )
+
+    for _ in range(PQ_ITERS):
+        w_assign = Window.partitionBy("vec_id", "m").orderBy(
+            F.asc("d2"), F.asc("cid")
+        )
+        assigned = (
+            sub.join(F.broadcast(cb), "m")
+            .withColumn("d2", _l2("sub", "cvec"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") == 1)
+            .select("m", F.col("cid").alias("cell"), "sub")
+        )
+        cb = (
+            assigned.select("m", "cell", F.posexplode("sub").alias("pos", "val"))
+            .groupBy("m", "cell", "pos")
+            .agg(F.avg("val").alias("mn"))
+            .groupBy("m", "cell")
+            .agg(F.expr(
+                "transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)"
+            ).alias("cvec"))
+            .select("m", F.col("cell").alias("cid"), "cvec")
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest-codebook-entry id per subspace."""
+    sub = pq_subvectors(vectors)
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        sub.join(F.broadcast(codebooks), "m")
+        .withColumn("d2", _l2("sub", "cvec"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+
+
+def cosine_knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    rerank: int,
+    k: int,
+) -> DataFrame:
+    """ADC candidate generation + exact top-k rerank.
+
+    Per query: build the (m, cid) → scaled-integer partial-dot lookup
+    table (M·k_sub rows, broadcast), score every code row with one
+    integer sum, keep the ``rerank`` best candidates by (adc, id), and
+    rerank those exactly — the only full-precision work is
+    |queries|·rerank cosines.
+    """
+    qsub = pq_subvectors(queries).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("qsub")
+    )
+    lut = qsub.join(F.broadcast(codebooks), "m").select(
+        "query_id", "m", "cid",
+        F.round(_dot("qsub", "cvec") * ADC_SCALE, 0).cast("long").alias("pdot"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut),
+                   (codes.m == lut.m) & (codes.code == lut.cid))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("adc"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= rerank)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    v = corpus.select("vec_id", _as_double("embedding").alias("emb"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, cand.neighbor_id == v.vec_id)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("qv", "emb")
+                / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("emb", "emb"))),
+                6,
+            ),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def pq_sql(*, n_queries: int, rerank: int, k: int) -> str:
+    """DuckDB CTE chain replaying the whole PQ pipeline — subvector
+    split, joint codebook training, encoding, integer ADC, exact
+    rerank — over a pre-existing ``v(vec_id, emb)`` CTE (DOUBLE[])."""
+    d2 = ("ROUND(list_dot_product(s.sub, s.sub)"
+          " - 2 * list_dot_product(s.sub, c.cvec)"
+          " + list_dot_product(c.cvec, c.cvec), 6)")
+    parts = [f"""
+    sub AS MATERIALIZED (
+      SELECT vec_id, CAST(t.m AS BIGINT) AS m,
+             list_slice(emb, t.m * {PQ_SUBDIM} + 1, t.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+      FROM v CROSS JOIN unnest(generate_series(0, {PQ_M - 1})) AS t(m)
+    ),
+    seed_ids AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM sub)
+      QUALIFY cid < {PQ_KSUB}
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT s.m, CAST(i.cid AS BIGINT) AS cid, s.sub AS cvec
+      FROM sub s JOIN seed_ids i USING (vec_id)
+    )"""]
+    for i in range(1, PQ_ITERS + 1):
+        parts.append(f"""
+    pa{i} AS MATERIALIZED (
+      SELECT vec_id, m, sub, cell FROM (
+        SELECT s.vec_id, s.m, s.sub, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {d2} ASC, c.cid
+               ) AS rn
+        FROM sub s JOIN cb{i - 1} c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    px{i} AS MATERIALIZED (
+      SELECT m, cell, unnest(sub) AS val, unnest(range(1, len(sub) + 1)) AS pos
+      FROM pa{i}
+    ),
+    cb{i} AS MATERIALIZED (
+      SELECT m, cell AS cid, list(mn ORDER BY pos) AS cvec FROM (
+        SELECT m, cell, pos, AVG(val) AS mn FROM px{i} GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    )""")
+    cbf = f"cb{PQ_ITERS}"
+    parts.append(f"""
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.cid AS code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {d2} ASC, c.cid
+               ) AS rn
+        FROM sub s JOIN {cbf} c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, m, sub AS qsub FROM sub WHERE vec_id < {n_queries}
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.query_id, c.m, c.cid,
+             CAST(ROUND(list_dot_product(q.qsub, c.cvec) * {ADC_SCALE}, 0) AS BIGINT) AS pdot
+      FROM qsub q JOIN {cbf} c ON c.m = q.m
+    ),
+    adc AS (
+      SELECT l.query_id, kk.vec_id,
+             CAST(SUM(l.pdot) AS BIGINT) AS adc
+      FROM codes kk JOIN lut l ON l.m = kk.m AND l.cid = kk.code
+      WHERE kk.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {rerank}
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_dot_product(vq.emb, vn.emb)
+               / (sqrt(list_dot_product(vq.emb, vq.emb)) * sqrt(list_dot_product(vn.emb, vn.emb))), 6) AS cosine
+      FROM cand c
+      JOIN v vq ON vq.vec_id = c.query_id
+      JOIN v vn ON vn.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}""")
+    return ",".join(parts)

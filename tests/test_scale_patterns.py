@@ -194,3 +194,38 @@ class TestSemDeDup:
         )
         n_dups = b.select("id_b").distinct().count()
         assert close.count() == n_dups
+
+
+class TestPQ:
+    def test_codes_complete_and_bounded(self, spark):
+        from erkg_tutorials_spark.plans.vectorq import pq_codes_cached
+        from erkg_tutorials_spark.similarity.pq import PQ_KSUB, PQ_M
+
+        codes = pq_codes_cached(spark, SF_DIR)
+        n_vec = load_tables(spark, SF_DIR)["embeddings"].count()
+        assert codes.count() == n_vec * PQ_M
+        mx = codes.agg(F.max("code"), F.min("code")).first()
+        assert 0 <= mx[1] and mx[0] < PQ_KSUB
+
+    def test_recall_vs_exact_baseline(self, spark):
+        """ADC + rerank must recover a meaningful share of the true
+        top-k (exactness is the oracle's job, usefulness is this
+        one's). The bound is deliberately modest: near-uniform random
+        vectors are PQ's worst case — every cosine is ≈0 and the
+        quantization grid carries little signal (same caveat as
+        dedup_embedding_cosine's pruning). On clustered real
+        embeddings recall is far higher."""
+        from erkg_tutorials_spark.plans.vectorq import PQ_K, knn_cosine_pq
+        from erkg_tutorials_spark.similarity.knn import cosine_knn_bruteforce
+
+        emb = load_tables(spark, SF_DIR)["embeddings"]
+        qs = emb.where(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_knn_bruteforce(emb, qs, k=PQ_K).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_cosine_pq(spark, SF_DIR).collect()
+        }
+        assert len(approx & exact) / len(exact) >= 0.5
