@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.catalog import load_tables
-from erkg_tutorials_spark.functions.exact_math import exact_money_sum
+from erkg_tutorials_spark.functions.exact_math import exact_money_sum, money_cents
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -379,5 +379,51 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dev / F.sqrt(F.col("n") * var_num / (F.col("n") - 1)), 4
             ).alias("z"),
             (lhs > rhs).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup: merge of partial aggregates == full recompute.
+# The 100 TB pipeline pattern — yesterday's materialized partials plus
+# today's delta-batch partials are combined WITHOUT touching the
+# historical raw rows. Count and exact-integer cents are mergeable
+# states (associative + commutative), so the merged result is
+# bit-identical to the full GROUP BY the oracle runs. The 80/20 split
+# below stands in for the batch boundary and is derived from the
+# unique event_id, so it is deterministic under retries.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_rollup",
+    """
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.expr("ts_sec div 86400").alias("day"),
+        "event_type",
+        (F.pmod(F.col("event_id"), F.lit(10)) < 8).alias("_base"),
+        money_cents(F.col("value")).alias("cents"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("_n"), F.sum("cents").alias("_c")
+        )
+
+    base = partials(ev.where(F.col("_base")))
+    delta = partials(ev.where(~F.col("_base")))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            (F.sum("_c") / 100.0).alias("total_value"),
         )
     )

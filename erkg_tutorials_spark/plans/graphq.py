@@ -448,3 +448,65 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.kcore import k_core
 
     return k_core(trade_edges_sym(spark, sf_dir), k=40, max_rounds=6)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (graph/hits.py). On the bipartite directed
+# trade graph every intermediate score is an exact BIGINT (sums of
+# integers starting from 1), so the unrolled oracle matches without
+# any float-parity argument; the single end normalization divides by
+# the side's max and rounds to 6dp on both engines.
+# ---------------------------------------------------------------------------
+HITS_ITERS = 3
+HITS_TOP = 15
+
+
+def _hits_oracle() -> str:
+    from erkg_tutorials_spark.graph.hits import hits_iterations_sql
+
+    return (
+        f"""
+    WITH fedges AS MATERIALIZED (
+      SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),"""
+        + hits_iterations_sql(iters=HITS_ITERS)
+        + f""",
+    sides AS (
+      SELECT 'hub' AS side, id, h AS score FROM h{HITS_ITERS}
+      UNION ALL
+      SELECT 'authority' AS side, id, a AS score FROM a{HITS_ITERS}
+    ),
+    mx AS (SELECT side, MAX(score) AS mxs FROM sides GROUP BY 1),
+    r AS (
+      SELECT b.side, b.id, ROUND(b.score * 1.0 / m.mxs, 6) AS score,
+             ROW_NUMBER() OVER (PARTITION BY b.side ORDER BY b.score DESC, b.id) AS rnk
+      FROM sides b JOIN mx m ON m.side = b.side
+    )
+    SELECT side, id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {HITS_TOP}
+    """
+    )
+
+
+@register("g_hits_top", _hits_oracle())
+def g_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top hubs (customers) and authorities (suppliers) by HITS mass,
+    max-normalized per side. Ranking happens on the exact integer
+    scores — a tie in displayed 6dp scores can never flip the cut."""
+    from erkg_tutorials_spark.graph.hits import hits
+
+    raw = hits(trade_edges_fwd(spark, sf_dir), iters=HITS_ITERS)
+    mx = raw.groupBy("side").agg(F.max("score").alias("mxs"))
+    w = Window.partitionBy("side").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        raw.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= HITS_TOP)
+        .join(F.broadcast(mx), "side")
+        .select(
+            "side",
+            "id",
+            F.round(F.col("score") / F.col("mxs"), 6).alias("score"),
+            "rnk",
+        )
+    )

@@ -229,3 +229,63 @@ class TestPQ:
             for r in knn_cosine_pq(spark, SF_DIR).collect()
         }
         assert len(approx & exact) / len(exact) >= 0.5
+
+
+class TestHITS:
+    def test_bipartite_sides(self, spark):
+        from erkg_tutorials_spark.plans.graphq import g_hits_top
+
+        rows = g_hits_top(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            if r.side == "hub":
+                assert r.id.startswith("c:")
+            else:
+                assert r.id.startswith("s:")
+            assert 0 < r.score <= 1.0
+        # each side's top-1 is the normalization anchor
+        tops = {r.side: r.score for r in rows if r.rnk == 1}
+        assert tops == {"hub": 1.0, "authority": 1.0}
+
+    def test_one_round_authority_is_indegree(self, spark):
+        """After a single half-round from h=1, authority mass is
+        exactly the supplier's distinct-customer in-degree."""
+        from erkg_tutorials_spark.graph.hits import hits
+        from erkg_tutorials_spark.plans.graphq import trade_edges_fwd
+
+        e = trade_edges_fwd(spark, SF_DIR)
+        raw = hits(e, iters=1)
+        deg = {
+            r.dst: r.cnt
+            for r in e.groupBy("dst").agg(F.count("*").alias("cnt")).collect()
+        }
+        for r in raw.where("side = 'authority'").collect():
+            assert r.score == deg[r.id] * 1  # h=1 each in-neighbor
+
+
+class TestIncrementalRollup:
+    def test_merge_equals_full_recompute(self, spark):
+        from erkg_tutorials_spark.plans.eventsq import incremental_rollup
+
+        ev = load_tables(spark, SF_DIR)["events"]
+        from erkg_tutorials_spark.functions.exact_math import (
+            exact_money_sum,
+        )
+
+        full = {
+            (r.day, r.event_type, r.n_events, r.total_value)
+            for r in ev.select(
+                F.expr("ts_sec div 86400").alias("day"), "event_type", "value"
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                exact_money_sum(F.col("value")).alias("total_value"),
+            )
+            .collect()
+        }
+        merged = {
+            (r.day, r.event_type, r.n_events, r.total_value)
+            for r in incremental_rollup(spark, SF_DIR).collect()
+        }
+        assert merged == full
