@@ -78,6 +78,17 @@ HEADLINE = [
     "vector_stats",
     "w6_analytic_functions",
     "events_anomaly_zscore",
+    # round-3 additions: scale patterns, LLM-ops batch 2, PQ, HITS
+    "runtime_prefilter_join",
+    "skew_salted_agg",
+    "zorder_clustering",
+    "events_histogram",
+    "inverted_index_postings",
+    "text_bigram_lm",
+    "dedup_semantic",
+    "knn_cosine_pq",
+    "g_hits_top",
+    "incremental_rollup",
 ]
 
 
@@ -145,13 +156,17 @@ def main() -> None:
     # (Best-of-2 would otherwise silently drop the build cost.)
     from erkg_tutorials_spark.plans.graphq import trade_edges_fwd
     from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
-    from erkg_tutorials_spark.plans.vectorq import ivf_centroids_cached
+    from erkg_tutorials_spark.plans.vectorq import (
+        ivf_centroids_cached,
+        pq_codes_cached,
+    )
 
     timings: dict[str, float] = {}
     t0 = time.time()
     trade_edges_fwd(spark, sf_dir).count()
     minhash_pairs_cached(spark, sf_dir).count()
     ivf_centroids_cached(spark, sf_dir).count()
+    pq_codes_cached(spark, sf_dir).count()
     timings["shared_materializations"] = round(time.time() - t0, 3)
 
     # best-of-2 per query (JMH-style): the first run pays per-plan

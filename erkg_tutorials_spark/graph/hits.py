@@ -32,35 +32,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+def hits(edges: DataFrame, iters: int = 3, tune_loop_confs: bool = True) -> DataFrame:
     """Run `iters` double-rounds of un-normalized HITS.
 
     ``edges(src, dst)`` directed. Returns one row per vertex-side:
     ``(side, id, score)`` where side ∈ {'hub', 'authority'}, score is
     the raw integer mass (callers normalize/round for display).
-    """
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
-    h = (
-        e.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("h", F.lit(1).cast("long"))
-    )
-    a = None
-    for _ in range(iters):
-        a = (
-            e.join(h, e.src == h.id)
-            .groupBy(e.dst.alias("aid"))
-            .agg(F.sum("h").alias("a"))
-            .select(F.col("aid").alias("id"), "a")
-            .localCheckpoint(eager=True)
-        )
+
+    The loop runs inside the tuned cloned-session window
+    (graph/loop_confs.py, same rationale + concurrency-safety as
+    pagerank): AQE re-planning per half-round is pure overhead on
+    known shrinking shapes. Only the full-round hub table is
+    checkpointed — the authority table of the FINAL round is
+    checkpointed too since it feeds the result; intermediate authority
+    tables stay lazy inside their round's plan (halves the per-round
+    job count vs checkpointing both)."""
+    from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
+
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_edges = e0.count() if tune_loop_confs else 0
+    with tuned_loop_session(spark, n_edges, enabled=tune_loop_confs) as (
+        _loop,
+        rebind,
+    ):
+        e = rebind(e0)
         h = (
-            e.join(a, e.dst == a.id)
-            .groupBy(e.src.alias("hid"))
-            .agg(F.sum("a").alias("h"))
-            .select(F.col("hid").alias("id"), "h")
-            .localCheckpoint(eager=True)
+            e.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("h", F.lit(1).cast("long"))
         )
+        a = None
+        for i in range(iters):
+            a = (
+                e.join(h, e.src == h.id)
+                .groupBy(e.dst.alias("aid"))
+                .agg(F.sum("h").alias("a"))
+                .select(F.col("aid").alias("id"), "a")
+            )
+            if i == iters - 1:
+                a = a.localCheckpoint(eager=True)
+            h = (
+                e.join(a, e.dst == a.id)
+                .groupBy(e.src.alias("hid"))
+                .agg(F.sum("a").alias("h"))
+                .select(F.col("hid").alias("id"), "h")
+                .localCheckpoint(eager=True)
+            )
     hubs = h.select(F.lit("hub").alias("side"), "id", F.col("h").alias("score"))
     auths = a.select(
         F.lit("authority").alias("side"), "id", F.col("a").alias("score")

@@ -201,27 +201,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    # norms precomputed ONCE per vector here: the intra-cell pair scan
+    # below touches each vector ~|cell| times and must not redo the
+    # O(d) self-dot per pair (the knn modules' standard trick)
     assigned = (
         scored.withColumn("rn", F.row_number().over(wv))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("cent_id").cast("long").alias("cell"), "emb")
+        .withColumn("vn", F.sqrt(_dot("emb", "emb")))
     )
     a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("cell"), F.col("emb").alias("ea")
+        F.col("vec_id").alias("id_a"),
+        F.col("cell"),
+        F.col("emb").alias("ea"),
+        F.col("vn").alias("na"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("cell"), F.col("emb").alias("eb")
+        F.col("vec_id").alias("id_b"),
+        F.col("cell"),
+        F.col("emb").alias("eb"),
+        F.col("vn").alias("nb"),
     )
     dups = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            F.round(
-                _dot("ea", "eb")
-                / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))),
-                6,
-            ),
+            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
         )
         .where(F.col("cos") >= SEMDEDUP_TAU)
         .select(F.col("id_b").alias("vec_id"))

@@ -107,3 +107,42 @@ class TestCodegen:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
         assert m and int(m.group(1)) >= 1, plan[:500]
+
+
+class TestScalePatternPlans:
+    def test_prefilter_join_both_stages_broadcast(self, spark):
+        """Both the coarse-hash prefilter and the exact confirm must be
+        broadcast semi-joins — a shuffle here would defeat the runtime
+        filter's purpose."""
+        plan = plan_of(QUERIES["runtime_prefilter_join"](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("c_acctbal" in p for p in pushed), plan
+
+    def test_salted_agg_is_two_exchanges_max(self, spark):
+        """Partial (type, salt) agg + final (type) agg: the plan must
+        keep map-side partial aggregation (no extra exchanges)."""
+        plan = plan_of(QUERIES["skew_salted_agg"](spark, SF_DIR))
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange <= 2, plan
+
+    def test_zorder_single_shuffle(self, spark):
+        plan = plan_of(QUERIES["zorder_clustering"](spark, SF_DIR))
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange <= 1, plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert all("o_totalprice" not in s for s in schemas), schemas
+
+    def test_semdedup_centroids_broadcast(self, spark):
+        """Centroid assignment must broadcast the k centroids, and the
+        only non-broadcast join key is the cluster cell."""
+        plan = plan_of(QUERIES["dedup_semantic"](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+    def test_pq_adc_lut_broadcast(self, spark):
+        """The ADC lookup table (M·k_sub·|queries| rows) must broadcast
+        against the codes table — shuffling the codes corpus by (m,
+        code) would be the scale-killer PQ exists to avoid."""
+        plan = plan_of(QUERIES["knn_cosine_pq"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
