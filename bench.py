@@ -89,6 +89,7 @@ HEADLINE = [
     "knn_cosine_pq",
     "g_hits_top",
     "incremental_rollup",
+    "bpe_train_merges",
 ]
 
 

@@ -239,3 +239,46 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (text/bpe.py). The merge loop is fully
+# declarative (runs + parity windows make greedy-left merging
+# expressible), so the oracle replays training — pair counting,
+# lexicographic tie-breaks, run-parity merging — bit-for-bit.
+# ---------------------------------------------------------------------------
+BPE_MERGES = 8
+
+
+def _bpe_oracle() -> str:
+    from erkg_tutorials_spark.text.bpe import bpe_iterations_sql
+
+    return (
+        """
+    WITH words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+      ) WHERE len(word) > 0 GROUP BY 1
+    ),"""
+        + bpe_iterations_sql(n_merges=BPE_MERGES)
+        + """
+    SELECT step, left_sym, right_sym, pair_count FROM merges
+    """
+    )
+
+
+@register("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first BPE merges in-engine.
+
+    The corpus is touched once (word-frequency pass); the training
+    state is the distinct-word symbol table weighted by frequency —
+    corpus-size-independent, the property that makes distributed BPE
+    training viable at 100 TB. Every round is one exact-integer pair
+    count, a 1-row broadcast of the argmax pair, and one window pass.
+    """
+    from erkg_tutorials_spark.text.bpe import bpe_train, word_freqs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges, _ = bpe_train(word_freqs(docs), n_merges=BPE_MERGES)
+    return merges

@@ -289,3 +289,65 @@ class TestIncrementalRollup:
             for r in incremental_rollup(spark, SF_DIR).collect()
         }
         assert merged == full
+
+
+class TestBPETraining:
+    def test_sennrich_corpus_merges(self, spark):
+        """The classic corpus from the BPE paper: merges must come out
+        (e,s), (es,t), (l,o), (lo,w) — counts 9/9/7/7, with the 9-9
+        and 7-7 ties broken lexicographically."""
+        from erkg_tutorials_spark.text.bpe import bpe_train
+
+        words = spark.createDataFrame(
+            [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+            "word: string, freq: long",
+        )
+        merges, state = bpe_train(words, 4)
+        got = [
+            (r.step, r.left_sym, r.right_sym, r.pair_count)
+            for r in merges.orderBy("step").collect()
+        ]
+        assert got == [
+            (1, "e", "s", 9),
+            (2, "es", "t", 9),
+            (3, "l", "o", 7),
+            (4, "lo", "w", 7),
+        ]
+        lower = [r.sym for r in state.where("word='lower'").orderBy("pos").collect()]
+        assert lower == ["low", "e", "r"]
+
+    def test_identical_run_greedy_left(self, spark):
+        """'aaaa' under merge (a,a) must become [aa, aa] — the greedy
+        run-parity case string replace() would get wrong."""
+        from erkg_tutorials_spark.text.bpe import bpe_train
+
+        words = spark.createDataFrame([("aaaa", 1), ("aaa", 1)], "word: string, freq: long")
+        _, state = bpe_train(words, 1)
+        syms = {
+            w: [r.sym for r in rows]
+            for w, rows in (
+                ("aaaa", state.where("word='aaaa'").orderBy("pos").collect()),
+                ("aaa", state.where("word='aaa'").orderBy("pos").collect()),
+            )
+        }
+        assert syms["aaaa"] == ["aa", "aa"]
+        assert syms["aaa"] == ["aa", "a"]
+
+    def test_symbol_mass_conserved(self, spark):
+        """Concatenating each word's final symbols must reproduce the
+        word (merging never loses or duplicates characters)."""
+        from erkg_tutorials_spark.text.bpe import bpe_train, word_freqs
+
+        docs = load_tables(spark, SF_DIR)["documents"]
+        _, state = bpe_train(word_freqs(docs), n_merges=4)
+        bad = (
+            state.groupBy("word")
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.expr("transform(sort_array(collect_list(struct(pos, sym))), s -> s.sym)"),
+                ).alias("rebuilt")
+            )
+            .where(F.col("rebuilt") != F.col("word"))
+        )
+        assert bad.count() == 0
