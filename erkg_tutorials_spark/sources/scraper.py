@@ -98,3 +98,35 @@ def scrape_documents(
             )
 
     return urls.mapInPandas(run, DOCUMENTS_SCHEMA)
+
+
+def default_fetch(
+    user_agent: str | None = None, timeout: float = 30.0
+) -> Callable[[str], str]:
+    """Opt-in stdlib HTTP fetcher for :func:`scrape_documents`.
+
+    The reference fetches with a browser User-Agent header
+    (/root/reference/src/scraper.py:7-8,56-60 — ``requests.get(url,
+    headers=SCRAPE_HEADERS)``); this is the same contract on
+    ``urllib.request`` so production use needs no extra dependency.
+    It is NOT the default argument of ``scrape_documents`` on purpose:
+    fetching is an explicit opt-in (``fetch=default_fetch()``), so no
+    test, oracle replay, or sandboxed run ever touches the network
+    implicitly. The returned callable is executed inside executor
+    tasks (one call per URL within the Arrow batch loop) and is
+    pickle-friendly: it captures only the two scalars.
+    """
+    ua = user_agent or (
+        "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0 Safari/537.36"
+    )
+
+    def fetch(url: str) -> str:
+        from urllib.request import Request, urlopen
+
+        req = Request(url, headers={"User-Agent": ua})
+        with urlopen(req, timeout=timeout) as resp:
+            charset = resp.headers.get_content_charset() or "utf-8"
+            return resp.read().decode(charset, errors="replace")
+
+    return fetch

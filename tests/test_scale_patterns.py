@@ -351,3 +351,50 @@ class TestBPETraining:
             .where(F.col("rebuilt") != F.col("word"))
         )
         assert bad.count() == 0
+
+
+class TestDefaultFetch:
+    def test_sends_ua_header_and_decodes(self, monkeypatch):
+        """default_fetch must issue a Request carrying the UA header
+        (the reference's fetch contract) and decode by charset —
+        pinned offline by faking urlopen."""
+        import io
+        import urllib.request as ur
+
+        from erkg_tutorials_spark.sources.scraper import default_fetch
+
+        seen = {}
+
+        class FakeResp(io.BytesIO):
+            def __init__(self):
+                super().__init__("<h1>ok café</h1>".encode("latin-1", "replace"))
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            @property
+            def headers(self):
+                class H:
+                    def get_content_charset(self):
+                        return "latin-1"
+
+                return H()
+
+        def fake_urlopen(req, timeout=None):
+            seen["ua"] = req.headers.get("User-agent")
+            seen["url"] = req.full_url
+            seen["timeout"] = timeout
+            return FakeResp()
+
+        monkeypatch.setattr(ur, "urlopen", fake_urlopen)
+        fetch = default_fetch(user_agent="test-agent/1.0", timeout=7.0)
+        html = fetch("http://example.test/x")
+        assert seen == {
+            "ua": "test-agent/1.0",
+            "url": "http://example.test/x",
+            "timeout": 7.0,
+        }
+        assert "café".encode("latin-1").decode("latin-1") in html
