@@ -1,0 +1,265 @@
+"""LLM-training-data operators, batch 3: sequence packing, data-mixture
+sampling, and event streak (gaps-and-islands) detection.
+
+- ``pack_sequences`` emits the offset table a training dataloader
+  needs after concat-and-chunk packing (the standard GPT pipeline
+  step: concatenate each source's token stream, slice every
+  SEQ_BUDGET tokens). Packing is per-source — embarrassingly
+  parallel, so the window never needs a global ordering; at 100 TB
+  each source (or shard-of-source) packs independently on its own
+  partition.
+- ``data_mixture_sample`` applies per-source acceptance rates (the
+  "data mixture" step that up/down-weights corpora before training)
+  with a deterministic md5 coin per document, so the sampled subset
+  is reproducible across engines and runs — no RNG state anywhere.
+- ``events_gaps_islands`` is the classic islands detection (runs of
+  identical event_type per user) via the row_number-difference
+  trick: two stable windows, zero self-joins.
+
+All arithmetic is integer; both engines compute identical values, so
+every oracle is a full hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk offset table.
+# ---------------------------------------------------------------------------
+SEQ_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM d
+    )
+    SELECT source, doc_id, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS start_off,
+           CAST((cum - n_tok) // {SEQ_BUDGET} AS BIGINT) AS start_seq,
+           CAST((cum - 1) // {SEQ_BUDGET} AS BIGINT) AS end_seq,
+           CAST((cum - 1) // {SEQ_BUDGET} - (cum - n_tok) // {SEQ_BUDGET} + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (per-source token streams
+    sliced every SEQ_BUDGET tokens): one row per document with its
+    global token offset and the packed-sequence span it lands in —
+    the exact artifact a packed-pretraining dataloader indexes by.
+
+    Scale shape: a single running-sum window PARTITIONED BY source
+    (never a global ordering), so every source packs independently;
+    one shuffle on source, state per partition is one running sum.
+    Token counts are whitespace counts — same `split` semantics in
+    both engines — and every derived column is integer division on
+    exact BIGINTs.
+    """
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    start_seq = ((F.col("cum") - F.col("n_tok")) / SEQ_BUDGET).cast("long")
+    end_seq = ((F.col("cum") - 1) / SEQ_BUDGET).cast("long")
+    return c.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (F.col("cum") - F.col("n_tok")).alias("start_off"),
+        F.floor((F.col("cum") - F.col("n_tok")) / SEQ_BUDGET).alias("start_seq"),
+        F.floor((F.col("cum") - 1) / SEQ_BUDGET).alias("end_seq"),
+        (
+            F.floor((F.col("cum") - 1) / SEQ_BUDGET)
+            - F.floor((F.col("cum") - F.col("n_tok")) / SEQ_BUDGET)
+            + 1
+        ).alias("n_seqs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling: deterministic per-source acceptance rates.
+# ---------------------------------------------------------------------------
+# rate in basis points (of 10_000) by source index tier — the shape of
+# a real mixture spec (keep all of the curated tier, down-weight the
+# crawl tiers).
+_MIX_TIERS_SQL = """
+      CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5 THEN 10000
+           WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 5000
+           WHEN CAST(substr(source, 4) AS BIGINT) < 15 THEN 2500
+           ELSE 1000 END
+"""
+
+# md5 nibbles 13-16 of "source:doc_id" -> uniform 0..65535, % 10000.
+# Identical byte-for-byte in both engines (same idiom as split_assign,
+# plans/coverage2.py).
+_COIN_SQL = """
+      ((((instr('0123456789abcdef', substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 13, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 14, 1)) - 1)) * 16
+        + (instr('0123456789abcdef', substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 15, 1)) - 1)) * 16
+        + (instr('0123456789abcdef', substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 16, 1)) - 1)) % 10000
+"""
+
+
+@register(
+    "data_mixture_sample",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             {_MIX_TIERS_SQL} AS rate_bp,
+             {_COIN_SQL} AS coin
+      FROM documents
+    )
+    SELECT source, CAST(rate_bp AS BIGINT) AS rate_bp,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN coin < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+           CAST(SUM(CASE WHEN coin < rate_bp THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+    FROM d GROUP BY 1, 2
+    """,
+)
+def data_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: each source tier gets an
+    acceptance rate (basis points); a document survives iff an
+    md5-derived uniform coin on (source, doc_id) lands under the
+    rate. Per-source kept/total accounting comes back for the
+    mixture report.
+
+    The coin is pure projection (no shuffle); the report is one
+    partial-aggregated groupBy on source. Reproducible end-to-end:
+    re-running over the same corpus keeps exactly the same documents
+    — the property that makes mixture experiments comparable. At
+    100 TB the filter applies scan-side; only per-source counters
+    shuffle.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
+    rate_bp = (
+        F.when(src_idx < 5, 10000)
+        .when(src_idx < 10, 5000)
+        .when(src_idx < 15, 2500)
+        .otherwise(1000)
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+                13,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    d = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        rate_bp.cast("long").alias("rate_bp"),
+        coin.alias("coin"),
+    )
+    kept = F.col("coin") < F.col("rate_bp")
+    return d.groupBy("source", "rate_bp").agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum("n_tok").alias("tok_total"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0))).alias("tok_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: runs of identical event_type per user.
+# ---------------------------------------------------------------------------
+MIN_STREAK = 3
+
+
+@register(
+    "events_gaps_islands",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn_all,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY sec, event_id) AS rn_typ
+      FROM e
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS streak_len,
+           MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+           MIN(event_id) AS first_event_id
+    FROM r
+    GROUP BY user_id, event_type, rn_all - rn_typ
+    HAVING COUNT(*) >= {MIN_STREAK}
+    """,
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands detection: maximal runs of the same event_type in each
+    user's timeline, reported when the streak reaches MIN_STREAK.
+    The row_number-difference trick — (global rank) − (per-type rank)
+    is constant exactly within a run — turns island detection into
+    two windows plus one groupBy; both windows and the aggregate
+    share the user_id partitioning, so the whole plan is one
+    exchange and zero joins. Ordering is (sec, event_id): stable and
+    identical in both engines.
+    """
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "event_type", F.col("ts_sec").alias("sec")
+    )
+    w_all = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    r = e.select(
+        "user_id",
+        "event_type",
+        "sec",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        r.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count("*").alias("streak_len"),
+            F.min("sec").alias("start_sec"),
+            F.max("sec").alias("end_sec"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .where(F.col("streak_len") >= MIN_STREAK)
+        .drop("grp")
+    )

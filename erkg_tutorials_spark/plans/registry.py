@@ -11,6 +11,7 @@ from erkg_tutorials_spark.plans import (
     eventsq,
     graphq,
     llmops,
+    llmops2,
     relational,
     relational2,
     relational3,
@@ -26,6 +27,7 @@ _MODULES = (
     relational3,
     scale,
     llmops,
+    llmops2,
     graphq,
     textq,
     vectorq,

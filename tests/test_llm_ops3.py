@@ -1,0 +1,133 @@
+"""Semantic tests for LLM-ops batch 3 (plans/llmops2.py). Oracle
+parity runs in test_oracle_parity.py; these pin the invariants a hash
+match alone would not explain: packing-offset contiguity, the
+keep-everything tier, mixture determinism, and maximal-run islands
+semantics (checked against an independent pandas recompute).
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.plans.llmops2 import (
+    MIN_STREAK,
+    SEQ_BUDGET,
+    data_mixture_sample,
+    events_gaps_islands,
+    pack_sequences,
+)
+from tests.conftest import SF_DIR
+
+
+class TestPackSequences:
+    def test_offsets_contiguous_per_source(self, spark):
+        """Each source's token stream has no holes: doc k+1 starts
+        exactly where doc k ended, and the first doc starts at 0."""
+        pdf = pack_sequences(spark, SF_DIR).toPandas()
+        for _, g in pdf.sort_values(["source", "doc_id"]).groupby("source"):
+            assert g["start_off"].iloc[0] == 0
+            ends = (g["start_off"] + g["n_tok"]).to_numpy()[:-1]
+            starts = g["start_off"].to_numpy()[1:]
+            assert (ends == starts).all()
+
+    def test_sequence_span_matches_offsets(self, spark):
+        pdf = pack_sequences(spark, SF_DIR).toPandas()
+        assert (pdf["start_seq"] == pdf["start_off"] // SEQ_BUDGET).all()
+        last_tok = pdf["start_off"] + pdf["n_tok"] - 1
+        assert (pdf["end_seq"] == last_tok // SEQ_BUDGET).all()
+        assert (pdf["n_seqs"] >= 1).all()
+        # a doc shorter than the budget can span at most 2 sequences
+        short = pdf[pdf["n_tok"] <= SEQ_BUDGET]
+        assert (short["n_seqs"] <= 2).all()
+
+    def test_total_sequence_count(self, spark):
+        """max(end_seq) per source is the ceil-division sequence count
+        of that source's total token stream."""
+        pdf = pack_sequences(spark, SF_DIR).toPandas()
+        for _, g in pdf.groupby("source"):
+            total = int(g["n_tok"].sum())
+            assert int(g["end_seq"].max()) == (total - 1) // SEQ_BUDGET
+
+
+class TestDataMixtureSample:
+    def test_full_rate_tier_keeps_everything(self, spark):
+        """rate_bp=10000 sources: the coin (0..9999) is always under
+        the rate, so nothing may be dropped."""
+        pdf = data_mixture_sample(spark, SF_DIR).toPandas()
+        full = pdf[pdf["rate_bp"] == 10000]
+        assert len(full) > 0
+        assert (full["n_kept"] == full["n_total"]).all()
+        assert (full["tok_kept"] == full["tok_total"]).all()
+
+    def test_partial_tiers_keep_subset(self, spark):
+        pdf = data_mixture_sample(spark, SF_DIR).toPandas()
+        part = pdf[pdf["rate_bp"] < 10000]
+        assert (part["n_kept"] <= part["n_total"]).all()
+        assert (part["tok_kept"] <= part["tok_total"]).all()
+
+    def test_deterministic(self, spark):
+        a = (
+            data_mixture_sample(spark, SF_DIR)
+            .toPandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        b = (
+            data_mixture_sample(spark, SF_DIR)
+            .toPandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestGapsIslands:
+    def _pandas_islands(self, spark):
+        e = (
+            load_tables(spark, SF_DIR)["events"]
+            .select("user_id", "event_id", "event_type", F.col("ts_sec").alias("sec"))
+            .toPandas()
+            .sort_values(["user_id", "sec", "event_id"])
+        )
+        out = []
+        for uid, g in e.groupby("user_id"):
+            run_type, run_len, run_start, run_end, run_first = None, 0, None, None, None
+            for row in g.itertuples():
+                if row.event_type == run_type:
+                    run_len += 1
+                    run_end = row.sec
+                else:
+                    if run_type is not None and run_len >= MIN_STREAK:
+                        out.append((uid, run_type, run_len, run_start, run_end, run_first))
+                    run_type, run_len = row.event_type, 1
+                    run_start = run_end = row.sec
+                    run_first = row.event_id
+            if run_type is not None and run_len >= MIN_STREAK:
+                out.append((uid, run_type, run_len, run_start, run_end, run_first))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "event_type",
+                "streak_len",
+                "start_sec",
+                "end_sec",
+                "first_event_id",
+            ],
+        )
+
+    def test_matches_sequential_recompute(self, spark):
+        got = (
+            events_gaps_islands(spark, SF_DIR)
+            .toPandas()
+            .sort_values(["user_id", "first_event_id"])
+            .reset_index(drop=True)
+        )
+        want = (
+            self._pandas_islands(spark)
+            .sort_values(["user_id", "first_event_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"streak_len": "int64"}), want.astype({"streak_len": "int64"})
+        )
