@@ -479,3 +479,95 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=PQ_RERANK,
         k=PQ_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the faiss production composition — route each query to its
+# nprobe nearest k-means cells, ADC-score ONLY the codes of vectors
+# living in those cells, exact-rerank the survivors. Per query the
+# scored code volume drops from |corpus| to |probed cells|, and the
+# scoring itself never touches a full-precision corpus vector — the
+# two reductions multiply, which is why a 100 TB vector store is
+# IVF-PQ and not either half alone. Centroids, cell assignment,
+# codebooks, and codes are all index construction: memoized per
+# (application, sf_dir), timed under shared_materializations.
+# The oracle replays the ENTIRE composition — k-means training,
+# Voronoi assignment, probe routing, joint PQ training, encoding,
+# cell-filtered integer ADC, exact rerank — as one CTE chain.
+# ---------------------------------------------------------------------------
+def ivf_cells_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.plans.memo import memoized
+    from erkg_tutorials_spark.similarity.ivf import ivf_cells
+
+    return memoized(
+        spark,
+        sf_dir,
+        "ivf_cells",
+        lambda: ivf_cells(
+            load_tables(spark, sf_dir)["embeddings"],
+            ivf_centroids_cached(spark, sf_dir).select(
+                F.col("cent_id").alias("vec_id"), F.col("cvec").alias("embedding")
+            ),
+        ),
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from erkg_tutorials_spark.similarity.pq import pq_sql
+
+    return (
+        _kmeans_cent_cte()
+        + f"""
+    assign_scored AS (
+      SELECT v.vec_id, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ROUND(list_dot_product(v.emb, c.cvec)
+               / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC, c.cent_id) AS rn
+      FROM v CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM assign_scored WHERE rn = 1),
+    probe_scored AS (
+      SELECT v.vec_id AS query_id, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ROUND(list_dot_product(v.emb, c.cvec)
+               / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC, c.cent_id) AS rn
+      FROM v CROSS JOIN cent c
+      WHERE v.vec_id < {PQ_QUERIES}
+    ),
+    probes AS (SELECT query_id, cent_id AS cell FROM probe_scored WHERE rn <= {IVF_NPROBE}),
+    ivf_cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),"""
+        + pq_sql(
+            n_queries=PQ_QUERIES,
+            rerank=PQ_RERANK,
+            k=PQ_K,
+            candidate_cte="ivf_cand",
+        )
+    )
+
+
+@register("knn_cosine_ivfpq", _ivfpq_oracle())
+def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: probe IVF_NPROBE cells, integer-ADC only the
+    probed cells' codes, exact-rerank the candidate shortlist."""
+    from erkg_tutorials_spark.similarity.ivf import ivf_probes
+    from erkg_tutorials_spark.similarity.pq import cosine_knn_pq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") < PQ_QUERIES)
+    cent = ivf_centroids_cached(spark, sf_dir).select(
+        F.col("cent_id").alias("vec_id"), F.col("cvec").alias("embedding")
+    )
+    probes = ivf_probes(queries, cent, nprobe=IVF_NPROBE)
+    candidates = probes.join(ivf_cells_cached(spark, sf_dir), "cell").select(
+        "query_id", "vec_id"
+    )
+    return cosine_knn_pq(
+        corpus=emb,
+        queries=queries,
+        codebooks=pq_codebooks_cached(spark, sf_dir),
+        codes=pq_codes_cached(spark, sf_dir),
+        rerank=PQ_RERANK,
+        k=PQ_K,
+        candidates=candidates,
+    )

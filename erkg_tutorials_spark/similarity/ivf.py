@@ -29,6 +29,59 @@ def _cos_pre(a: str, b: str, an: str, bn: str):
     return F.round(_dot(a, b) / (F.col(an) * F.col(bn)), 6)
 
 
+def ivf_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): nearest-centroid Voronoi assignment.
+
+    Index construction — broadcast centroids, one row_number per
+    vector; the corpus shuffles only on vec_id for the argmax window.
+    Factored out of cosine_knn_ivf so IVF-PQ can route its code table
+    through the same cells.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb")
+    ).withColumn("vn", F.sqrt(_dot("emb", "emb")))
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), _as_double(vec_col).alias("cvec")
+    ).withColumn("cn", F.sqrt(_dot("cvec", "cvec")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("cos", _cos_pre("emb", "cvec", "vn", "cn"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cell): the nprobe nearest cells per query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(_dot("qv", "qv")))
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), _as_double(vec_col).alias("cvec")
+    ).withColumn("cn", F.sqrt(_dot("cvec", "cvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos", _cos_pre("qv", "cvec", "qn", "cn"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+
+
 def cosine_knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

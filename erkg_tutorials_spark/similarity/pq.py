@@ -130,6 +130,7 @@ def cosine_knn_pq(
     codes: DataFrame,
     rerank: int,
     k: int,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ADC candidate generation + exact top-k rerank.
 
@@ -138,6 +139,11 @@ def cosine_knn_pq(
     integer sum, keep the ``rerank`` best candidates by (adc, id), and
     rerank those exactly — the only full-precision work is
     |queries|·rerank cosines.
+
+    ``candidates`` (query_id, vec_id) restricts ADC scoring to the
+    given pairs — the IVF-PQ composition: the code table is first
+    pruned to vectors in the query's probed cells, so per query only
+    |probed cells| worth of codes is summed, never the whole corpus.
     """
     qsub = pq_subvectors(queries).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("qsub")
@@ -146,10 +152,21 @@ def cosine_knn_pq(
         "query_id", "m", "cid",
         F.round(_dot("qsub", "cvec") * ADC_SCALE, 0).cast("long").alias("pdot"),
     )
+    if candidates is None:
+        scorable = codes.join(
+            F.broadcast(lut), (codes.m == lut.m) & (codes.code == lut.cid)
+        )
+    else:
+        cand = candidates.select(F.col("query_id").alias("cq"), "vec_id")
+        coded = codes.join(cand, "vec_id")
+        scorable = coded.join(
+            F.broadcast(lut),
+            (coded.m == lut.m)
+            & (coded.code == lut.cid)
+            & (coded.cq == lut.query_id),
+        )
     adc = (
-        codes.join(F.broadcast(lut),
-                   (codes.m == lut.m) & (codes.code == lut.cid))
-        .groupBy("query_id", "vec_id")
+        scorable.groupBy("query_id", "vec_id")
         .agg(F.sum("pdot").alias("adc"))
         .where(F.col("vec_id") != F.col("query_id"))
     )
@@ -183,10 +200,15 @@ def cosine_knn_pq(
     )
 
 
-def pq_sql(*, n_queries: int, rerank: int, k: int) -> str:
+def pq_sql(*, n_queries: int, rerank: int, k: int,
+           candidate_cte: str | None = None) -> str:
     """DuckDB CTE chain replaying the whole PQ pipeline — subvector
     split, joint codebook training, encoding, integer ADC, exact
-    rerank — over a pre-existing ``v(vec_id, emb)`` CTE (DOUBLE[])."""
+    rerank — over a pre-existing ``v(vec_id, emb)`` CTE (DOUBLE[]).
+
+    ``candidate_cte`` names a pre-existing (query_id, vec_id) CTE; when
+    given, ADC scoring is restricted to those pairs — the oracle twin
+    of ``cosine_knn_pq(candidates=...)`` (IVF-PQ)."""
     d2 = ("ROUND(list_dot_product(s.sub, s.sub)"
           " - 2 * list_dot_product(s.sub, c.cvec)"
           " + list_dot_product(c.cvec, c.cvec), 6)")
@@ -228,6 +250,10 @@ def pq_sql(*, n_queries: int, rerank: int, k: int) -> str:
       ) GROUP BY 1, 2
     )""")
     cbf = f"cb{PQ_ITERS}"
+    cand_join = (
+        f" JOIN {candidate_cte} ic ON ic.vec_id = kk.vec_id" if candidate_cte else ""
+    )
+    cand_on = " AND l.query_id = ic.query_id" if candidate_cte else ""
     parts.append(f"""
     codes AS MATERIALIZED (
       SELECT vec_id, m, code FROM (
@@ -250,7 +276,7 @@ def pq_sql(*, n_queries: int, rerank: int, k: int) -> str:
     adc AS (
       SELECT l.query_id, kk.vec_id,
              CAST(SUM(l.pdot) AS BIGINT) AS adc
-      FROM codes kk JOIN lut l ON l.m = kk.m AND l.cid = kk.code
+      FROM codes kk{cand_join} JOIN lut l ON l.m = kk.m AND l.cid = kk.code{cand_on}
       WHERE kk.vec_id <> l.query_id
       GROUP BY 1, 2
     ),

@@ -231,6 +231,50 @@ class TestPQ:
         assert len(approx & exact) / len(exact) >= 0.5
 
 
+class TestIVFPQ:
+    def test_neighbors_confined_to_probed_cells(self, spark):
+        """Every reported neighbor must live in one of its query's
+        probed cells — the structural guarantee that distinguishes the
+        composition from flat PQ."""
+        from erkg_tutorials_spark.plans.vectorq import (
+            IVF_NPROBE,
+            PQ_QUERIES,
+            ivf_cells_cached,
+            ivf_centroids_cached,
+            knn_cosine_ivfpq,
+        )
+        from erkg_tutorials_spark.similarity.ivf import ivf_probes
+
+        emb = load_tables(spark, SF_DIR)["embeddings"]
+        cent = ivf_centroids_cached(spark, SF_DIR).select(
+            F.col("cent_id").alias("vec_id"), F.col("cvec").alias("embedding")
+        )
+        probed = {
+            (r.query_id, r.cell)
+            for r in ivf_probes(
+                emb.where(F.col("vec_id") < PQ_QUERIES), cent, nprobe=IVF_NPROBE
+            ).collect()
+        }
+        cells = {r.vec_id: r.cell for r in ivf_cells_cached(spark, SF_DIR).collect()}
+        rows = knn_cosine_ivfpq(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert (r.query_id, cells[r.neighbor_id]) in probed
+
+    def test_subset_of_flat_pq_candidates(self, spark):
+        """IVF-PQ re-ranks a subset of flat PQ's scored pool, and both
+        use identical codes — rank ordering within each query stays
+        strictly decreasing in cosine with id tiebreak."""
+        from erkg_tutorials_spark.plans.vectorq import knn_cosine_ivfpq
+
+        pdf = knn_cosine_ivfpq(spark, SF_DIR).toPandas()
+        for _, g in pdf.groupby("query_id"):
+            g = g.sort_values("rank")
+            assert list(g["rank"]) == list(range(1, len(g) + 1))
+            pairs = list(zip(g["cosine"], -g["neighbor_id"]))
+            assert pairs == sorted(pairs, reverse=True)
+
+
 class TestHITS:
     def test_bipartite_sides(self, spark):
         from erkg_tutorials_spark.plans.graphq import g_hits_top
