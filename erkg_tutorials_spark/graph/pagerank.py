@@ -181,3 +181,107 @@ def _pagerank_loop(
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    reset: float = 0.15,
+    max_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+    tune_loop_confs: bool = True,
+) -> DataFrame:
+    """Returns (id, rank): random-walk-with-restart scores.
+
+    networkx ``personalization=`` semantics (the reference's TextRank
+    stack rides on networkx PageRank — poetry.lock:3893): the teleport
+    distribution is uniform over the seed set instead of over all
+    vertices, and dangling mass is redistributed to the seeds. Seeds
+    not present in the graph are dropped before the 1/|S| weighting so
+    the teleport vector always sums to 1.
+
+    The loop shape matches pagerank(): loop-invariant degree-joined
+    edge table and teleport vector cached once, broadcast rank vector
+    (global graph: |V| ≪ |E|), one contrib-sum shuffle per iteration,
+    tuned cloned-session confs, eager checkpoints. Kept as a separate
+    loop rather than a pagerank() parameter so the uniform path's
+    float expressions stay bit-identical to its existing oracles.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e_deg = e.join(out_deg, ["src"]).cache()
+    danglers = (
+        verts.join(out_deg.select(F.col("src").alias("id")), ["id"], "left_anti")
+        .cache()
+    )
+    s = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .join(verts, ["id"], "left_semi")
+    )
+    n_seeds = s.agg(F.count("*").alias("ns"))
+    tp_seed = s.crossJoin(F.broadcast(n_seeds)).select(
+        "id", (F.lit(1.0) / F.col("ns")).alias("tp")
+    )
+    verts_tp = (
+        verts.join(tp_seed, ["id"], "left")
+        .select("id", F.coalesce("tp", F.lit(0.0)).alias("tp"))
+        .cache()
+    )
+    ranks = verts_tp.select("id", "tp", F.col("tp").alias("rank"))
+
+    spark = edges.sparkSession
+    n_edges = e_deg.count() if tune_loop_confs else 0
+    with tuned_loop_session(spark, n_edges, enabled=tune_loop_confs) as (
+        _loop,
+        rebind,
+    ):
+        ranks, verts_l, e_deg_l, danglers_l = (
+            rebind(ranks), rebind(verts_tp), rebind(e_deg), rebind(danglers),
+        )
+        has_danglers = not danglers_l.isEmpty()
+        for i in range(max_iter):
+            r_src = ranks.select(F.col("id").alias("src"), "rank")
+            contribs = (
+                F.broadcast(r_src).join(e_deg_l, ["src"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            base = verts_l.join(contribs, ["id"], "left")
+            if has_danglers:
+                dangling = ranks.join(danglers_l, ["id"], "left_semi").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
+                )
+                base = base.crossJoin(F.broadcast(dangling))
+            else:
+                base = base.withColumn("dangling", F.lit(0.0))
+            ranks = base.select(
+                "id",
+                "tp",
+                (
+                    F.lit(reset) * F.col("tp")
+                    + F.lit(1.0 - reset)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.coalesce(F.col("dangling"), F.lit(0.0)) * F.col("tp")
+                    )
+                ).alias("rank"),
+            )
+            if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("id", "rank")
+    e_deg.unpersist()
+    danglers.unpersist()
+    verts_tp.unpersist()
+    return out

@@ -20,6 +20,7 @@ from erkg_tutorials_spark.graph.khop import k_hop_labeled
 from erkg_tutorials_spark.plans.oracle_pr import (
     cc_label_prop_sql,
     pagerank_iterations_sql,
+    ppr_iterations_sql,
 )
 
 QUERIES: dict = {}
@@ -509,4 +510,48 @@ def g_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score") / F.col("mxs"), 6).alias("score"),
             "rnk",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart) from a seed
+# customer set — "entities most related to THIS watchlist", the
+# recommendation/relevance twin of the global g5 ranking. Same loop
+# machinery and cost profile as pagerank; only the teleport vector
+# changes, so the oracle is the same unrolled CTE chain with a
+# seed-weighted reset term.
+# ---------------------------------------------------------------------------
+PPR_SEED_MOD = 97
+PPR_ITERS = 8
+
+
+@register(
+    "g_ppr_watchlist",
+    _SYM_EDGES_CTE
+    + f""",
+    seeds AS (
+      SELECT 'c:' || c_custkey AS id FROM customer WHERE c_custkey % {PPR_SEED_MOD} = 0
+    ),"""
+    + ppr_iterations_sql(iters=PPR_ITERS)
+    + f"""
+    SELECT id, ROUND(rank, 6) AS rank FROM ppr{PPR_ITERS}
+    ORDER BY rank DESC, id ASC LIMIT 20
+    """,
+)
+def g_ppr_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.graph.pagerank import personalized_pagerank
+
+    t = load_tables(spark, sf_dir)
+    seeds = (
+        t["customer"]
+        .where(F.col("c_custkey") % PPR_SEED_MOD == 0)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"))
+    )
+    ranks = personalized_pagerank(
+        trade_edges_sym(spark, sf_dir), seeds, max_iter=PPR_ITERS
+    )
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
     )

@@ -174,3 +174,47 @@ def label_propagation_sql(*, rounds: int) -> str:
       ) w ON w.id = v.id
     )""")
     return ",".join(parts)
+
+
+def ppr_iterations_sql(*, iters: int, reset: float = 0.15) -> str:
+    """CTE chain ``ppr0 .. ppr{iters}`` replaying personalized
+    PageRank (graph/pagerank.py::personalized_pagerank).
+
+    Expects upstream CTEs ``edges(src, dst)``, ``verts(id)``, and
+    ``seeds(id)``. The teleport vector is uniform over seeds∩verts;
+    dangling terms are omitted for the same reason as
+    pagerank_iterations_sql (every ranked graph is symmetric — the
+    Spark side proves it with danglers.isEmpty(), then adds a literal
+    0.0 whose `contrib + 0.0 * tp` is IEEE-identical to `contrib` for
+    the non-negative contribs here)."""
+    parts = [f"""
+    s0 AS MATERIALIZED (
+      SELECT DISTINCT s.id FROM seeds s JOIN verts v ON v.id = s.id
+    ),
+    sn AS MATERIALIZED (SELECT COUNT(*) AS ns FROM s0),
+    tp AS MATERIALIZED (
+      SELECT v.id, COALESCE(s.w, 0.0::DOUBLE) AS tp
+      FROM verts v LEFT JOIN (
+        SELECT id, 1.0::DOUBLE / sn.ns AS w FROM s0 CROSS JOIN sn
+      ) s ON v.id = s.id
+    ),
+    p_out_deg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+    ),
+    p_e_deg AS MATERIALIZED (
+      SELECT e.*, d.out_deg FROM edges e JOIN p_out_deg d ON e.src = d.src
+    ),
+    ppr0 AS MATERIALIZED (SELECT id, tp, tp AS rank FROM tp)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    ppr{i} AS MATERIALIZED (
+      SELECT v.id, v.tp,
+             {reset}::DOUBLE * v.tp
+               + (1.0::DOUBLE - {reset}::DOUBLE) * COALESCE(c.contrib, 0.0::DOUBLE) AS rank
+      FROM tp v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank / e.out_deg) AS contrib
+        FROM ppr{i - 1} p JOIN p_e_deg e ON p.id = e.src
+        GROUP BY e.dst
+      ) c ON v.id = c.id
+    )""")
+    return ",".join(parts)

@@ -231,6 +231,59 @@ class TestPQ:
         assert len(approx & exact) / len(exact) >= 0.5
 
 
+class TestPersonalizedPageRank:
+    def _toy(self, spark):
+        # two components: path a-b-c (symmetric) and isolated pair x-y
+        rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+                ("x", "y"), ("y", "x")]
+        return spark.createDataFrame(rows, ["src", "dst"])
+
+    def test_mass_conserved_and_confined(self, spark):
+        """No danglers → total rank mass stays 1; teleport-to-seeds
+        means a component with no seed ends at exactly rank 0."""
+        from erkg_tutorials_spark.graph.pagerank import personalized_pagerank
+
+        seeds = spark.createDataFrame([("a",)], ["id"])
+        r = {
+            row.id: row.rank
+            for row in personalized_pagerank(
+                self._toy(spark), seeds, max_iter=6, tune_loop_confs=False
+            ).collect()
+        }
+        assert abs(sum(r.values()) - 1.0) < 1e-9
+        assert r["x"] == 0.0 and r["y"] == 0.0
+        # seed holds the restart mass: strictly the top-ranked vertex
+        assert r["a"] > r["b"] > r["c"] > 0
+
+    def test_matches_numpy_power_iteration(self, spark):
+        """Independent dense recompute of the same recurrence."""
+        from erkg_tutorials_spark.graph.pagerank import personalized_pagerank
+
+        seeds = spark.createDataFrame([("a",), ("c",)], ["id"])
+        got = {
+            row.id: row.rank
+            for row in personalized_pagerank(
+                self._toy(spark), seeds, max_iter=5, tune_loop_confs=False
+            ).collect()
+        }
+        ids = sorted(got)
+        idx = {v: i for i, v in enumerate(ids)}
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+                 ("x", "y"), ("y", "x")]
+        out_deg = {}
+        for s, _ in edges:
+            out_deg[s] = out_deg.get(s, 0) + 1
+        tp = [0.5 if v in ("a", "c") else 0.0 for v in ids]
+        rank = tp[:]
+        for _ in range(5):
+            contrib = [0.0] * len(ids)
+            for s, d in edges:
+                contrib[idx[d]] += rank[idx[s]] / out_deg[s]
+            rank = [0.15 * tp[i] + 0.85 * contrib[i] for i in range(len(ids))]
+        for v in ids:
+            assert abs(got[v] - rank[idx[v]]) < 1e-9
+
+
 class TestIVFPQ:
     def test_neighbors_confined_to_probed_cells(self, spark):
         """Every reported neighbor must live in one of its query's
