@@ -90,6 +90,12 @@ HEADLINE = [
     "g_hits_top",
     "incremental_rollup",
     "bpe_train_merges",
+    # round-3 batch 2: LLM-ops batch 3, IVF-PQ, personalized PageRank
+    "pack_sequences",
+    "data_mixture_sample",
+    "events_gaps_islands",
+    "knn_cosine_ivfpq",
+    "g_ppr_watchlist",
 ]
 
 
@@ -155,7 +161,10 @@ def main() -> None:
     # measure steady-state execution with the views available, while
     # the suite total still pays every materialization exactly once.
     # (Best-of-2 would otherwise silently drop the build cost.)
-    from erkg_tutorials_spark.plans.graphq import trade_edges_fwd
+    from erkg_tutorials_spark.plans.graphq import (
+        trade_edges_fwd,
+        trade_graph_invariants,
+    )
     from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
     from erkg_tutorials_spark.plans.vectorq import (
         ivf_centroids_cached,
@@ -165,6 +174,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     t0 = time.time()
     trade_edges_fwd(spark, sf_dir).count()
+    for inv in trade_graph_invariants(spark, sf_dir):
+        inv.count()
     minhash_pairs_cached(spark, sf_dir).count()
     ivf_centroids_cached(spark, sf_dir).count()
     pq_codes_cached(spark, sf_dir).count()

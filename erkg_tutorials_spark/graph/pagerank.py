@@ -35,8 +35,16 @@ def pagerank(
     checkpoint_every: int = 1,
     broadcast_ranks: bool | None = None,
     tune_loop_confs: bool = True,
+    pre: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Returns (``[namespace,] id, rank``); ranks sum to 1 per namespace.
+
+    ``pre`` = (verts(id), e_deg(src, dst, out_deg), danglers(id)),
+    already materialized by the caller (session-memo pattern — the
+    same tables serve every PageRank-family query over one graph).
+    Only valid without ``namespace_col``; the caller owns their
+    lifecycle. The loop math is identical either way — the tables
+    are the same expressions, just built once.
 
     Standard damped PageRank with dangling-node mass redistributed
     uniformly (networkx semantics, which pytextrank inherits —
@@ -54,38 +62,45 @@ def pagerank(
     concurrent queries on the caller's session are unaffected.
     """
     ns = [namespace_col] if namespace_col else []
+    if pre is not None and ns:
+        raise ValueError("pre-built invariants are only supported un-namespaced")
     e = edges.select(*ns, F.col(src).alias("src"), F.col(dst).alias("dst"))
 
-    verts = (
-        e.select(*ns, F.col("src").alias("id"))
-        .unionByName(e.select(*ns, F.col("dst").alias("id")))
-        .distinct()
-    )
     nw = Window.partitionBy(*ns) if ns else Window.partitionBy()
-    verts = verts.withColumn("n", F.count("*").over(nw)).cache()
-
-    # loop-invariant tables: materialize once, reuse every iteration
-    # (without this each iteration re-derives them from the source scan,
-    # re-broadcasting fresh copies — the accumulated broadcasts are what
-    # blow a small driver heap long before the data does). The per-edge
-    # out-degree is joined onto the edge table HERE, once — each
-    # iteration then needs a single ranks ⋈ edges join, not two.
-    out_deg = e.groupBy(*ns, "src").agg(F.count("*").alias("out_deg"))
-    e_deg = e.join(out_deg, ns + ["src"]).cache()
-    # dangling = vertices with no out-edges; loop-invariant. Per
-    # iteration their mass is a sum over the O(|V|) rank state — NOT a
-    # second pass over the O(|E|) contribs (1 - sum(contrib) is the
-    # same number, but forces the edge scan + aggregation to run twice
-    # per iteration).
-    danglers = (
-        verts.select(*ns, "id")
-        .join(
-            out_deg.select(*ns, F.col("src").alias("id")),
-            ns + ["id"],
-            "left_anti",
+    if pre is not None:
+        verts0, e_deg, danglers = pre
+        verts = verts0.withColumn("n", F.count("*").over(nw)).cache()
+    else:
+        verts = (
+            e.select(*ns, F.col("src").alias("id"))
+            .unionByName(e.select(*ns, F.col("dst").alias("id")))
+            .distinct()
         )
-        .cache()
-    )
+        verts = verts.withColumn("n", F.count("*").over(nw)).cache()
+
+        # loop-invariant tables: materialize once, reuse every iteration
+        # (without this each iteration re-derives them from the source
+        # scan, re-broadcasting fresh copies — the accumulated broadcasts
+        # are what blow a small driver heap long before the data does).
+        # The per-edge out-degree is joined onto the edge table HERE,
+        # once — each iteration then needs a single ranks ⋈ edges join,
+        # not two.
+        out_deg = e.groupBy(*ns, "src").agg(F.count("*").alias("out_deg"))
+        e_deg = e.join(out_deg, ns + ["src"]).cache()
+        # dangling = vertices with no out-edges; loop-invariant. Per
+        # iteration their mass is a sum over the O(|V|) rank state — NOT
+        # a second pass over the O(|E|) contribs (1 - sum(contrib) is the
+        # same number, but forces the edge scan + aggregation to run
+        # twice per iteration).
+        danglers = (
+            verts.select(*ns, "id")
+            .join(
+                out_deg.select(*ns, F.col("src").alias("id")),
+                ns + ["id"],
+                "left_anti",
+            )
+            .cache()
+        )
     ranks = verts.select(*ns, "id", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
 
     # global graphs: |ranks| = |V| ≪ |E| — broadcasting the rank vector
@@ -124,9 +139,11 @@ def pagerank(
         )
     out = ranks.select(*ns, "id", "rank")
     # the returned frame is checkpoint-backed; the loop-invariant caches
-    # are no longer needed by its lineage
-    e_deg.unpersist()
-    danglers.unpersist()
+    # are no longer needed by its lineage (caller-owned `pre` tables are
+    # left alone — the n-annotated verts overlay is always ours)
+    if pre is None:
+        e_deg.unpersist()
+        danglers.unpersist()
     verts.unpersist()
     return out
 
@@ -192,8 +209,13 @@ def personalized_pagerank(
     dst: str = "dst",
     checkpoint_every: int = 1,
     tune_loop_confs: bool = True,
+    pre: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Returns (id, rank): random-walk-with-restart scores.
+
+    ``pre`` = caller-materialized (verts, e_deg, danglers), exactly as
+    in pagerank() — the graph invariants don't depend on the seed set,
+    so one memoized build serves every watchlist.
 
     networkx ``personalization=`` semantics (the reference's TextRank
     stack rides on networkx PageRank — poetry.lock:3893): the teleport
@@ -210,17 +232,21 @@ def personalized_pagerank(
     float expressions stay bit-identical to its existing oracles.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    e_deg = e.join(out_deg, ["src"]).cache()
-    danglers = (
-        verts.join(out_deg.select(F.col("src").alias("id")), ["id"], "left_anti")
-        .cache()
-    )
+    if pre is not None:
+        verts, e_deg, danglers = pre
+    else:
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .cache()
+        )
+        out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        e_deg = e.join(out_deg, ["src"]).cache()
+        danglers = (
+            verts.join(out_deg.select(F.col("src").alias("id")), ["id"], "left_anti")
+            .cache()
+        )
     s = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
@@ -281,7 +307,9 @@ def personalized_pagerank(
             if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
                 ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("id", "rank")
-    e_deg.unpersist()
-    danglers.unpersist()
+    if pre is None:
+        e_deg.unpersist()
+        danglers.unpersist()
+        verts.unpersist()
     verts_tp.unpersist()
     return out

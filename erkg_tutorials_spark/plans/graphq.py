@@ -66,6 +66,41 @@ def trade_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trade_graph_invariants(spark: SparkSession, sf_dir: str):
+    """(verts, e_deg, danglers) for the symmetric trade graph —
+    the loop-invariant tables every PageRank-family query (global
+    PageRank, personalized PageRank) consumes. Building them per
+    query re-runs the mirror + out-degree shuffles each time; here
+    they are session memos, built once per (application, sf_dir),
+    exactly like the edge table itself. danglers is empty (the graph
+    is symmetric) but stays part of the contract so the callee's
+    pre-check is honest."""
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    e = trade_edges_sym(spark, sf_dir)
+    verts = memoized(
+        spark,
+        sf_dir,
+        "trade_sym_verts",
+        lambda: e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct(),
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e_deg = memoized(
+        spark, sf_dir, "trade_sym_e_deg", lambda: e.join(out_deg, ["src"])
+    )
+    danglers = memoized(
+        spark,
+        sf_dir,
+        "trade_sym_danglers",
+        lambda: verts.join(
+            out_deg.select(F.col("src").alias("id")), ["id"], "left_anti"
+        ),
+    )
+    return verts, e_deg, danglers
+
+
 def trade_edges_directed(t: dict) -> DataFrame:
     """One row per lineitem, oriented customer→supplier. For undirected
     consumers (connected components) this single orientation IS the
@@ -244,7 +279,11 @@ def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint_every stays 1: measured — with the loop confs tuned
     # (AQE off) ce=1 and ce=2 are within noise (6.3s vs 6.2s at sf0.1)
     # and ce=4 is worse; 1 keeps the plan tree minimal
-    ranks = pagerank(trade_edges_sym(spark, sf_dir), max_iter=8)
+    ranks = pagerank(
+        trade_edges_sym(spark, sf_dir),
+        max_iter=8,
+        pre=trade_graph_invariants(spark, sf_dir),
+    )
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
@@ -548,7 +587,10 @@ def g_ppr_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"))
     )
     ranks = personalized_pagerank(
-        trade_edges_sym(spark, sf_dir), seeds, max_iter=PPR_ITERS
+        trade_edges_sym(spark, sf_dir),
+        seeds,
+        max_iter=PPR_ITERS,
+        pre=trade_graph_invariants(spark, sf_dir),
     )
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
