@@ -597,3 +597,75 @@ def g_ppr_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss: dense-community peel over the co-order part graph (the
+# triangle-bearing graph of this schema — the trade graph is
+# bipartite and trivially triangle-free). Support peel to a checked
+# fixpoint; oracle unrolls KTRUSS_ROUNDS rounds (post-fixpoint rounds
+# are idempotent, so an insufficient bound = hash mismatch, and the
+# Spark side additionally raises).
+# ---------------------------------------------------------------------------
+KTRUSS_K = 12
+KTRUSS_ROUNDS = 8
+
+
+def part_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) distinct co-order part edges, memoized —
+    shared by triangleCount and k-truss."""
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    def build():
+        li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+        return (
+            a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+        )
+
+    return memoized(spark, sf_dir, "part_coorder_edges", build)
+
+
+def _ktruss_oracle() -> str:
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""]
+    for i in range(1, KTRUSS_ROUNDS + 1):
+        parts.append(f"""
+    tri{i} AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e{i - 1} ab JOIN e{i - 1} bc ON ab.v = bc.u
+      JOIN e{i - 1} ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    sup{i} AS (
+      SELECT u, v, COUNT(*) AS s FROM (
+        SELECT a AS u, b AS v FROM tri{i}
+        UNION ALL SELECT b, c FROM tri{i}
+        UNION ALL SELECT a, c FROM tri{i}
+      ) GROUP BY 1, 2
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i - 1} e
+      JOIN sup{i} s ON s.u = e.u AND s.v = e.v
+      WHERE s.s >= {KTRUSS_K - 2}
+    )""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT u, v FROM e{KTRUSS_ROUNDS}
+    """
+    )
+
+
+@register("g_ktruss", _ktruss_oracle())
+def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges of the {KTRUSS_K}-truss of the co-order part graph."""
+    from erkg_tutorials_spark.graph.ktruss import k_truss
+
+    return k_truss(
+        part_coorder_edges(spark, sf_dir), k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS
+    )

@@ -231,6 +231,51 @@ class TestPQ:
         assert len(approx & exact) / len(exact) >= 0.5
 
 
+class TestKTruss:
+    def _clique_edges(self, spark, nodes):
+        rows = [(u, v) for u in nodes for v in nodes if u < v]
+        return spark.createDataFrame(rows, ["u", "v"])
+
+    def test_clique_survives_and_tail_peels(self, spark):
+        """A 5-clique is a 5-truss (every edge has support 3); a
+        pendant path hanging off it must be peeled away — including
+        the cascade: removing the outer edge leaves the inner one
+        triangle-free too."""
+        from erkg_tutorials_spark.graph.ktruss import k_truss
+
+        clique = self._clique_edges(spark, [1, 2, 3, 4, 5])
+        tail = spark.createDataFrame([(5, 6), (6, 7)], ["u", "v"])
+        got = {(r.u, r.v) for r in k_truss(clique.unionAll(tail), k=5).collect()}
+        assert got == {(u, v) for u in range(1, 6) for v in range(1, 6) if u < v}
+
+    def test_k_too_large_empties(self, spark):
+        from erkg_tutorials_spark.graph.ktruss import k_truss
+
+        clique = self._clique_edges(spark, [1, 2, 3, 4])
+        assert k_truss(clique, k=5).count() == 0
+
+    def test_every_truss_edge_has_support(self, spark):
+        """Internal consistency on real data: within the returned
+        truss, every edge's support is >= k-2."""
+        from erkg_tutorials_spark.graph.ktruss import edge_support
+        from erkg_tutorials_spark.plans.graphq import KTRUSS_K, g_ktruss
+
+        truss = g_ktruss(spark, SF_DIR)
+        low = edge_support(truss).where(F.col("s") < KTRUSS_K - 2)
+        assert low.count() == 0
+
+    def test_nonconvergence_raises(self, spark):
+        from erkg_tutorials_spark.graph.ktruss import k_truss
+
+        # 5-clique + tail needs 2+ peel rounds at k=5; cap at 1
+        clique = self._clique_edges(spark, [1, 2, 3, 4, 5])
+        tail = spark.createDataFrame([(5, 6), (6, 7)], ["u", "v"])
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="fixpoint"):
+            k_truss(clique.unionAll(tail), k=5, max_rounds=1)
+
+
 class TestPersonalizedPageRank:
     def _toy(self, spark):
         # two components: path a-b-c (symmetric) and isolated pair x-y
