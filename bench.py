@@ -171,14 +171,32 @@ def main() -> None:
         pq_codes_cached,
     )
 
+    # The four build chains are independent (disjoint memo keys), so
+    # they refresh CONCURRENTLY from worker threads — Spark's scheduler
+    # interleaves their jobs across the executor cores exactly as a
+    # warehouse overlaps materialized-view refreshes. Wall time is the
+    # longest chain, not the sum; the graph chain orders fwd-edges
+    # before its dependent invariants itself.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _graph_chain() -> None:
+        trade_edges_fwd(spark, sf_dir).count()
+        invs = trade_graph_invariants(spark, sf_dir)
+        with ThreadPoolExecutor(3) as inner:
+            list(inner.map(lambda df: df.count(), invs))
+
+    chains = [
+        _graph_chain,
+        lambda: minhash_pairs_cached(spark, sf_dir).count(),
+        lambda: ivf_centroids_cached(spark, sf_dir).count(),
+        lambda: pq_codes_cached(spark, sf_dir).count(),
+    ]
     timings: dict[str, float] = {}
     t0 = time.time()
-    trade_edges_fwd(spark, sf_dir).count()
-    for inv in trade_graph_invariants(spark, sf_dir):
-        inv.count()
-    minhash_pairs_cached(spark, sf_dir).count()
-    ivf_centroids_cached(spark, sf_dir).count()
-    pq_codes_cached(spark, sf_dir).count()
+    with ThreadPoolExecutor(len(chains)) as pool:
+        futures = [pool.submit(c) for c in chains]
+        for f in futures:
+            f.result()
     timings["shared_materializations"] = round(time.time() - t0, 3)
 
     # best-of-2 per query (JMH-style): the first run pays per-plan
@@ -191,6 +209,20 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    # e1 runs a fresh end-to-end pipeline that shares nothing with the
+    # registry queries; free the session's accumulated storage first
+    # (memoized views, query caches, localCheckpoint blocks) so its
+    # number measures the pipeline, not 67 queries of block-manager
+    # debris and GC pressure.
+    from erkg_tutorials_spark.plans.memo import release
+
+    release(spark)
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    rdd_it = jsc.getPersistentRDDs().values().iterator()
+    while rdd_it.hasNext():
+        rdd_it.next().unpersist(False)
 
     timings["e1_senzing_pipeline"] = round(_bench_e1(spark, sf), 3)
 

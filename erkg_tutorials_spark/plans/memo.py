@@ -27,11 +27,20 @@ materialized view).
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# Concurrent view refresh (bench overlaps the independent shared
+# builds from worker threads) must not race two builds of one key:
+# the loser's orphaned .cache() handle would pin storage with no memo
+# entry to release it. build() itself is lazy (it only constructs a
+# plan — no job runs until an action), so holding the lock across it
+# is cheap. Re-entrant because build() callables legitimately consult
+# other memos (pq codes → pq codebooks; ivfpq → ivf centroids).
+_LOCK = threading.RLock()
 
 
 def _drop(key: tuple[str, str, str]) -> None:
@@ -57,13 +66,14 @@ def memoized(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Cached-per-(application, sf_dir) table; built lazily once."""
-    _sweep(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _MEMO.get(key)
-    if df is None:
-        df = build().cache()
-        _MEMO[key] = df
-    return df
+    with _LOCK:
+        _sweep(spark)
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        df = _MEMO.get(key)
+        if df is None:
+            df = build().cache()
+            _MEMO[key] = df
+        return df
 
 
 def release(
@@ -73,13 +83,14 @@ def release(
 ) -> int:
     """Unpersist + evict matching memo entries; returns count evicted."""
     app = spark.sparkContext.applicationId
-    victims = [
-        k
-        for k in _MEMO
-        if k[0] == app
-        and (sf_dir is None or k[1] == sf_dir)
-        and (name is None or k[2] == name)
-    ]
-    for k in victims:
-        _drop(k)
-    return len(victims)
+    with _LOCK:
+        victims = [
+            k
+            for k in _MEMO
+            if k[0] == app
+            and (sf_dir is None or k[1] == sf_dir)
+            and (name is None or k[2] == name)
+        ]
+        for k in victims:
+            _drop(k)
+        return len(victims)
