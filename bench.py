@@ -96,6 +96,12 @@ HEADLINE = [
     "events_gaps_islands",
     "knn_cosine_ivfpq",
     "g_ppr_watchlist",
+    # round-3 batch 3: lakehouse maintenance ops + graph link analysis
+    "cdc_apply_changes",
+    "zone_map_stats",
+    "sample_bottom_k",
+    "g_link_prediction",
+    "g_clustering_coeff",
 ]
 
 

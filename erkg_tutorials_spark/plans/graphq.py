@@ -669,3 +669,226 @@ def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(
         part_coorder_edges(spark, sf_dir), k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the co-order part graph: for a seed subset of
+# parts, score non-adjacent candidates by common-neighbor count,
+# Jaccard, and the resource-allocation index (Zhou et al. 2009,
+# "Predicting missing links via local information" — RA = Σ 1/deg(z)
+# over shared neighbors z; the division-only cousin of Adamic-Adar,
+# chosen because Σ1/d is expressible with exact integer arithmetic
+# while Σ1/ln(d) is not portable across libm implementations).
+#
+# Scale shape: the wedge expansion is seed-scoped — |seeds|·d̄² rows,
+# not the full graph's Σd² (298M at sf0.1, growing quadratically with
+# density). Seeds broadcast onto the adjacency scan; the only big
+# shuffle is the (u,v) wedge aggregation, which partial-aggregates
+# map-side. RA reciprocals are scaled to integers (1e12 div d) so the
+# sum is associative — bit-identical under any partial-agg order.
+# ---------------------------------------------------------------------------
+LINKPRED_SEED_MOD = 53
+LINKPRED_TOPK = 5
+_RA_SCALE = 1_000_000_000_000
+
+
+@register(
+    "g_link_prediction",
+    f"""
+    WITH pp AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT u AS z, v AS x FROM pp UNION ALL SELECT v AS z, u AS x FROM pp),
+    deg AS (SELECT z AS id, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY z),
+    seeds AS (SELECT p_partkey AS u FROM part WHERE p_partkey % {LINKPRED_SEED_MOD} = 0),
+    wedges AS (
+      SELECT su.x AS z, su.z AS u, zv.x AS v
+      FROM adj su JOIN seeds s ON su.z = s.u
+      JOIN adj zv ON zv.z = su.x
+      WHERE zv.x <> su.z
+    ),
+    scored AS (
+      SELECT w.u, w.v,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM({_RA_SCALE} // dz.d) AS BIGINT) AS ra_scaled
+      FROM wedges w JOIN deg dz ON dz.id = w.z
+      GROUP BY w.u, w.v
+    ),
+    fresh AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN pp e ON e.u = LEAST(s.u, s.v) AND e.v = GREATEST(s.u, s.v)
+      WHERE e.u IS NULL
+    ),
+    ranked AS (
+      SELECT f.u, f.v, f.cn,
+             ROUND(f.ra_scaled / {float(_RA_SCALE)}, 6) AS ra,
+             ROUND(f.cn / (du.d + dv.d - f.cn), 6) AS jaccard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY f.u
+               ORDER BY f.cn DESC, f.ra_scaled DESC, f.v ASC) AS BIGINT) AS rnk
+      FROM fresh f JOIN deg du ON du.id = f.u JOIN deg dv ON dv.id = f.v
+    )
+    SELECT u, v, cn, ra, jaccard, rnk FROM ranked WHERE rnk <= {LINKPRED_TOPK}
+    """,
+)
+def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} predicted new co-order links per seed part."""
+    pp = part_coorder_edges(spark, sf_dir)
+    adj = pp.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
+        pp.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy(F.col("z").alias("id")).agg(F.count("*").alias("d"))
+    seeds = (
+        load_tables(spark, sf_dir)["part"]
+        .where(F.col("p_partkey") % LINKPRED_SEED_MOD == 0)
+        .select(F.col("p_partkey").alias("u"))
+    )
+    # seed-scoped first hop: broadcast the seed set onto the adjacency
+    su = adj.join(F.broadcast(seeds), adj.z == seeds.u, "left_semi").select(
+        F.col("z").alias("u"), F.col("x").alias("z")
+    )
+    wedges = su.join(adj, "z").where(F.col("x") != F.col("u"))
+    scored = (
+        wedges.join(deg.select(F.col("id").alias("z"), "d"), "z")
+        .groupBy("u", F.col("x").alias("v"))
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(F.expr(f"{_RA_SCALE} div d")).alias("ra_scaled"),
+        )
+    )
+    fresh = scored.join(
+        pp.select(
+            F.least("u", "v").alias("cu"), F.greatest("u", "v").alias("cv")
+        ),
+        (F.least(scored.u, scored.v) == F.col("cu"))
+        & (F.greatest(scored.u, scored.v) == F.col("cv")),
+        "left_anti",
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.desc("cn"), F.desc("ra_scaled"), F.asc("v")
+    )
+    return (
+        fresh.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= LINKPRED_TOPK)
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(F.col("ra_scaled") / F.lit(float(_RA_SCALE)), 6).alias("ra"),
+            F.round(F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")), 6).alias(
+                "jaccard"
+            ),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) over
+# the co-order part graph — the standard density-of-neighborhood
+# measure. Triangles come from the same canonical u<v edge table the
+# triangleCount facade uses (each triangle counted once per corner);
+# the coefficient is a single integer division, so both engines agree
+# exactly. One wedge-join shuffle + one groupBy; at 100 TB the same
+# degree-ordered orientation trick triangleCount uses bounds the join
+# fan-out by the graph's arboricity.
+# ---------------------------------------------------------------------------
+@register(
+    "g_clustering_coeff",
+    """
+    WITH pp AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT u AS z, v AS x FROM pp UNION ALL SELECT v AS z, u AS x FROM pp),
+    deg AS (SELECT z AS id, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY z),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM pp ab
+      JOIN pp bc ON ab.v = bc.u
+      JOIN pp ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    corners AS (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM corners GROUP BY id)
+    SELECT d.id, d.d AS deg,
+           COALESCE(t.tri, 0) AS tri,
+           ROUND(2.0 * COALESCE(t.tri, 0) / (d.d * (d.d - 1)), 6) AS coeff
+    FROM deg d LEFT JOIN tcount t ON t.id = d.id
+    WHERE d.d >= 2
+    """,
+)
+def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient (deg ≥ 2).
+
+    Edge-centric counting: per undirected edge {u,v}, the triangles
+    through it are |N(u) ∩ N(v)|; per vertex, tri(w) = ½ Σ over
+    incident edges (each triangle at w spans exactly two of them).
+    The intersection runs JVM-side (`array_intersect` inside codegen)
+    over per-vertex sorted adjacency arrays, so NO wedge set is ever
+    materialized — the naive wedge join on this co-order graph (avg
+    degree ~120) would shuffle Σd²/2 ≈ 150M rows at sf0.1, vs 2·|E|
+    array lookups here. At 100 TB the adjacency arrays stay bounded by
+    the max degree (hub caps/salting apply above that); this is the
+    standard edge-centric formulation GraphX's triangleCount uses.
+    The canonical-u<v oracle counts the same triangles, so results
+    are identical."""
+    pp = part_coorder_edges(spark, sf_dir)
+    adj = pp.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
+        pp.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    nbrs = adj.groupBy(F.col("z").alias("id")).agg(
+        F.sort_array(F.collect_set("x")).alias("ns")
+    )
+    deg = nbrs.select("id", F.size("ns").cast("long").alias("deg"))
+    # broadcast the adjacency-array table: |V| rows ≪ |E| rows, and a
+    # shuffle join here would move the ~deg-sized array payload once
+    # per EDGE (≈1 GB at sf0.1) instead of once per VERTEX. On a
+    # cluster where |V| outgrows the broadcast budget, pre-bucket both
+    # sides by vertex id instead.
+    per_edge = (
+        pp.join(
+            F.broadcast(
+                nbrs.select(F.col("id").alias("u"), F.col("ns").alias("nu"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                nbrs.select(F.col("id").alias("v"), F.col("ns").alias("nv"))
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            F.size(F.array_intersect("nu", "nv")).cast("long").alias("common"),
+        )
+    )
+    halves = per_edge.select(F.col("u").alias("id"), "common").unionByName(
+        per_edge.select(F.col("v").alias("id"), "common")
+    )
+    tcount = halves.groupBy("id").agg((F.sum("common") / 2).cast("long").alias("tri"))
+    return (
+        deg.join(tcount, "id", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "id",
+            "deg",
+            F.coalesce("tri", F.lit(0)).alias("tri"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("tri", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("coeff"),
+        )
+    )

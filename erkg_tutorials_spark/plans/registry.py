@@ -10,6 +10,7 @@ from erkg_tutorials_spark.plans import (
     coverage2,
     eventsq,
     graphq,
+    lakeops,
     llmops,
     llmops2,
     relational,
@@ -26,6 +27,7 @@ _MODULES = (
     relational2,
     relational3,
     scale,
+    lakeops,
     llmops,
     llmops2,
     graphq,

@@ -146,3 +146,44 @@ class TestScalePatternPlans:
         code) would be the scale-killer PQ exists to avoid."""
         plan = plan_of(QUERIES["knn_cosine_pq"](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestLakeOpsPlans:
+    def test_sample_bottom_k_take_ordered(self, spark):
+        """Bottom-k hash sampling must compile to TakeOrderedAndProject
+        (per-partition top-k heaps), never a global Sort of the full
+        table."""
+        plan = plan_of(QUERIES["sample_bottom_k"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_zone_map_single_shuffle(self, spark):
+        """Zone-map stats are one groupBy over the fact scan — one
+        exchange, and the scan must prune to the referenced columns."""
+        plan = plan_of(QUERIES["zone_map_stats"](spark, SF_DIR))
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange <= 2, plan  # partial+final distinct-agg pair
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert all("l_comment" not in s and "l_tax" not in s for s in schemas), schemas
+
+    def test_cdc_apply_single_shuffle(self, spark):
+        """CDC apply is one window over the change stream: exactly one
+        exchange on the key."""
+        plan = plan_of(QUERIES["cdc_apply_changes"](spark, SF_DIR))
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange <= 1, plan
+
+
+class TestLinkPredictionPlans:
+    def test_seeds_broadcast_onto_adjacency(self, spark):
+        """The seed set must reach the adjacency scan as a broadcast
+        semi-join — shuffling the full adjacency by seed membership
+        would defeat the seed-scoping that bounds the wedge explosion."""
+        plan = plan_of(QUERIES["g_link_prediction"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_clustering_coeff_broadcasts_adjacency(self, spark):
+        """The adjacency-array table must broadcast: a shuffle join
+        would move the per-edge array payload (~deg·8B per row) through
+        an exchange."""
+        plan = plan_of(QUERIES["g_clustering_coeff"](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 2, plan
