@@ -102,6 +102,11 @@ HEADLINE = [
     "sample_bottom_k",
     "g_link_prediction",
     "g_clustering_coeff",
+    "hierarchy_rollup",
+    "table_diff",
+    "dq_checks",
+    "text_collocations",
+    "g_scc_nations",
 ]
 
 

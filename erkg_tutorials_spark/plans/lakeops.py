@@ -208,3 +208,236 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup. Customers form a synthetic binary tree (parent of
+# k is k >> 1, root 1) — the schema-free stand-in for any org chart /
+# BOM / account hierarchy. The rollup computes, per ancestor node,
+# its subtree size and total account balance.
+#
+# Spark shape: NOT a recursive join. Bounded-depth hierarchies admit
+# the materialized-path formulation — each row emits its ≤21-element
+# ancestor chain via integer shifts (an in-codegen transform/filter),
+# then ONE groupBy does the rollup. A recursive/iterative join would
+# pay depth× shuffles for the same answer; exploding the path costs
+# depth× rows but only one exchange, and the rows are two BIGINTs.
+# The oracle spells the identical arithmetic with generate_series.
+# Balances are exact integer cents; output restricted to the top 6
+# levels (node < 64) where the aggregation is meaningful.
+# ---------------------------------------------------------------------------
+HIER_MAX_DEPTH = 21  # 2^21 > every c_custkey at any test SF
+HIER_TOP_NODES = 64
+
+
+@register(
+    "hierarchy_rollup",
+    f"""
+    WITH paths AS (
+      SELECT (c_custkey >> s.i) AS node,
+             {sql_money_cents('c_acctbal')} AS cents
+      FROM customer, UNNEST(generate_series(0, {HIER_MAX_DEPTH})) AS s(i)
+      WHERE (c_custkey >> s.i) >= 1
+    )
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS subtree_size,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM paths
+    WHERE node < {HIER_TOP_NODES}
+    GROUP BY node
+    """,
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree size + balance for the top of the customer hierarchy."""
+    c = load_tables(spark, sf_dir)["customer"]
+    paths = c.select(
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(0, {HIER_MAX_DEPTH}),"
+                " i -> shiftright(c_custkey, i)), x -> x >= 1)"
+            )
+        ).alias("node"),
+        money_cents(F.col("c_acctbal")).alias("cents"),
+    )
+    return (
+        paths.where(F.col("node") < HIER_TOP_NODES)
+        .groupBy("node")
+        .agg(
+            F.count("*").alias("subtree_size"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table diff (snapshot reconciliation): the validation pass run after
+# a migration/backfill — which keys were added, removed, or changed
+# between two snapshots, decided by a row-content hash so wide rows
+# compare in O(1). Snapshot B is a deterministic mutation of orders
+# (keys ≡0 mod 17 dropped, prices of keys ≡0 mod 11 bumped a dollar),
+# so both engines derive identical inputs. One full-outer hash join
+# on the key; at 100 TB both sides are pre-bucketable by key, and the
+# row hash collapses the compare to one column regardless of schema
+# width.
+# ---------------------------------------------------------------------------
+_ROW_HASH = "md5(CAST(price_cents AS VARCHAR) || '|' || status)"
+
+
+@register(
+    "table_diff",
+    f"""
+    WITH a AS (
+      SELECT o_orderkey AS key,
+             {sql_money_cents('o_totalprice')} AS price_cents,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    b AS (
+      SELECT key,
+             price_cents + CASE WHEN key % 11 = 0 THEN 100 ELSE 0 END AS price_cents,
+             status
+      FROM a WHERE key % 17 <> 0
+    ),
+    ah AS (SELECT key, {_ROW_HASH} AS h FROM a),
+    bh AS (SELECT key, {_ROW_HASH} AS h FROM b),
+    d AS (
+      SELECT COALESCE(ah.key, bh.key) AS key,
+             CASE
+               WHEN bh.key IS NULL THEN 'removed'
+               WHEN ah.key IS NULL THEN 'added'
+               WHEN ah.h <> bh.h THEN 'changed'
+             END AS change
+      FROM ah FULL OUTER JOIN bh ON ah.key = bh.key
+    )
+    SELECT key, change FROM d WHERE change IS NOT NULL
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys added/removed/changed between orders and its mutation."""
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.select(
+        F.col("o_orderkey").alias("key"),
+        money_cents(F.col("o_totalprice")).alias("price_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b = a.where(F.col("key") % 17 != 0).select(
+        "key",
+        (
+            F.col("price_cents")
+            + F.when(F.col("key") % 11 == 0, 100).otherwise(0)
+        ).alias("price_cents"),
+        "status",
+    )
+    row_hash = F.md5(
+        F.concat(F.col("price_cents").cast("string"), F.lit("|"), F.col("status"))
+    )
+    ah = a.select("key", row_hash.alias("ha"))
+    bh = b.select(F.col("key").alias("kb"), row_hash.alias("hb"))
+    d = ah.join(bh, ah.key == bh.kb, "full_outer").select(
+        F.coalesce(ah.key, F.col("kb")).alias("key"),
+        F.when(F.col("kb").isNull(), "removed")
+        .when(ah.key.isNull(), "added")
+        .when(F.col("ha") != F.col("hb"), "changed")
+        .alias("change"),
+    )
+    return d.where(F.col("change").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Data-quality checks: the dbt-test / Deequ-style constraint report —
+# every rule is one aggregate over one scan, unioned into a compact
+# (rule, n_violations, n_checked, passed) table. Referential
+# integrity (orphan lineitems) is the only join and runs as a
+# broadcast-friendly anti-join count. No rule ever materializes the
+# violating rows — counts only, so the report costs one pass per
+# table at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_checks",
+    """
+    WITH li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS bad_discount,
+        CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key
+      FROM lineitem
+    ),
+    ords AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+      FROM orders
+    ),
+    dup AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_all
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    ),
+    orphan AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT 'discount_in_range' AS rule, bad_discount AS n_violations, n AS n_checked,
+           bad_discount = 0 AS passed FROM li
+    UNION ALL
+    SELECT 'quantity_positive', bad_qty, n, bad_qty = 0 FROM li
+    UNION ALL
+    SELECT 'orderkey_not_null', null_key, n, null_key = 0 FROM li
+    UNION ALL
+    SELECT 'totalprice_positive', bad_price, n, bad_price = 0 FROM ords
+    UNION ALL
+    SELECT 'lineitem_pk_unique', n_dup, n_all, n_dup = 0 FROM dup
+    UNION ALL
+    SELECT 'lineitem_fk_orders', n_orphan, (SELECT n FROM li), n_orphan = 0 FROM orphan
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation report over lineitem/orders."""
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+
+    li_agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+        ).alias("bad_discount"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_key"),
+    )
+    o_agg = o.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_dup"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n_all"),
+        )
+    )
+    orphan = li.join(
+        o.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n_orphan"))
+
+    def rule(name, viol, checked, src):
+        return src.select(
+            F.lit(name).alias("rule"),
+            F.col(viol).cast("long").alias("n_violations"),
+            F.col(checked).cast("long").alias("n_checked"),
+            (F.col(viol) == 0).alias("passed"),
+        )
+
+    li_n = li_agg.select(F.col("n").alias("li_n"))
+    orphan_w = orphan.crossJoin(F.broadcast(li_n))
+    return (
+        rule("discount_in_range", "bad_discount", "n", li_agg)
+        .unionByName(rule("quantity_positive", "bad_qty", "n", li_agg))
+        .unionByName(rule("orderkey_not_null", "null_key", "n", li_agg))
+        .unionByName(rule("totalprice_positive", "bad_price", "n", o_agg))
+        .unionByName(rule("lineitem_pk_unique", "n_dup", "n_all", dup))
+        .unionByName(rule("lineitem_fk_orders", "n_orphan", "li_n", orphan_w))
+    )

@@ -263,3 +263,112 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("streak_len") >= MIN_STREAK)
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation / phrase mining: the word2vec phrase-merge score
+# (Mikolov et al. 2013, "Distributed Representations of Words and
+# Phrases": score(a,b) = (count(ab) − δ) / (count(a)·count(b))) —
+# the step that decides which bigrams become single tokens before
+# vocabulary/tokenizer training. PMI needs log; this score is the
+# division-only equivalent ranking, and the division is integer-
+# scaled (×1e12, integer div) so both engines agree bit-for-bit and
+# partial aggregation stays associative.
+#
+# Plan shape: one token explode → two integer count aggs (bigram,
+# unigram) → broadcast the unigram counts (vocab-sized) back onto the
+# bigram table → top-k. The corpus is touched once.
+# ---------------------------------------------------------------------------
+COLLOC_DELTA = 3
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 30
+_COLLOC_SCALE = 1_000_000_000_000
+
+
+@register(
+    "text_collocations",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, w[i] AS term, CAST(i AS BIGINT) AS i
+      FROM toks CROSS JOIN unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY term),
+    bi AS (
+      SELECT doc_id, term AS w1,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM pos
+    ),
+    cb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cb.w1, cb.w2, cb.c_ab, u1.c AS c_a, u2.c AS c_b,
+             CAST(((cb.c_ab - {COLLOC_DELTA}) * {_COLLOC_SCALE}) // (u1.c * u2.c)
+                  AS BIGINT) AS score_scaled
+      FROM cb JOIN uni u1 ON u1.term = cb.w1 JOIN uni u2 ON u2.term = cb.w2
+      WHERE cb.c_ab >= {COLLOC_MIN_COUNT}
+    )
+    SELECT w1, w2, c_ab, c_a, c_b,
+           ROUND(score_scaled / {float(_COLLOC_SCALE)}, 6) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score_scaled DESC, w1 ASC, w2 ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {COLLOC_TOPK}
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by the word2vec phrase score."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).cast("long").alias("i"))
+    uni = pos.groupBy("term").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bi = pos.select(
+        F.col("term").alias("w1"), F.lead("term").over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    cb = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+    scored = (
+        cb.join(
+            F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))),
+            "w2",
+        )
+        .withColumn(
+            "score_scaled",
+            F.expr(
+                f"((c_ab - {COLLOC_DELTA}) * {_COLLOC_SCALE}) div (c_a * c_b)"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.desc("score_scaled"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= COLLOC_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(F.col("score_scaled") / F.lit(float(_COLLOC_SCALE)), 6).alias(
+                "score"
+            ),
+            "rnk",
+        )
+    )

@@ -187,3 +187,17 @@ class TestLinkPredictionPlans:
         an exchange."""
         plan = plan_of(QUERIES["g_clustering_coeff"](spark, SF_DIR))
         assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    def test_hierarchy_rollup_one_exchange(self, spark):
+        """Materialized-path rollup: the ancestor explosion stays in
+        the scan stage; one aggregation exchange total."""
+        plan = plan_of(QUERIES["hierarchy_rollup"](spark, SF_DIR))
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange <= 1, plan
+
+    def test_dq_checks_counts_only(self, spark):
+        """The constraint report must never sort or window the facts —
+        aggregates and one anti-join only."""
+        plan = plan_of(QUERIES["dq_checks"](spark, SF_DIR))
+        assert "Window" not in plan, plan
+        assert "TakeOrderedAndProject" not in plan, plan
