@@ -65,6 +65,7 @@ def attribution_stream(
     events: DataFrame,
     window_seconds: int = ATTRIBUTION_WINDOW_SECONDS,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: views ⋈ purchases.
 
@@ -75,6 +76,15 @@ def attribution_stream(
     ``view.event_time + window_seconds`` — bounded state by
     construction, the same eviction reasoning as the batch operator's
     bucketing argument.
+
+    ``how="left_outer"`` additionally emits every unmatched view with
+    null purchase columns — but only once the watermark passes the
+    view's join bound (that is when "no purchase will ever match" is
+    certain). Views younger than the watermark at end-of-input remain
+    in state, NOT in the output: outer results are
+    watermark-triggered, never end-of-stream-triggered. A consumer
+    needing a final flush must advance event time past the bound
+    (e.g. a heartbeat event) — pinned by the outer-join test.
     """
     views = events.where(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
@@ -94,6 +104,7 @@ def attribution_stream(
             F.col("purchase_time")
             <= F.col("view_time") + F.expr(f"INTERVAL {window_seconds} SECONDS")
         ),
+        how,
     )
     return joined.select(
         F.col("v_user").alias("user_id"),

@@ -153,3 +153,62 @@ class TestStreamStreamIntervalJoin:
             .collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestStreamStreamOuterJoin:
+    def test_left_outer_emits_unmatched_views_after_watermark(
+        self, spark, tmp_path
+    ):
+        """Unmatched views surface with null purchase columns once the
+        watermark passes their join bound; views still inside the
+        watermark at end-of-input stay in state (absent from output) —
+        the documented outer-join semantics."""
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ev(eid, uid, typ, minutes):
+            return Row(
+                event_id=eid,
+                user_id=uid,
+                event_type=typ,
+                event_time=t0 + dt.timedelta(minutes=minutes),
+            )
+
+        batch0 = [
+            ev(1, 1, "view", 0),        # matched by event 3
+            ev(2, 2, "view", 0),        # never matched -> null row
+            ev(3, 1, "purchase", 30),   # inside the 1h window of event 1
+        ]
+        # heartbeats far in the future, in a LATER micro-batch: the
+        # watermark only advances between batches, so they must arrive
+        # after batch 0 to push the watermark past event 2's bound
+        # (0:00 + 1h window + 2h delay) and flush its unmatched row.
+        # BOTH event types are needed — the global watermark is the
+        # MIN across the two watermarked branches, and each branch's
+        # event-time max only advances on its own post-filter rows.
+        # The view heartbeat itself stays in state (its bound is in
+        # the future) and must NOT appear in the output.
+        batch1 = [ev(99, 9, "view", 60 * 24), ev(98, 8, "purchase", 60 * 24)]
+        in_dir = str(tmp_path / "events_in")
+        spark.createDataFrame(batch0).coalesce(1).write.parquet(in_dir + "/f0")
+        spark.createDataFrame(batch1).coalesce(1).write.parquet(in_dir + "/f1")
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, user_id LONG, event_type STRING, event_time TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir + "/*")
+        )
+
+        out = attribution_stream(
+            stream, window_seconds=3600, watermark="2 hours", how="left_outer"
+        )
+        _drain(out, "attribution_outer_test")
+        got = {
+            (r.user_id, r.view_event_id, r.purchase_event_id)
+            for r in spark.table("attribution_outer_test").collect()
+        }
+        assert got == {(1, 1, 3), (2, 2, None)}
