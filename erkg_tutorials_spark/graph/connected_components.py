@@ -130,11 +130,14 @@ def connected_components(
         .distinct()
     )
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
     if input_canonical:
         e = raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     else:
         e = _canonical(raw)
-    e = e.localCheckpoint(eager=True)
+    e = chain(e)
 
     def is_star_forest(df: DataFrame) -> bool:
         # Direct fixpoint test, one job: the edge set is stable under
@@ -165,7 +168,7 @@ def connected_components(
     ):
         e = rebind(e)
         for i in range(max_rounds):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            e = chain(_small_star(_large_star(e)))
             # a non-trivial graph never converges on round 0 (the check
             # is a full pass over the round-0 edge set — the largest of
             # the loop); if it somehow was a forest already, round 1

@@ -211,11 +211,18 @@ class PropertyGraph:
         shuffle."""
         from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
+        from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
         spark = self.edges.sparkSession
+        # e is loop-invariant (read every round): checkpointed directly,
+        # NOT chained. The two evolving states get a chain each.
+        chain_front, chain_state = CheckpointChain(), CheckpointChain()
         e = self.edges.select("src", "dst").localCheckpoint(eager=True)
-        state = spark.createDataFrame(
-            [(lm, lm, 0) for lm in landmarks], ["id", "lm", "dist"]
-        ).localCheckpoint(eager=True)
+        state = chain_state(
+            spark.createDataFrame(
+                [(lm, lm, 0) for lm in landmarks], ["id", "lm", "dist"]
+            )
+        )
         with tuned_loop_session(spark, e.count()) as (_loop, rebind):
             e, state = rebind(e), rebind(state)
             frontier = state
@@ -229,19 +236,18 @@ class PropertyGraph:
                 st = state.select("id", "lm")
                 if n_state <= broadcast_threshold_rows:
                     st = F.broadcast(st)
-                new = (
+                new = chain_front(
                     e.join(f, "dst")
                     .select(F.col("src").alias("id"), "lm")
                     .dropDuplicates(["id", "lm"])
                     .join(st, ["id", "lm"], "left_anti")
                     .withColumn("dist", F.lit(dist))
-                    .localCheckpoint(eager=True)
                 )
                 n_front = new.count()
                 if n_front == 0:
                     break
                 n_state += n_front
-                state = state.unionByName(new).localCheckpoint(eager=True)
+                state = chain_state(state.unionByName(new))
                 frontier = new
         return state.select("id", F.col("lm").alias("landmark"), "dist")
 
@@ -265,10 +271,11 @@ class PropertyGraph:
         graphs fall back to the shuffle join automatically)."""
         from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
+        from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+        chain = CheckpointChain()
         verts = self.vertices.select("id")
-        labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint(
-            eager=True
-        )
+        labels = chain(verts.select("id", F.col("id").alias("lbl")))
         e = self.edges.select("src", "dst").localCheckpoint(eager=True)
         with tuned_loop_session(e.sparkSession, e.count()) as (_loop, rebind):
             e, labels = rebind(e), rebind(labels)
@@ -290,10 +297,9 @@ class PropertyGraph:
                     .agg(F.min("s").alias("s"))
                     .select("id", F.col("s.lbl").alias("new_lbl"))
                 )
-                labels = (
+                labels = chain(
                     labels.join(bcast(winner), "id", "left")
                     .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
-                    .localCheckpoint(eager=True)
                 )
         return labels.select("id", F.col("lbl").alias("label"))
 

@@ -56,6 +56,9 @@ def hits(edges: DataFrame, iters: int = 3, tune_loop_confs: bool = True) -> Data
         _loop,
         rebind,
     ):
+        from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+        chain = CheckpointChain()
         e = rebind(e0)
         h = (
             e.select(F.col("src").alias("id"))
@@ -71,13 +74,15 @@ def hits(edges: DataFrame, iters: int = 3, tune_loop_confs: bool = True) -> Data
                 .select(F.col("aid").alias("id"), "a")
             )
             if i == iters - 1:
+                # final authority table: checkpointed OUTSIDE the hub
+                # chain (it backs the result; the chain must never
+                # free it when the final h lands)
                 a = a.localCheckpoint(eager=True)
-            h = (
+            h = chain(
                 e.join(a, e.dst == a.id)
                 .groupBy(e.src.alias("hid"))
                 .agg(F.sum("a").alias("h"))
                 .select(F.col("hid").alias("id"), "h")
-                .localCheckpoint(eager=True)
             )
     hubs = h.select(F.lit("hub").alias("side"), "id", F.col("h").alias("score"))
     auths = a.select(

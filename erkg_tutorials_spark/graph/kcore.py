@@ -43,7 +43,10 @@ def k_core(edges_sym: DataFrame, k: int, max_rounds: int = 6) -> DataFrame:
     ``max_rounds`` — a silent non-converged answer would be wrong, not
     approximate (vertices kept that a further round would drop).
     """
-    e = edges_sym.localCheckpoint(eager=True)
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
+    e = chain(edges_sym)
     n_edges = e.count()
     for _ in range(max_rounds):
         keep = (
@@ -52,15 +55,16 @@ def k_core(edges_sym: DataFrame, k: int, max_rounds: int = 6) -> DataFrame:
             .where(F.col("deg") >= k)
             .select("id")
         )
-        e2 = (
+        e2 = chain(
             e.join(keep, e["src"] == keep["id"], "left_semi")
             .join(keep, e["dst"] == keep["id"], "left_semi")
-            .localCheckpoint(eager=True)
         )
         n2 = e2.count()
         if n2 == n_edges:
+            # read the degrees off e2, not e: the chain freed e's
+            # blocks when e2 materialized (equal count ⇒ same set)
             return (
-                e.groupBy(F.col("src").alias("id"))
+                e2.groupBy(F.col("src").alias("id"))
                 .agg(F.count("*").alias("deg"))
                 .where(F.col("deg") >= k)
             )

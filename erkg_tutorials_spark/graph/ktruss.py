@@ -59,14 +59,14 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
     (canonical u < v, distinct). Raises on non-convergence within
     ``max_rounds`` so an insufficient bound fails loudly instead of
     returning a non-truss."""
-    e = edges.select("u", "v").localCheckpoint(eager=True)
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
+    e = chain(edges.select("u", "v"))
     prev = e.count()
     for _ in range(max_rounds):
         keep = edge_support(e).where(F.col("s") >= k - 2)
-        e2 = (
-            e.join(keep, ["u", "v"], "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        e2 = chain(e.join(keep, ["u", "v"], "left_semi"))
         n = e2.count()
         if n == prev:
             # the peel only ever removes edges, so equal count ⇒

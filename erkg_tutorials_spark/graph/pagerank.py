@@ -152,6 +152,9 @@ def _pagerank_loop(
     ranks, verts, e_deg, danglers, has_danglers, ns, reset,
     max_iter, checkpoint_every, bcast,
 ):
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
     join_keys = ns + ["id"]
     for i in range(max_iter):
         r_src = ranks.select(*ns, F.col("id").alias("src"), "rank")
@@ -195,8 +198,9 @@ def _pagerank_loop(
         # re-compilation + codegen of the nested join tree is the
         # scaling hazard, not the data. checkpoint_every > 1 trades
         # driver-side plan size for fewer materialization barriers.
+        # The chain frees round i-1's blocks as round i materializes.
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = chain(ranks)
     return ranks
 
 
@@ -247,6 +251,9 @@ def personalized_pagerank(
             verts.join(out_deg.select(F.col("src").alias("id")), ["id"], "left_anti")
             .cache()
         )
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
     s = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
@@ -305,7 +312,7 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
             if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = chain(ranks)
     out = ranks.select("id", "rank")
     if pre is None:
         e_deg.unpersist()

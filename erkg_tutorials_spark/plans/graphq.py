@@ -971,17 +971,19 @@ def g_scc_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     thr = flows.agg(F.expr(f"sum(cnt) div {SCC_FLOW_DENOM}").alias("t"))
-    r = (
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
+    r = chain(
         flows.crossJoin(F.broadcast(thr))
         .where(F.col("cnt") >= F.col("t"))
-        .select("a", "b")
-        .localCheckpoint(eager=True)  # nation-level rollup: tiny from here on
+        .select("a", "b")  # nation-level rollup: tiny from here on
     )
     for _ in range(SCC_SQUARINGS):
         step = r.alias("x").join(
             r.alias("y"), F.col("x.b") == F.col("y.a")
         ).select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
-        r = r.unionByName(step).distinct().localCheckpoint(eager=True)
+        r = chain(r.unionByName(step).distinct())
     mutual = r.alias("f").join(
         r.alias("g"),
         (F.col("f.a") == F.col("g.b")) & (F.col("f.b") == F.col("g.a")),

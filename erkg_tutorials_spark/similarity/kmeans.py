@@ -47,6 +47,9 @@ def kmeans_cosine(
     ``cent_id`` is the seed's rank in md5 order (0-based, stable);
     cells that lose all members drop out of the result.
     """
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()  # rolling centroid state; v is invariant
     v = vectors.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb")
     ).withColumn("vn", F.sqrt(_dot("emb", "emb")))
@@ -89,8 +92,8 @@ def kmeans_cosine(
                 ).alias("cvec")
             )
             .select(F.col("cell").alias("cent_id"), "cvec")
-            .localCheckpoint(eager=True)
         )
+        cent = chain(cent)
     return cent
 
 

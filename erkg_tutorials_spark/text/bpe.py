@@ -68,10 +68,15 @@ def bpe_train(words: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
     ``(step, left, right, pair_count)``; state is the final
     ``(word, freq, pos, sym)`` symbolization.
     """
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
     from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
     spark = words.sparkSession
-    state0 = _init_state(words).localCheckpoint(eager=True)
+    # rolling chains: the per-round state and best-pair checkpoints
+    # are dead once the next round lands; merge_row checkpoints are
+    # NOT chained (all of them feed the final merges output)
+    chain_state = CheckpointChain()
+    state0 = chain_state(_init_state(words))
     n_rows = state0.count()
     w_pos = Window.partitionBy("word").orderBy("pos")
     merge_rows: list[DataFrame] = []
@@ -79,7 +84,7 @@ def bpe_train(words: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
     with tuned_loop_session(spark, n_rows) as (_loop, rebind):
         state = rebind(state0)
         for step in range(1, n_merges + 1):
-            merge_rows.append(_bpe_round(state, w_pos, step))
+            merge_rows.append(_bpe_round(state, w_pos, step, chain_state))
             state = merge_rows[-1][1]
         merge_rows = [m[0] for m in merge_rows]
 
@@ -90,7 +95,7 @@ def bpe_train(words: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
 
 
 def _bpe_round(
-    state: DataFrame, w_pos: Window, step: int
+    state: DataFrame, w_pos: Window, step: int, chain_state
 ) -> tuple[DataFrame, DataFrame]:
     """One merge round: returns (merge_row, next_state)."""
     nxt = F.lead("sym").over(w_pos)
@@ -102,6 +107,8 @@ def _bpe_round(
     )
     # 1-row table, checkpointed so the merge-row output and the
     # broadcast below share one computation
+    # 1-row checkpoint, NOT chained: each round's merge_row output
+    # references its best row lazily until the final merges union runs
     best = (
         pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
         .limit(1)
@@ -151,8 +158,8 @@ def _bpe_round(
         )
         .withColumn("pos", F.row_number().over(w_pos).cast("long"))
         .select("word", "freq", "pos", "sym")
-        .localCheckpoint(eager=True)
     )
+    next_state = chain_state(next_state)
     return merge_row, next_state
 
 

@@ -76,3 +76,29 @@ def test_centroid_memo_matches_fresh_training(spark):
     a = {r["cent_id"]: r["cvec"] for r in cached.collect()}
     b = {r["cent_id"]: r["cvec"] for r in fresh.collect()}
     assert a == b
+
+
+class TestCheckpointChain:
+    def test_chain_frees_previous_rounds(self, spark):
+        from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+        sc = spark.sparkContext
+        base = len(sc._jsc.sc().getRDDStorageInfo())
+        chain = CheckpointChain()
+        df = spark.range(100)
+        for i in range(5):
+            df = chain(df.selectExpr("id + 1 AS id"))
+        # exactly ONE checkpoint pinned (the latest); earlier rounds freed
+        assert len(sc._jsc.sc().getRDDStorageInfo()) == base + 1
+        # the surviving state is the latest and fully readable
+        assert df.agg({"id": "sum"}).collect()[0][0] == sum(range(5, 105))
+
+    def test_two_chains_do_not_cross_release(self, spark):
+        from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+        c1, c2 = CheckpointChain(), CheckpointChain()
+        a = c1(spark.range(10))
+        b = c2(spark.range(20))
+        a2 = c1(a.selectExpr("id * 2 AS id"))  # frees a, must NOT touch b
+        assert b.count() == 20
+        assert a2.count() == 10
