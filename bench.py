@@ -107,6 +107,8 @@ HEADLINE = [
     "dq_checks",
     "text_collocations",
     "g_scc_nations",
+    "multimodal_frame_sample",
+    "scd2_point_in_time",
 ]
 
 

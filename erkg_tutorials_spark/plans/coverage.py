@@ -431,6 +431,61 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal frame sampling, oracle-checked end-to-end: every video's
+# payload yields one row per sampled frame (every 10th of n_frames),
+# flowing through the same Arrow-batched mapInPandas plumbing a real
+# container-seeking codec would use. The STUB "frame" is a
+# deterministic byte slice (documents are ASCII, so the oracle replays
+# the identical slice with substring arithmetic); the hash equality
+# proves the per-frame byte path — explode semantics, slice bounds,
+# binary round-trip — is exact. Real codec plugs into sample_frames.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH vids AS (
+      SELECT doc_id AS media_id, text,
+             length(text) AS n_bytes,
+             GREATEST(length(text) // 40, 1) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT media_id, CAST(f.fno AS INT) AS frame_no,
+             substring(text, CAST(f.fno AS BIGINT) * (n_bytes // n_frames) + 1,
+                       n_bytes // n_frames) AS frame_txt
+      FROM vids CROSS JOIN
+           unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, 10)) AS f(fno)
+    )
+    SELECT media_id, frame_no,
+           CAST(length(frame_txt) AS BIGINT) AS frame_bytes,
+           md5(frame_txt) AS frame_hash
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.multimodal.media import sample_frames
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].where(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.greatest(
+                F.expr("length(text) div 40"), F.lit(1)
+            ).cast("int").alias("n_frames")
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_n=10)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.md5("frame").alias("frame_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # V3/V4/W4 — entity disambiguation: candidate expansion with a prior,
 # cosine(context, entity) scoring, argmax per mention (reference
 # kb.get_entity_candidates + kb.disambiguate, dev.ipynb cells 71-74).

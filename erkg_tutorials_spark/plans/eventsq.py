@@ -427,3 +427,75 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_c") / 100.0).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal point-in-time lookup over the SCD-2 history: "what was
+# every user's state at time T" for a probe set of times (quartiles of
+# the stream's time range — derived from the data, so both engines
+# compute identical probes). The probe table is 3 rows → broadcast;
+# each SCD-2 interval row answers `valid_from <= T < valid_to` as a
+# map-side filter, so the history is scanned once regardless of probe
+# count. This is the time-travel read every SCD-2 warehouse dimension
+# exists to serve.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_point_in_time",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    hist AS (
+      SELECT user_id, event_type AS state, sec AS valid_from,
+             lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+               AS valid_to
+      FROM e
+    ),
+    rng AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e),
+    probes AS (
+      SELECT CAST(q.q AS BIGINT) AS qn,
+             lo + (hi - lo) * CAST(q.q AS BIGINT) // 4 AS t
+      FROM rng CROSS JOIN unnest(generate_series(1, 3)) AS q(q)
+    )
+    SELECT p.qn AS quartile, p.t AS as_of_sec, h.user_id, h.state
+    FROM hist h JOIN probes p
+      ON h.valid_from <= p.t AND (h.valid_to IS NULL OR p.t < h.valid_to)
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "event_type", F.col("ts_sec").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    hist = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("sec").alias("valid_from"),
+        F.lead("sec").over(w).alias("valid_to"),
+    )
+    rng = e.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    probes = (
+        rng.select(
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("qn"), "lo", "hi"
+        )
+        .select(
+            F.col("qn").cast("long").alias("quartile"),
+            (
+                F.col("lo")
+                + F.expr("(hi - lo) * CAST(qn AS BIGINT) div 4")
+            ).alias("as_of_sec"),
+        )
+    )
+    return (
+        hist.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("as_of_sec"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("as_of_sec") < F.col("valid_to"))
+            ),
+        )
+        .select("quartile", "as_of_sec", "user_id", "state")
+    )

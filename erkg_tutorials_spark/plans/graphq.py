@@ -78,15 +78,17 @@ def trade_graph_invariants(spark: SparkSession, sf_dir: str):
     from erkg_tutorials_spark.plans.memo import memoized
 
     e = trade_edges_sym(spark, sf_dir)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # the graph is symmetric (every vertex has out-edges), so the
+    # out-degree KEY SET is exactly the vertex set — deriving verts
+    # from it replaces the distinct-union pass over 2|E| rows with a
+    # projection of the |V|-row degree table
     verts = memoized(
         spark,
         sf_dir,
         "trade_sym_verts",
-        lambda: e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct(),
+        lambda: out_deg.select(F.col("src").alias("id")),
     )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     e_deg = memoized(
         spark, sf_dir, "trade_sym_e_deg", lambda: e.join(out_deg, ["src"])
     )
