@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "scd2_point_in_time",
     "stat_regression",
+    "e2_corpus_curation",
 ]
 
 

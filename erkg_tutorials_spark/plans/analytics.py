@@ -651,13 +651,17 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM joined GROUP BY seg
     )
     SELECT seg, n,
-           ROUND((n * sxy - sx * sy) / (1.0 * n * n), 6) AS covar_pop,
-           ROUND((n * sxy - sx * sy)
-                 / SQRT((1.0 * n * sxx - sx * sx) * (1.0 * n * syy - sy * sy)),
+           ROUND(((1.0 * n) * sxy - (1.0 * sx) * sy) / ((1.0 * n) * n), 6)
+             AS covar_pop,
+           ROUND(((1.0 * n) * sxy - (1.0 * sx) * sy)
+                 / SQRT(((1.0 * n) * sxx - (1.0 * sx) * sx)
+                        * ((1.0 * n) * syy - (1.0 * sy) * sy)),
                  6) AS corr,
-           ROUND(SQRT(1.0 * n * sxx - sx * sx) / n, 6) AS stddev_pop_x,
-           ROUND((n * sxy - sx * sy) / (1.0 * n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - (1.0 * n * sxy - sx * sy) / (1.0 * n * sxx - sx * sx) * sx)
+           ROUND(SQRT((1.0 * n) * sxx - (1.0 * sx) * sx) / n, 6) AS stddev_pop_x,
+           ROUND(((1.0 * n) * sxy - (1.0 * sx) * sy)
+                 / ((1.0 * n) * sxx - (1.0 * sx) * sx), 6) AS slope,
+           ROUND((sy - ((1.0 * n) * sxy - (1.0 * sx) * sy)
+                       / ((1.0 * n) * sxx - (1.0 * sx) * sx) * sx)
                  / n, 6) AS intercept
     FROM m
     """,
@@ -686,18 +690,22 @@ def stat_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    cov_num = n * sxy - sx * sy
-    varx = F.lit(1.0) * n * sxx - sx * sx
-    vary = F.lit(1.0) * n * syy - sy * sy
+    # every product promotes to DOUBLE before multiplying: sx*sx as
+    # BIGINT overflows at sf>=0.1 (sx ~ 4.5e9 per segment), and the
+    # engines disagree on overflow (DuckDB promotes to HUGEINT, Spark
+    # wraps). Double products are correctly rounded, and both engines
+    # evaluate the SAME left-associated tree -> identical bits.
+    one = F.lit(1.0)
+    cov_num = (one * n) * sxy - (one * sx) * sy
+    varx = (one * n) * sxx - (one * sx) * sx
+    vary = (one * n) * syy - (one * sy) * sy
     slope = cov_num / varx
     return m.select(
         "seg",
         "n",
-        F.round(cov_num / (F.lit(1.0) * n * n), 6).alias("covar_pop"),
+        F.round(cov_num / ((one * n) * n), 6).alias("covar_pop"),
         F.round(cov_num / F.sqrt(varx * vary), 6).alias("corr"),
         F.round(F.sqrt(varx) / n, 6).alias("stddev_pop_x"),
         F.round(slope, 6).alias("slope"),
-        F.round((sy - (F.lit(1.0) * n * sxy - sx * sy) / varx * sx) / n, 6).alias(
-            "intercept"
-        ),
+        F.round((sy - cov_num / varx * sx) / n, 6).alias("intercept"),
     )

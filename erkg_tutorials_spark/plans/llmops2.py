@@ -372,3 +372,137 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E2 — the composed LLM corpus-curation pipeline, end-to-end in ONE
+# lazy plan: exact dedup (keep-first by content hash) → quality filter
+# (min length + type-token ratio) → language filter (marker-argmax
+# language ID == 'en') → mixture sampling (per-source md5 coin under
+# the tier rate) → packed-sequence accounting per source. This is the
+# "documents in, training shards out" funnel every pretraining corpus
+# goes through (the per-stage operators are the already-oracled
+# registry queries; here their COMPOSITION is oracled as one CTE
+# chain, catching stage-ordering and column-contract drift the
+# per-operator checks cannot see).
+#
+# Plan shape: one scan; the dedup window and the token aggregation
+# are the only wide stages, both keyed on content/doc — at 100 TB the
+# funnel counters are partial-aggregated per source, and every filter
+# is a scan-side projection (no stage re-reads the corpus).
+# ---------------------------------------------------------------------------
+E2_MIN_TOKENS = 25
+E2_MAX_TTR = 0.9
+
+
+@register(
+    "e2_corpus_curation",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+             ({_COIN_SQL}) < ({_MIX_TIERS_SQL}) AS mix_ok
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM base WHERE keeper
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             COUNT(DISTINCT tok) / (1.0 * COUNT(*)) AS ttr,
+             CAST(SUM(CASE WHEN tok IN ('the','and','of') THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+             CAST(SUM(CASE WHEN tok IN ('el','la','de') THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+             CAST(SUM(CASE WHEN tok IN ('le','les','une') THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits,
+             CAST(SUM(CASE WHEN tok IN ('der','die','und') THEN 1 ELSE 0 END) AS BIGINT) AS de_hits
+      FROM toks GROUP BY doc_id
+    ),
+    funnel AS (
+      SELECT b.source, s.n_tok,
+             s.n_tok >= {E2_MIN_TOKENS} AND s.ttr <= {E2_MAX_TTR} AS q_ok,
+             s.en_hits > GREATEST(s.es_hits, s.fr_hits, s.de_hits) AS lang_ok,
+             b.mix_ok
+      FROM base b JOIN stats s ON s.doc_id = b.doc_id
+      WHERE b.keeper
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_after_dedup,
+           CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+           CAST(SUM(CASE WHEN q_ok AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+           CAST(SUM(CASE WHEN q_ok AND lang_ok AND mix_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN q_ok AND lang_ok AND mix_ok THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+           CAST(CEIL(SUM(CASE WHEN q_ok AND lang_ok AND mix_ok THEN n_tok ELSE 0 END) / {SEQ_BUDGET}.0) AS BIGINT) AS n_seqs
+    FROM funnel GROUP BY source
+    """,
+)
+def e2_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: dedup → quality → lang → mix → pack."""
+    from erkg_tutorials_spark.text.quality import LANG_MARKERS
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy(F.md5("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keeper"),
+    ).where("keeper")
+    toks = base.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+
+    def hits(markers):
+        return F.sum(F.col("tok").isin(*markers).cast("long"))
+
+    stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        (F.countDistinct("tok") / (F.lit(1.0) * F.count("*"))).alias("ttr"),
+        hits(LANG_MARKERS["en"]).alias("en_hits"),
+        hits(LANG_MARKERS["es"]).alias("es_hits"),
+        hits(LANG_MARKERS["fr"]).alias("fr_hits"),
+        hits(LANG_MARKERS["de"]).alias("de_hits"),
+    )
+    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
+    rate_bp = (
+        F.when(src_idx < 5, 10000)
+        .when(src_idx < 10, 5000)
+        .when(src_idx < 15, 2500)
+        .otherwise(1000)
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+                ),
+                13,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    funnel = base.join(stats, "doc_id").select(
+        "source",
+        "n_tok",
+        (
+            (F.col("n_tok") >= E2_MIN_TOKENS) & (F.col("ttr") <= E2_MAX_TTR)
+        ).alias("q_ok"),
+        (
+            F.col("en_hits")
+            > F.greatest("es_hits", "fr_hits", "de_hits")
+        ).alias("lang_ok"),
+        (coin < rate_bp).alias("mix_ok"),
+    )
+    kept = F.col("q_ok") & F.col("lang_ok") & F.col("mix_ok")
+    tok_kept = F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0)))
+    return funnel.groupBy("source").agg(
+        F.count("*").alias("n_after_dedup"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_after_quality"),
+        F.sum((F.col("q_ok") & F.col("lang_ok")).cast("long")).alias("n_after_lang"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        tok_kept.alias("tok_kept"),
+        F.ceil(tok_kept / F.lit(float(SEQ_BUDGET))).cast("long").alias("n_seqs"),
+    )
