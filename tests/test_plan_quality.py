@@ -66,7 +66,7 @@ class TestNoPythonInHotPath:
     # Python workers, and they must use the Arrow batch path
     # (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas), never
     # row-at-a-time BatchEvalPython.
-    PYTHON_OK = {"v1_embed_hash", "multimodal_decode"}
+    PYTHON_OK = {"v1_embed_hash", "multimodal_decode", "multimodal_frame_sample"}
 
     def test_no_row_at_a_time_python_anywhere(self, spark):
         offenders = []
@@ -201,3 +201,19 @@ class TestLinkPredictionPlans:
         plan = plan_of(QUERIES["dq_checks"](spark, SF_DIR))
         assert "Window" not in plan, plan
         assert "TakeOrderedAndProject" not in plan, plan
+
+
+class TestStatAndCurationPlans:
+    def test_stat_regression_single_pass_moments(self, spark):
+        """Sufficient statistics in one aggregation — no second
+        centering pass over the fact, no window."""
+        plan = plan_of(QUERIES["stat_regression"](spark, SF_DIR))
+        assert "Window" not in plan, plan
+
+    def test_e2_curation_single_corpus_scan(self, spark):
+        """The composed funnel must read documents.parquet exactly
+        twice (dedup window + token explode share the base subtree) —
+        a per-stage re-read would multiply the 100 TB scan cost."""
+        plan = plan_of(QUERIES["e2_corpus_curation"](spark, SF_DIR))
+        n_scans = plan.count("documents.parquet")
+        assert n_scans <= 4, f"{n_scans} document scans\n" + plan[:2000]
