@@ -111,6 +111,7 @@ HEADLINE = [
     "scd2_point_in_time",
     "stat_regression",
     "e2_corpus_curation",
+    "multimodal_resize",
 ]
 
 

@@ -486,6 +486,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal resize, oracle-checked: images flow through the
+# mapInPandas resize operator with stub codec (payload truncated by
+# the area ratio, meta dims rewritten). The oracle replays the ratio
+# arithmetic — min(1, target_area/old_area), truncating int() — and
+# the byte slice on the ASCII payloads, so the batch plumbing and the
+# exact truncation semantics are both pinned. The PIL path swaps in
+# via codec="pil"/"auto" over the identical schema (pytest-gated).
+# ---------------------------------------------------------------------------
+RESIZE_W, RESIZE_H = 64, 64
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             CAST(100 + doc_id % 50 AS BIGINT) AS w0,
+             CAST(120 AS BIGINT) AS h0,
+             text, length(text) AS len0
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    resized AS (
+      SELECT media_id, w0, h0,
+             GREATEST(1, CAST(FLOOR(len0 * LEAST(1.0,
+               ({RESIZE_W} * {RESIZE_H}) / (1.0 * w0 * h0))) AS BIGINT)) AS n
+      , text
+      FROM imgs
+    )
+    SELECT media_id,
+           CAST({RESIZE_W} AS INT) AS width, CAST({RESIZE_H} AS INT) AS height,
+           CAST(n AS BIGINT) AS n_bytes,
+           md5(substring(text, 1, CAST(n AS BIGINT))) AS content_hash
+    FROM resized
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.multimodal.media import resize_images
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("width"),
+            F.lit(120).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("string").alias("format"),
+        ).alias("meta"),
+    )
+    out = resize_images(media, RESIZE_W, RESIZE_H)
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # V3/V4/W4 — entity disambiguation: candidate expansion with a prior,
 # cosine(context, entity) scoring, argmax per mention (reference
 # kb.get_entity_candidates + kb.disambiguate, dev.ipynb cells 71-74).

@@ -66,7 +66,12 @@ class TestNoPythonInHotPath:
     # Python workers, and they must use the Arrow batch path
     # (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas), never
     # row-at-a-time BatchEvalPython.
-    PYTHON_OK = {"v1_embed_hash", "multimodal_decode", "multimodal_frame_sample"}
+    PYTHON_OK = {
+        "v1_embed_hash",
+        "multimodal_decode",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+    }
 
     def test_no_row_at_a_time_python_anywhere(self, spark):
         offenders = []
