@@ -159,7 +159,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("erkg-bench")
+    # no UI + minimal listener retention: the status store otherwise
+    # accumulates per-stage state for ~82 queries x thousands of tasks,
+    # a driver-side overhead that taxes the later queries in the suite
+    spark = get_spark(
+        "erkg-bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "10",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up: JVM/codegen on a trivial plan + one pass over each input
     # table (page cache + parquet reader init), so timings measure
