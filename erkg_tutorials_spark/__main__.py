@@ -1,0 +1,94 @@
+"""Command-line entry point: run any registry query from a shell.
+
+    python -m erkg_tutorials_spark list [substring]
+    python -m erkg_tutorials_spark run <query> [--sf-dir DIR] [--limit N]
+    python -m erkg_tutorials_spark explain <query> [--sf-dir DIR]
+    python -m erkg_tutorials_spark oracle <query>        # print the DuckDB twin
+    python -m erkg_tutorials_spark pipeline <report> <suspicious> <countries> <out_dir>
+
+``run`` prints the result as a table (default 20 rows); ``explain``
+prints the formatted physical plan; ``pipeline`` executes the E1
+Senzing pipeline end-to-end and writes entities/aliases JSONL — the
+reference's ``senzing-pipeline`` console script
+(/root/reference/pyproject.toml:44), Spark-shaped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="erkg_tutorials_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registry queries")
+    p_list.add_argument("pattern", nargs="?", default="")
+
+    for name in ("run", "explain"):
+        sp = sub.add_parser(name)
+        sp.add_argument("query")
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        if name == "run":
+            sp.add_argument("--limit", type=int, default=20)
+
+    p_or = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
+    p_or.add_argument("query")
+
+    p_pipe = sub.add_parser("pipeline", help="run the E1 Senzing pipeline")
+    p_pipe.add_argument("report")
+    p_pipe.add_argument("suspicious")
+    p_pipe.add_argument("countries")
+    p_pipe.add_argument("out_dir")
+
+    args = p.parse_args(argv)
+
+    from erkg_tutorials_spark.plans.registry import ORACLES, QUERIES
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            if args.pattern in name:
+                mark = "oracle" if name in ORACLES else "rows-only"
+                print(f"{name}  [{mark}]")
+        return 0
+
+    if args.cmd == "oracle":
+        if args.query not in ORACLES:
+            print(f"no oracle for {args.query!r}", file=sys.stderr)
+            return 1
+        print(ORACLES[args.query])
+        return 0
+
+    from erkg_tutorials_spark.session import get_spark
+
+    spark = get_spark("erkg-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "pipeline":
+        from erkg_tutorials_spark.pipelines.senzing_pipeline import (
+            run_senzing_pipeline,
+        )
+        from erkg_tutorials_spark.sources.tabular import write_jsonl
+
+        ents, aliases = run_senzing_pipeline(
+            spark, args.report, args.suspicious, args.countries
+        )
+        write_jsonl(ents, f"{args.out_dir}/entities.jsonl")
+        write_jsonl(aliases, f"{args.out_dir}/aliases.jsonl")
+        print(f"wrote {args.out_dir}/entities.jsonl and aliases.jsonl")
+        return 0
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r} (try: list)", file=sys.stderr)
+        return 1
+    df = QUERIES[args.query](spark, args.sf_dir)
+    if args.cmd == "explain":
+        df.explain("formatted")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -153,3 +153,15 @@ class TestRepetitionScores:
         assert (r.frac_top_2gram, r.frac_dup_3gram, r.top_token_ratio) == (
             0.0, 0.0, 1.0,
         )
+
+
+class TestCli:
+    def test_list_and_oracle(self, capsys):
+        from erkg_tutorials_spark.__main__ import main
+
+        assert main(["list", "q1_"]) == 0
+        out = capsys.readouterr().out
+        assert "q1_pricing_summary  [oracle]" in out
+        assert main(["oracle", "q1_pricing_summary"]) == 0
+        assert "SELECT" in capsys.readouterr().out.upper()
+        assert main(["oracle", "nope"]) == 1
