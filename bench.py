@@ -112,6 +112,7 @@ HEADLINE = [
     "stat_regression",
     "e2_corpus_curation",
     "multimodal_resize",
+    "events_calendar_heatmap",
 ]
 
 

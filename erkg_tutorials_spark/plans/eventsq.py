@@ -499,3 +499,44 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("quartile", "as_of_sec", "user_id", "state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar heatmap: day-of-week × hour-of-day activity matrix — the
+# standard ops-dashboard rollup. Calendar semantics are pinned
+# explicitly (dow 0 = Sunday on both engines: DuckDB's extract(dow)
+# convention; Spark's dayofweek() is 1-based Sunday so the query
+# subtracts 1) and all math is integer counts + exact cents. One
+# groupBy over the stream; 168 output cells at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "events_calendar_heatmap",
+    """
+    SELECT CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+
+    e = load_tables(spark, sf_dir)["events"]
+    ts = F.timestamp_micros(F.expr("ts_ns div 1000"))
+    return (
+        e.select(
+            (F.dayofweek(ts) - 1).cast("long").alias("dow"),
+            F.hour(ts).cast("long").alias("hod"),
+            "user_id",
+            money_cents(F.col("value")).alias("cents"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
