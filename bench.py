@@ -113,6 +113,7 @@ HEADLINE = [
     "e2_corpus_curation",
     "multimodal_resize",
     "events_calendar_heatmap",
+    "events_new_vs_returning",
 ]
 
 

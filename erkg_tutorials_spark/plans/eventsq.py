@@ -540,3 +540,63 @@ def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day + cumulative audience. "Running
+# COUNT(DISTINCT)" is not associative, but first-touch attribution
+# makes it one pass: tag each user's first event (min event ordinal
+# per user — one window), then daily news are a plain count and the
+# cumulative audience is a running sum of news. Two exchanges total
+# (user window, day rollup) at any scale; no O(n²) re-scan per day.
+# ---------------------------------------------------------------------------
+@register(
+    "events_new_vs_returning",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    tagged AS (
+      SELECT day, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day, event_id) = 1
+               AS is_first
+      FROM e
+    ),
+    daily AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM tagged GROUP BY day
+    )
+    SELECT day, n_events, n_new,
+           n_active - n_new AS n_returning,
+           CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.expr("ts_sec div 86400").alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day", "event_id")
+    tagged = e.select(
+        "day", "user_id", (F.row_number().over(w) == 1).alias("is_first")
+    )
+    daily = tagged.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("is_first").cast("long")).alias("n_new"),
+        F.countDistinct("user_id").alias("n_active"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_events",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(wc).alias("cumulative_users"),
+    )
