@@ -114,6 +114,8 @@ HEADLINE = [
     "multimodal_resize",
     "events_calendar_heatmap",
     "events_new_vs_returning",
+    "basket_association_rules",
+    "supplier_hhi",
 ]
 
 

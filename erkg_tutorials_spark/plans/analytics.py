@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.catalog import load_tables
@@ -708,4 +708,175 @@ def stat_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(varx) / n, 6).alias("stddev_pop_x"),
         F.round(slope, 6).alias("slope"),
         F.round((sy - cov_num / varx * sx) / n, 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over co-ordered parts: support,
+# confidence, and lift for pair rules a ⇒ b — the classic retail
+# affinity workload (Agrawal & Srikant's Apriori output shape for
+# k=2). All three metrics are single divisions of exact integer
+# counts (round 6); lift's n·cnt_ab product stays far inside BIGINT.
+# Scale shape: the pair expansion is the same per-order self-join the
+# co-order graph uses (fan-out bounded by order width, ~7 items), one
+# groupBy on the pair, then item counts broadcast back onto the pair
+# table. Min-support pruning (Apriori's core trick) applies BEFORE
+# the metric joins, so low-support noise never reaches the join.
+# ---------------------------------------------------------------------------
+BASKET_MIN_PAIR = 3
+BASKET_TOPK = 50
+
+
+@register(
+    "basket_association_rules",
+    f"""
+    WITH n AS (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders FROM orders),
+    item AS (
+      SELECT l_partkey AS item, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS ia, b.l_partkey AS ib,
+             CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS cnt_ab
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {BASKET_MIN_PAIR}
+    ),
+    scored AS (
+      SELECT p.ia, p.ib, p.cnt_ab, xa.cnt AS cnt_a, xb.cnt AS cnt_b, n.n_orders,
+             ROUND(p.cnt_ab / (1.0 * n.n_orders), 6) AS support,
+             ROUND(p.cnt_ab / (1.0 * xa.cnt), 6) AS confidence,
+             ROUND((p.cnt_ab * n.n_orders) / (1.0 * xa.cnt * xb.cnt), 6) AS lift
+      FROM pair p JOIN item xa ON xa.item = p.ia
+      JOIN item xb ON xb.item = p.ib
+      CROSS JOIN n
+    )
+    SELECT ia, ib, cnt_ab, cnt_a, cnt_b, support, confidence, lift,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY lift DESC, cnt_ab DESC, ia ASC, ib ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {BASKET_TOPK}
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top pair rules by lift over co-ordered parts."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    n = t["orders"].agg(F.countDistinct("o_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").alias("cnt")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ia"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ib"))
+    pair = (
+        a.join(b, "ok")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.countDistinct("ok").alias("cnt_ab"))
+        .where(F.col("cnt_ab") >= BASKET_MIN_PAIR)
+    )
+    scored = (
+        pair.join(
+            F.broadcast(item.select(F.col("item").alias("ia"), F.col("cnt").alias("cnt_a"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(item.select(F.col("item").alias("ib"), F.col("cnt").alias("cnt_b"))),
+            "ib",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ia",
+            "ib",
+            "cnt_ab",
+            "cnt_a",
+            "cnt_b",
+            "n_orders",
+            F.round(F.col("cnt_ab") / (F.lit(1.0) * F.col("n_orders")), 6).alias(
+                "support"
+            ),
+            F.round(F.col("cnt_ab") / (F.lit(1.0) * F.col("cnt_a")), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("cnt_ab") * F.col("n_orders"))
+                / (F.lit(1.0) * F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("lift"), F.desc("cnt_ab"), F.asc("ia"), F.asc("ib")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= BASKET_TOPK)
+        .drop("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: the Herfindahl–Hirschman index of supplier
+# revenue share per nation — Σ share² over suppliers, the standard
+# antitrust/market-structure metric. Shares are exact-cents ratios;
+# HHI is a sum of squared DOUBLE ratios, which IS order-sensitive in
+# general — so the sum is computed over integer-scaled share values
+# (share in basis points as BIGINT, squared exactly) and divided once
+# at the end: associative, bit-identical under any partial-agg order.
+# One fact aggregation + one nation rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nation, CAST(SUM(cents) AS BIGINT) AS tot_cents FROM rev GROUP BY nation
+    ),
+    share AS (
+      SELECT r.nation,
+             CAST((r.cents * 1000000) // t.tot_cents AS BIGINT) AS share_ppm
+      FROM rev r JOIN tot t ON t.nation = r.nation
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(share_ppm * share_ppm) / 1000000000000.0, 6) AS hhi
+    FROM share GROUP BY nation
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue concentration (HHI in [0, 1])."""
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(F.sum(money_cents(F.col("l_extendedprice"))).alias("cents"))
+    )
+    tot = rev.groupBy("nation").agg(F.sum("cents").alias("tot_cents"))
+    share = rev.join(F.broadcast(tot), "nation").select(
+        "nation",
+        F.expr("(cents * 1000000) div tot_cents").alias("share_ppm"),
+    )
+    return share.groupBy("nation").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(
+            F.sum(F.col("share_ppm") * F.col("share_ppm")) / F.lit(1e12), 6
+        ).alias("hhi"),
     )
