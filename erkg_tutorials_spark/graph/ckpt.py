@@ -18,10 +18,17 @@ released (it backs the loop's result). Loop-invariant checkpoints
 (edge tables consumed every round) must NOT go through a chain —
 checkpoint them directly.
 
-The id-diff around the checkpoint call runs under a process-wide lock
-so concurrent chains cannot mis-attribute each other's new RDD ids.
-A localCheckpoint freed by mistake would be unrecoverable (truncated
-lineage cannot recompute), hence the conservatism.
+Attribution is per-chain and exact: ``localCheckpoint`` returns a
+Dataset whose analyzed plan is the ``LogicalRDD`` wrapping the
+checkpointed internal RDD, so the chain reads that RDD's id straight
+off the returned DataFrame. No global persistent-RDD-map diff, no
+process-wide lock — concurrent chains (and unrelated persists from
+other threads, e.g. bench workers materializing caches) can never be
+mis-attributed, and independent chains' eager checkpoint jobs overlap
+freely. If the plan shape ever stops being a bare LogicalRDD (a Spark
+upgrade), extraction fails closed: the chain releases nothing rather
+than risk freeing a foreign block (a wrongly-freed localCheckpoint is
+unrecoverable — truncated lineage cannot recompute).
 """
 
 from __future__ import annotations
@@ -30,7 +37,21 @@ import threading
 
 from pyspark.sql import DataFrame
 
-_LOCK = threading.Lock()
+
+def _checkpointed_rdd_id(df: DataFrame) -> int | None:
+    """Id of the checkpointed RDD backing ``df``, or None.
+
+    After ``localCheckpoint`` the analyzed plan is exactly
+    ``org.apache.spark.sql.execution.LogicalRDD(output, rdd, ...)``;
+    ``rdd`` is the persisted internal RDD whose blocks the chain owns.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return int(plan.rdd().id())
+    except Exception:
+        pass
+    return None
 
 
 class CheckpointChain:
@@ -38,17 +59,17 @@ class CheckpointChain:
 
     def __init__(self) -> None:
         self._prev: list[int] = []
+        self._lock = threading.Lock()  # per-chain; chains never share state
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        jsc = df.sparkSession.sparkContext._jsc
-        with _LOCK:
-            before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-            out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=True)
+        rid = _checkpointed_rdd_id(out)
+        jsc = out.sparkSession.sparkContext._jsc
+        with self._lock:
             jmap = jsc.getPersistentRDDs()
-            after = {int(i) for i in jmap.keySet().toArray()}
-            for rid in self._prev:
-                rdd = jmap.get(rid)
+            for old in self._prev:
+                rdd = jmap.get(old)
                 if rdd is not None:
                     rdd.unpersist(False)
-            self._prev = sorted(after - before)
+            self._prev = [rid] if rid is not None else []
         return out

@@ -66,7 +66,8 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     _POS_CTE
     + """,
     g AS (
-      SELECT term, doc_id, COUNT(*) AS tf, list_sort(list(i)) AS positions
+      SELECT term, doc_id, COUNT(*) AS tf,
+             array_to_string(list_sort(list(i)), ' ') AS positions
       FROM pos GROUP BY 1, 2
     )
     SELECT term, doc_id, tf, positions,
@@ -76,16 +77,19 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted index: one row per (term, document) with
-    the sorted in-document positions and the term's document
-    frequency. Single shuffle keyed by (term, doc_id); the df window
-    re-uses the same term partitioning (no extra exchange beyond the
-    window sort)."""
+    the sorted in-document positions (space-joined — flat scalar
+    output so any downstream canonicalizer can sort rows) and the
+    term's document frequency. Single shuffle keyed by (term, doc_id);
+    the df window re-uses the same term partitioning (no extra
+    exchange beyond the window sort)."""
     g = (
         _positions(spark, sf_dir)
         .groupBy("term", "doc_id")
         .agg(
             F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("i")).alias("positions"),
+            F.array_join(
+                F.sort_array(F.collect_list("i")), " "
+            ).alias("positions"),
         )
     )
     return g.withColumn("df", F.count("*").over(Window.partitionBy("term")))

@@ -222,3 +222,26 @@ class TestStatAndCurationPlans:
         plan = plan_of(QUERIES["e2_corpus_curation"](spark, SF_DIR))
         n_scans = plan.count("documents.parquet")
         assert n_scans <= 4, f"{n_scans} document scans\n" + plan[:2000]
+
+
+class TestDriverContract:
+    def test_no_nested_types_in_any_registry_output(self, spark):
+        """The driver's correctness harness canonicalizes each result
+        with pandas ``sort_values`` over every output column, which
+        raises ``TypeError: unhashable type`` on Array/Map/Struct
+        cells (the r3 ``inverted_index_postings`` red row). Guard the
+        whole class, not the instance: every registered query must
+        emit only flat, sortable scalar columns."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        bad: dict[str, list[str]] = {}
+        for name, fn in sorted(QUERIES.items()):
+            schema = fn(spark, SF_DIR).schema
+            nested = [
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if nested:
+                bad[name] = nested
+        assert not bad, f"nested top-level output columns: {bad}"
