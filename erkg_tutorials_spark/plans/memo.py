@@ -76,6 +76,25 @@ def memoized(
         return df
 
 
+def install(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df: DataFrame,
+) -> DataFrame:
+    """Place an externally built table (e.g. a persisted index loaded
+    from Parquet — similarity/index_store.py) into the memo slot that
+    ``memoized`` would otherwise fill by training. Replaces and
+    unpersists any existing entry for the key."""
+    with _LOCK:
+        _sweep(spark)
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        _drop(key)
+        cached = df.cache()
+        _MEMO[key] = cached
+        return cached
+
+
 def release(
     spark: SparkSession,
     sf_dir: str | None = None,

@@ -326,6 +326,27 @@ _SQ8_ORACLE = f"""
     """
 
 
+def sq8_grid_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row (mins, maxs) per-dimension quantization grid.
+
+    Trained index state like the IVF centroids/PQ codebooks — memoized
+    per (application, sf_dir) and persistable via
+    similarity/index_store.py."""
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    def build() -> DataFrame:
+        v = load_tables(spark, sf_dir)["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+        )
+        return v.agg(
+            F.array(*[F.min(F.col("emb")[i]) for i in range(SQ8_DIM)]).alias("mins"),
+            F.array(*[F.max(F.col("emb")[i]) for i in range(SQ8_DIM)]).alias("maxs"),
+        )
+
+    return memoized(spark, sf_dir, "sq8_grid", build)
+
+
 @register("knn_cosine_sq8", _SQ8_ORACLE)
 def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -334,10 +355,7 @@ def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = t["embeddings"].select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
-    stats = v.agg(
-        F.array(*[F.min(F.col("emb")[i]) for i in range(SQ8_DIM)]).alias("mins"),
-        F.array(*[F.max(F.col("emb")[i]) for i in range(SQ8_DIM)]).alias("maxs"),
-    )
+    stats = sq8_grid_cached(spark, sf_dir)
     # codes kept as BIGINT so the coarse dot/norms are exact integer
     # arithmetic (values ≤ 255 → dot ≤ 64·255² ≈ 4.2M, no overflow)
     coded = (
