@@ -34,8 +34,11 @@ unrecoverable — truncated lineage cannot recompute).
 from __future__ import annotations
 
 import threading
+import warnings
 
 from pyspark.sql import DataFrame
+
+_warned_extraction_failure = False
 
 
 def _checkpointed_rdd_id(df: DataFrame) -> int | None:
@@ -44,22 +47,49 @@ def _checkpointed_rdd_id(df: DataFrame) -> int | None:
     After ``localCheckpoint`` the analyzed plan is exactly
     ``org.apache.spark.sql.execution.LogicalRDD(output, rdd, ...)``;
     ``rdd`` is the persisted internal RDD whose blocks the chain owns.
+
+    Failing closed here means only the NEW checkpoint leaks (its id is
+    never recorded, so it is never released; previously recorded rounds
+    still are) — but a persistent failure (Spark upgrade changing the
+    plan shape, or no ``_jdf`` under Spark Connect) silently reinstates
+    the 25-40% degradation this module exists to prevent, so the first
+    failure emits a one-time warning instead of staying invisible.
     """
+    global _warned_extraction_failure
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getName().endswith(".LogicalRDD"):
             return int(plan.rdd().id())
-    except Exception:
-        pass
+        failure = f"unexpected analyzed-plan shape {plan.getClass().getName()}"
+    except Exception as exc:  # e.g. Spark Connect: no _jdf
+        failure = repr(exc)
+    if not _warned_extraction_failure:
+        _warned_extraction_failure = True
+        warnings.warn(
+            "CheckpointChain could not attribute a localCheckpoint RDD "
+            f"({failure}); rolling release is disabled for affected rounds "
+            "and their blocks will leak until JVM GC",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     return None
 
 
 class CheckpointChain:
-    """Eager localCheckpoint that frees the previous round's blocks."""
+    """Eager localCheckpoint that frees the previous round's blocks.
+
+    Threading contract: a chain tracks ONE evolving loop variable and
+    is single-threaded-per-chain by design — every caller here drives
+    one chain from one loop thread. The internal lock only keeps the
+    release list consistent if a chain is ever shared; it does NOT make
+    sharing safe: checkpoint + id extraction run outside it, so two
+    threads interleaving on one chain could release a checkpoint the
+    other thread just received (unrecoverable — truncated lineage).
+    Use one chain per concurrent loop instead."""
 
     def __init__(self) -> None:
         self._prev: list[int] = []
-        self._lock = threading.Lock()  # per-chain; chains never share state
+        self._lock = threading.Lock()  # consistency only; see class docstring
 
     def __call__(self, df: DataFrame) -> DataFrame:
         out = df.localCheckpoint(eager=True)

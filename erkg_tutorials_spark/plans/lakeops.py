@@ -226,17 +226,23 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Balances are exact integer cents; output restricted to the top 6
 # levels (node < 64) where the aggregation is meaningful.
 # ---------------------------------------------------------------------------
-HIER_MAX_DEPTH = 21  # 2^21 > every c_custkey at any test SF
+# Chain depth is derived from max(c_custkey) in BOTH engines (floor
+# (log2(max)) + 1 shifts always reaches the root), so sf growth can
+# never silently truncate ancestor chains the way a fixed constant
+# would. Costs one broadcast scalar (Spark) / one scalar CTE (DuckDB).
 HIER_TOP_NODES = 64
 
 
 @register(
     "hierarchy_rollup",
     f"""
-    WITH paths AS (
+    WITH d AS (
+      SELECT CAST(floor(log2(MAX(c_custkey))) AS INT) + 1 AS maxd FROM customer
+    ),
+    paths AS (
       SELECT (c_custkey >> s.i) AS node,
              {sql_money_cents('c_acctbal')} AS cents
-      FROM customer, UNNEST(generate_series(0, {HIER_MAX_DEPTH})) AS s(i)
+      FROM customer, d, UNNEST(generate_series(0, d.maxd)) AS s(i)
       WHERE (c_custkey >> s.i) >= 1
     )
     SELECT node,
@@ -250,10 +256,13 @@ HIER_TOP_NODES = 64
 def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subtree size + balance for the top of the customer hierarchy."""
     c = load_tables(spark, sf_dir)["customer"]
-    paths = c.select(
+    depth = c.agg(
+        (F.floor(F.log2(F.max("c_custkey"))) + 1).cast("int").alias("maxd")
+    )
+    paths = c.crossJoin(F.broadcast(depth)).select(
         F.explode(
             F.expr(
-                f"filter(transform(sequence(0, {HIER_MAX_DEPTH}),"
+                "filter(transform(sequence(0, maxd),"
                 " i -> shiftright(c_custkey, i)), x -> x >= 1)"
             )
         ).alias("node"),

@@ -134,6 +134,37 @@ _COIN_SQL = """
 """
 
 
+def mix_rate_bp_col() -> F.Column:
+    """Spark twin of _MIX_TIERS_SQL — single source for the tier rates
+    shared by data_mixture_sample and e2_corpus_curation."""
+    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
+    return (
+        F.when(src_idx < 5, 10000)
+        .when(src_idx < 10, 5000)
+        .when(src_idx < 15, 2500)
+        .otherwise(1000)
+    )
+
+
+def mix_coin_col() -> F.Column:
+    """Spark twin of _COIN_SQL: md5 nibbles 13-16 of source:doc_id as a
+    uniform 0..9999 coin."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+                ),
+                13,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+
+
 @register(
     "data_mixture_sample",
     f"""
@@ -167,30 +198,11 @@ def data_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
-    rate_bp = (
-        F.when(src_idx < 5, 10000)
-        .when(src_idx < 10, 5000)
-        .when(src_idx < 15, 2500)
-        .otherwise(1000)
-    )
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
-                13,
-                4,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
     d = docs.select(
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
-        rate_bp.cast("long").alias("rate_bp"),
-        coin.alias("coin"),
+        mix_rate_bp_col().cast("long").alias("rate_bp"),
+        mix_coin_col().alias("coin"),
     )
     kept = F.col("coin") < F.col("rate_bp")
     return d.groupBy("source", "rate_bp").agg(
@@ -463,27 +475,8 @@ def e2_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits(LANG_MARKERS["fr"]).alias("fr_hits"),
         hits(LANG_MARKERS["de"]).alias("de_hits"),
     )
-    src_idx = F.substring(F.col("source"), 4, 10).cast("long")
-    rate_bp = (
-        F.when(src_idx < 5, 10000)
-        .when(src_idx < 10, 5000)
-        .when(src_idx < 15, 2500)
-        .otherwise(1000)
-    )
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
-                ),
-                13,
-                4,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
+    rate_bp = mix_rate_bp_col()
+    coin = mix_coin_col()
     funnel = base.join(stats, "doc_id").select(
         "source",
         "n_tok",

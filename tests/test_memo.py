@@ -102,3 +102,30 @@ class TestCheckpointChain:
         a2 = c1(a.selectExpr("id * 2 AS id"))  # frees a, must NOT touch b
         assert b.count() == 20
         assert a2.count() == 10
+
+
+class TestCheckpointAttributionWarning:
+    def test_extraction_failure_warns_once(self, spark):
+        """A plan that is not a bare LogicalRDD must fail closed AND
+        emit a one-time RuntimeWarning (ADVICE r4: a silent None here
+        silently reinstates the storage leak this module prevents)."""
+        import warnings as w
+
+        from erkg_tutorials_spark.graph import ckpt
+
+        not_checkpointed = spark.range(10).selectExpr("id + 1 AS id")
+        old_flag = ckpt._warned_extraction_failure
+        ckpt._warned_extraction_failure = False
+        try:
+            with w.catch_warnings(record=True) as first:
+                w.simplefilter("always")
+                assert ckpt._checkpointed_rdd_id(not_checkpointed) is None
+            assert any(
+                issubclass(x.category, RuntimeWarning) for x in first
+            ), [str(x.message) for x in first]
+            with w.catch_warnings(record=True) as second:
+                w.simplefilter("always")
+                assert ckpt._checkpointed_rdd_id(not_checkpointed) is None
+            assert not second  # one-time only
+        finally:
+            ckpt._warned_extraction_failure = old_flag

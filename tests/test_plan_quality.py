@@ -195,10 +195,12 @@ class TestLinkPredictionPlans:
 
     def test_hierarchy_rollup_one_exchange(self, spark):
         """Materialized-path rollup: the ancestor explosion stays in
-        the scan stage; one aggregation exchange total."""
+        the scan stage; one aggregation exchange over the paths, plus
+        the single-row exchange of the max-custkey depth scalar (the
+        guard that keeps sf growth from truncating ancestor chains)."""
         plan = plan_of(QUERIES["hierarchy_rollup"](spark, SF_DIR))
         n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
-        assert n_exchange <= 1, plan
+        assert n_exchange <= 2, plan
 
     def test_dq_checks_counts_only(self, spark):
         """The constraint report must never sort or window the facts —
@@ -221,7 +223,7 @@ class TestStatAndCurationPlans:
         a per-stage re-read would multiply the 100 TB scan cost."""
         plan = plan_of(QUERIES["e2_corpus_curation"](spark, SF_DIR))
         n_scans = plan.count("documents.parquet")
-        assert n_scans <= 4, f"{n_scans} document scans\n" + plan[:2000]
+        assert n_scans <= 2, f"{n_scans} document scans\n" + plan[:2000]
 
 
 class TestDriverContract:
