@@ -449,10 +449,17 @@ def cm_sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Edit-distance fuzzy matching: nearest customer-name neighbors among
-# a blocked candidate set (same name length ±1 — the trivial-but-
-# effective blocking for identifier typos). levenshtein() is exact and
-# identical in both engines; ranking is (distance, name) so ties are
-# deterministic.
+# a blocked candidate set. Blocking is two-keyed: name length ±1 AND a
+# shared boundary character (same first char OR same last char) — the
+# standard multi-key blocking that keeps candidate sets sub-quadratic
+# when many strings share one length (exactly what a real seed table
+# looks like; a length-only block there degenerates to seeds×corpus).
+# A single substitution typo preserves both boundary chars unless it
+# hits position 1 or n, and an indel shifts at most one of them, so
+# recall for typo-style matches stays high; the block is part of the
+# query's declared semantics and the oracle replays it verbatim.
+# levenshtein() is exact and identical in both engines; ranking is
+# (distance, name) so ties are deterministic.
 # ---------------------------------------------------------------------------
 @register(
     "fuzzy_name_match",
@@ -462,16 +469,21 @@ def cm_sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c_custkey % 200 = 0
     ),
     cands AS (
-      SELECT s.seed_key, s.seed_name, c.c_custkey AS cand_key, c.c_name AS cand_name,
-             levenshtein(s.seed_name, c.c_name) AS dist
+      SELECT DISTINCT s.seed_key, s.seed_name,
+             c.c_custkey AS cand_key, c.c_name AS cand_name
       FROM seeds s JOIN customer c
         ON abs(length(s.seed_name) - length(c.c_name)) <= 1
+       AND (substr(s.seed_name, 1, 1) = substr(c.c_name, 1, 1)
+            OR right(s.seed_name, 1) = right(c.c_name, 1))
        AND s.seed_key <> c.c_custkey
+    ),
+    scored AS (
+      SELECT *, levenshtein(seed_name, cand_name) AS dist FROM cands
     ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY seed_key
                                    ORDER BY dist, cand_name, cand_key) AS rk
-      FROM cands
+      FROM scored
     )
     SELECT seed_key, seed_name, cand_key, cand_name,
            CAST(dist AS BIGINT) AS dist, CAST(rk AS BIGINT) AS rk
@@ -482,12 +494,16 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     c = load_tables(spark, sf_dir)["customer"]
-    # the ±1 length block becomes an EQUI join: each seed explodes into
-    # its three admissible candidate lengths and the join key is the
-    # candidate's exact length. A plain inequality condition would
-    # compile to BroadcastNestedLoopJoin (seeds × corpus pair
-    # evaluation) — harmless at 75 seeds, catastrophic at a real seed
-    # table's size; the equi form stays a hash join at any scale.
+    # BOTH block keys become EQUI join columns: each seed explodes into
+    # its three admissible candidate lengths × its two tagged boundary
+    # chars; each candidate row carries its exact length and its two
+    # tagged boundary chars. The join key is (len, tagged-char), a hash
+    # join at any scale — a plain inequality/OR condition would compile
+    # to BroadcastNestedLoopJoin (seeds × corpus pair evaluation).
+    # Matching via both keys yields duplicate pairs; DISTINCT collapses
+    # them before scoring.
+    first_of = lambda col: F.concat(F.lit("F:"), F.substring(F.col(col), 1, 1))
+    last_of = lambda col: F.concat(F.lit("L:"), F.expr(f"right({col}, 1)"))
     seeds = (
         c.where(F.col("c_custkey") % 200 == 0)
         .select(F.col("c_custkey").alias("seed_key"), F.col("c_name").alias("seed_name"))
@@ -501,18 +517,30 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        .withColumn(
+            "bkey", F.explode(F.array(first_of("seed_name"), last_of("seed_name")))
+        )
+        .distinct()
+    )
+    cand_side = c.withColumn(
+        "bkey", F.explode(F.array(first_of("c_name"), last_of("c_name")))
     )
     cands = (
         F.broadcast(seeds)
-        .join(c, F.length("c_name") == F.col("cand_len"))
+        .join(
+            cand_side,
+            (F.length("c_name") == F.col("cand_len"))
+            & (cand_side["bkey"] == seeds["bkey"]),
+        )
         .where(F.col("seed_key") != F.col("c_custkey"))
         .select(
             "seed_key",
             "seed_name",
             F.col("c_custkey").alias("cand_key"),
             F.col("c_name").alias("cand_name"),
-            F.levenshtein("seed_name", "c_name").alias("dist"),
         )
+        .distinct()
+        .withColumn("dist", F.levenshtein("seed_name", "cand_name"))
     )
     w = Window.partitionBy("seed_key").orderBy("dist", "cand_name", "cand_key")
     return (

@@ -202,6 +202,21 @@ class TestLinkPredictionPlans:
         n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n_exchange <= 2, plan
 
+    def test_fuzzy_match_blocked_equi_join(self, spark):
+        """Both block keys (candidate length AND tagged boundary char)
+        must appear as EQUI join keys — no nested-loop pair evaluation.
+        That the equi-encoding (explode + distinct) computes exactly
+        the declared OR-of-boundary-chars block is proven by the oracle
+        hash match; here we pin the physical shape."""
+        df = QUERIES["fuzzy_name_match"](spark, SF_DIR)
+        plan = plan_of(df)
+        assert "NestedLoop" not in plan, plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+        key_line = next(
+            line for line in plan.splitlines() if line.startswith("Left keys")
+        )
+        assert "cand_len" in key_line and "bkey" in key_line, key_line
+
     def test_dq_checks_counts_only(self, spark):
         """The constraint report must never sort or window the facts —
         aggregates and one anti-join only."""
