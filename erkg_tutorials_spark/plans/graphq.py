@@ -855,16 +855,36 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge-centric counting: per undirected edge {u,v}, the triangles
     through it are |N(u) ∩ N(v)|; per vertex, tri(w) = ½ Σ over
     incident edges (each triangle at w spans exactly two of them).
-    The intersection runs JVM-side (`array_intersect` inside codegen)
-    over per-vertex sorted adjacency arrays, so NO wedge set is ever
-    materialized — the naive wedge join on this co-order graph (avg
-    degree ~120) would shuffle Σd²/2 ≈ 150M rows at sf0.1, vs 2·|E|
-    array lookups here. At 100 TB the adjacency arrays stay bounded by
-    the max degree (hub caps/salting apply above that); this is the
-    standard edge-centric formulation GraphX's triangleCount uses.
-    The canonical-u<v oracle counts the same triangles, so results
-    are identical."""
-    pp = part_coorder_edges(spark, sf_dir)
+    See clustering_from_edges for the degree-capped hybrid plan."""
+    return clustering_from_edges(part_coorder_edges(spark, sf_dir))
+
+
+CLUSTERING_DEG_CAP = 2048  # adjacency arrays above this skip the broadcast
+
+
+def clustering_from_edges(
+    pp: DataFrame, deg_cap: int = CLUSTERING_DEG_CAP
+) -> DataFrame:
+    """Local clustering coefficients from canonical (u < v) edges.
+
+    Hybrid per-edge common-neighbor counting:
+
+    * **Broadcast tier** (deg ≤ deg_cap, the overwhelming majority):
+      per-vertex sorted adjacency arrays broadcast once; the
+      intersection runs JVM-side (`array_intersect` inside codegen)
+      per edge, so NO wedge set is ever materialized — the naive wedge
+      join on the co-order graph (avg degree ~120) would shuffle
+      Σd²/2 ≈ 150M rows at sf0.1, vs 2·|E| array lookups here.
+    * **Shuffle tier** (edges touching a vertex with deg > deg_cap):
+      hub arrays would blow the broadcast budget on a hub-heavy 100×
+      graph, so those edges count common neighbors with a distributed
+      wedge join instead — explode the edge's u-adjacency, equi-join
+      on (v, w) membership, count per edge. Volume is Σ deg(u) over
+      hub edges only; everything shuffles on plain long keys.
+
+    The two tiers union before the per-vertex halving, so results are
+    independent of deg_cap (pinned by the hub fixture test and the
+    unchanged canonical-u<v oracle)."""
     adj = pp.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
         pp.select(F.col("v").alias("z"), F.col("u").alias("x"))
     )
@@ -872,30 +892,39 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("x")).alias("ns")
     )
     deg = nbrs.select("id", F.size("ns").cast("long").alias("deg"))
-    # broadcast the adjacency-array table: |V| rows ≪ |E| rows, and a
-    # shuffle join here would move the ~deg-sized array payload once
-    # per EDGE (≈1 GB at sf0.1) instead of once per VERTEX. On a
-    # cluster where |V| outgrows the broadcast budget, pre-bucket both
-    # sides by vertex id instead.
-    per_edge = (
-        pp.join(
-            F.broadcast(
-                nbrs.select(F.col("id").alias("u"), F.col("ns").alias("nu"))
-            ),
-            "u",
-        )
-        .join(
-            F.broadcast(
-                nbrs.select(F.col("id").alias("v"), F.col("ns").alias("nv"))
-            ),
-            "v",
-        )
-        .select(
-            "u",
-            "v",
-            F.size(F.array_intersect("nu", "nv")).cast("long").alias("common"),
-        )
+    small = nbrs.where(F.size("ns") <= deg_cap)
+    # one left join per endpoint against the SAME broadcast table both
+    # classifies the edge (null ⇒ hub endpoint) and delivers the arrays
+    tagged = pp.join(
+        F.broadcast(small.select(F.col("id").alias("u"), F.col("ns").alias("nu"))),
+        "u",
+        "left",
+    ).join(
+        F.broadcast(small.select(F.col("id").alias("v"), F.col("ns").alias("nv"))),
+        "v",
+        "left",
     )
+    per_edge_small = tagged.where(
+        F.col("nu").isNotNull() & F.col("nv").isNotNull()
+    ).select(
+        "u",
+        "v",
+        F.size(F.array_intersect("nu", "nv")).cast("long").alias("common"),
+    )
+    hub_edges = tagged.where(F.col("nu").isNull() | F.col("nv").isNull()).select(
+        "u", "v"
+    )
+    # distributed wedge count for hub-incident edges; exploding from u
+    # unconditionally is fine because hubs are rare by construction —
+    # routing via the lower-degree endpoint would halve the fan-out at
+    # the cost of a third classification join
+    per_edge_hub = (
+        hub_edges.join(adj.select(F.col("z").alias("u"), F.col("x").alias("w")), "u")
+        .join(adj.select(F.col("z").alias("v"), F.col("x").alias("w")), ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    per_edge = per_edge_small.unionByName(per_edge_hub)
     halves = per_edge.select(F.col("u").alias("id"), "common").unionByName(
         per_edge.select(F.col("v").alias("id"), "common")
     )

@@ -254,3 +254,60 @@ class TestBfs:
         # shortest depth with any hit: 2->3 at depth 1; 1's depth-2
         # path must NOT appear
         assert {r["from"]["id"] for r in rows} == {2}
+
+
+class TestClusteringHybrid:
+    """Degree-capped hybrid for local clustering coefficients: hub
+    vertices must route through the shuffle wedge join and produce the
+    same counts the broadcast tier would."""
+
+    def _fixture_edges(self, spark):
+        # hub 0 wired to 1..20 (deg 20); triangles (0,1,2), (0,3,4),
+        # (0,5,6); a hub-free triangle (21,22,23); a dangling edge
+        edges = [(0, k) for k in range(1, 21)]
+        edges += [(1, 2), (3, 4), (5, 6)]
+        edges += [(21, 22), (21, 23), (22, 23), (24, 25)]
+        return spark.createDataFrame(edges, "u long, v long")
+
+    def _expected(self):
+        import itertools
+
+        edges = {(0, k) for k in range(1, 21)}
+        edges |= {(1, 2), (3, 4), (5, 6), (21, 22), (21, 23), (22, 23), (24, 25)}
+        nbrs: dict[int, set[int]] = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        out = {}
+        for v, ns in nbrs.items():
+            d = len(ns)
+            if d < 2:
+                continue
+            tri = sum(
+                1 for a, b in itertools.combinations(sorted(ns), 2)
+                if b in nbrs[a]
+            )
+            out[v] = (d, tri, round(2.0 * tri / (d * (d - 1)), 6))
+        return out
+
+    @pytest.mark.parametrize("deg_cap", [5, 10**9])
+    def test_hub_and_broadcast_tiers_agree(self, spark, deg_cap):
+        from erkg_tutorials_spark.plans.graphq import clustering_from_edges
+
+        got = {
+            r.id: (r.deg, r.tri, r.coeff)
+            for r in clustering_from_edges(
+                self._fixture_edges(spark), deg_cap=deg_cap
+            ).collect()
+        }
+        assert got == self._expected()
+
+    def test_low_cap_actually_routes_hub_edges(self, spark):
+        """With cap=5 the hub's 20 incident edges must leave the
+        broadcast tier (sanity that the parametrized case above really
+        exercised the shuffle path)."""
+        from erkg_tutorials_spark.plans.graphq import clustering_from_edges
+
+        df = clustering_from_edges(self._fixture_edges(spark), deg_cap=5)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "Union" in plan

@@ -187,11 +187,14 @@ class TestLinkPredictionPlans:
         assert "BroadcastHashJoin" in plan, plan
 
     def test_clustering_coeff_broadcasts_adjacency(self, spark):
-        """The adjacency-array table must broadcast: a shuffle join
-        would move the per-edge array payload (~deg·8B per row) through
-        an exchange."""
+        """The sub-cap adjacency-array table must broadcast (a shuffle
+        join would move the per-edge array payload through an
+        exchange), and the degree-capped hub fallback — shuffle wedge
+        join, then union with the broadcast tier — must exist in the
+        plan rather than only in a comment."""
         plan = plan_of(QUERIES["g_clustering_coeff"](spark, SF_DIR))
         assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "Union" in plan, plan
 
     def test_hierarchy_rollup_one_exchange(self, spark):
         """Materialized-path rollup: the ancestor explosion stays in
