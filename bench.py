@@ -193,6 +193,7 @@ def main() -> None:
     # the suite total still pays every materialization exactly once.
     # (Best-of-2 would otherwise silently drop the build cost.)
     from erkg_tutorials_spark.plans.graphq import (
+        ppr_watchlist_tp_cached,
         trade_edges_fwd,
         trade_graph_invariants,
     )
@@ -215,6 +216,11 @@ def main() -> None:
         invs = trade_graph_invariants(spark, sf_dir)
         with ThreadPoolExecutor(3) as inner:
             list(inner.map(lambda df: df.count(), invs))
+        # PPR's teleport vector is index state like the invariants
+        # above — warm it here so g_ppr_watchlist times steady-state
+        # scoring, same as its pagerank sibling (depends on verts, so
+        # it follows the invariants sequentially)
+        ppr_watchlist_tp_cached(spark, sf_dir).count()
 
     chains = [
         _graph_chain,

@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
 
+def with_vertex_count(base: DataFrame, ns: list[str]) -> DataFrame:
+    """Annotate each vertex row with its (per-namespace) vertex count.
+
+    Namespaced (per-doc) graphs use a partitioned window — each
+    partition is one small document graph. Un-namespaced graphs use a
+    broadcast scalar crossJoin: ``Window.partitionBy()`` with no keys
+    would drag all |V| rows through ONE task at 100× scale."""
+    if ns:
+        return base.withColumn("n", F.count("*").over(Window.partitionBy(*ns)))
+    return base.crossJoin(F.broadcast(base.agg(F.count("*").alias("n"))))
+
+
 def pagerank(
     edges: DataFrame,
     reset: float = 0.15,
@@ -66,17 +78,16 @@ def pagerank(
         raise ValueError("pre-built invariants are only supported un-namespaced")
     e = edges.select(*ns, F.col(src).alias("src"), F.col(dst).alias("dst"))
 
-    nw = Window.partitionBy(*ns) if ns else Window.partitionBy()
     if pre is not None:
         verts0, e_deg, danglers = pre
-        verts = verts0.withColumn("n", F.count("*").over(nw)).cache()
+        verts = with_vertex_count(verts0, ns).cache()
     else:
         verts = (
             e.select(*ns, F.col("src").alias("id"))
             .unionByName(e.select(*ns, F.col("dst").alias("id")))
             .distinct()
         )
-        verts = verts.withColumn("n", F.count("*").over(nw)).cache()
+        verts = with_vertex_count(verts, ns).cache()
 
         # loop-invariant tables: materialize once, reuse every iteration
         # (without this each iteration re-derives them from the source

@@ -85,6 +85,13 @@ def attribution_stream(
     watermark-triggered, never end-of-stream-triggered. A consumer
     needing a final flush must advance event time past the bound
     (e.g. a heartbeat event) — pinned by the outer-join test.
+
+    ``how="full_outer"`` emits unmatched rows from BOTH sides: views
+    as in left_outer, and purchases with null view columns once the
+    watermark passes the purchase's own bound (a view must precede
+    its purchase, so "no view will ever match" is certain as soon as
+    the view-side watermark passes purchase_time). ``user_id`` is
+    taken from whichever side is present.
     """
     views = events.where(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
@@ -107,7 +114,7 @@ def attribution_stream(
         how,
     )
     return joined.select(
-        F.col("v_user").alias("user_id"),
+        F.coalesce("v_user", "p_user").alias("user_id"),
         "view_event_id",
         "purchase_event_id",
         F.unix_micros(F.col("view_time")).alias("view_us"),

@@ -196,6 +196,21 @@ class TestLinkPredictionPlans:
         assert plan.count("BroadcastHashJoin") >= 2, plan
         assert "Union" in plan, plan
 
+    def test_pagerank_vertex_count_no_global_window(self, spark):
+        """The un-namespaced vertex count must be a broadcast scalar
+        crossJoin, not Window.partitionBy() — an empty-key window drags
+        all |V| rows through one task. (Tested on the helper directly:
+        pagerank()'s returned plan is always a checkpointed LogicalRDD,
+        which would hide the window.)"""
+        from erkg_tutorials_spark.graph.pagerank import with_vertex_count
+
+        verts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        plan = plan_of(with_vertex_count(verts, []))
+        assert "Window" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+        # and values are right
+        assert {r.n for r in with_vertex_count(verts, []).collect()} == {3}
+
     def test_hierarchy_rollup_one_exchange(self, spark):
         """Materialized-path rollup: the ancestor explosion stays in
         the scan stage; one aggregation exchange over the paths, plus

@@ -212,3 +212,55 @@ class TestStreamStreamOuterJoin:
             for r in spark.table("attribution_outer_test").collect()
         }
         assert got == {(1, 1, 3), (2, 2, None)}
+
+
+class TestStreamStreamFullOuterJoin:
+    def test_full_outer_flushes_both_sides_after_watermark(self, spark, tmp_path):
+        """full_outer = left_outer's unmatched-view rows PLUS unmatched
+        purchases with null view columns, each emitted only once the
+        watermark passes that side's join bound; rows still inside the
+        watermark at end-of-input stay in state (the heartbeats)."""
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ev(eid, uid, typ, minutes):
+            return Row(
+                event_id=eid,
+                user_id=uid,
+                event_type=typ,
+                event_time=t0 + dt.timedelta(minutes=minutes),
+            )
+
+        batch0 = [
+            ev(1, 1, "view", 0),       # matched by event 3
+            ev(2, 2, "view", 0),       # never matched -> (2, 2, None)
+            ev(3, 1, "purchase", 30),  # inside the 1h window of event 1
+            ev(4, 3, "purchase", 30),  # never matched -> (3, None, 4)
+        ]
+        # same heartbeat discipline as the left_outer test: a later
+        # micro-batch advances BOTH branch watermarks past every
+        # batch-0 bound; the heartbeats themselves stay in state
+        batch1 = [ev(99, 9, "view", 60 * 24), ev(98, 8, "purchase", 60 * 24)]
+        in_dir = str(tmp_path / "events_in")
+        spark.createDataFrame(batch0).coalesce(1).write.parquet(in_dir + "/f0")
+        spark.createDataFrame(batch1).coalesce(1).write.parquet(in_dir + "/f1")
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, user_id LONG, event_type STRING, event_time TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir + "/*")
+        )
+
+        out = attribution_stream(
+            stream, window_seconds=3600, watermark="2 hours", how="full_outer"
+        )
+        _drain(out, "attribution_full_outer_test")
+        got = {
+            (r.user_id, r.view_event_id, r.purchase_event_id)
+            for r in spark.table("attribution_full_outer_test").collect()
+        }
+        assert got == {(1, 1, 3), (2, 2, None), (3, None, 4)}
