@@ -3,8 +3,11 @@ metadata (SURVEY.md north-star extension).
 
 The Spark-side plumbing is real and tested — schema, Arrow batch
 shapes, ``mapInPandas`` signatures, partition behavior. The *codec*
-layer is two-tier (r3): a real PIL image path used when Pillow is
-importable in the runtime (``codec="auto"``/"pil"), and the
+layer is three-tier (r5): a real PIL image path used when Pillow is
+importable in the runtime (``codec="auto"``/"pil"); a real pure
+stdlib+numpy binary-PPM path (``codec="ppm"``) so an actual
+decode→pixels→transform→re-encode cycle executes even where Pillow is
+absent (this container — its goldens run unconditionally); and the
 deterministic md5-seeded fake (``codec="stub"``, the default — it
 backs the registered oracle query, so correctness replay never
 depends on an optional package). Audio/video decode remains stubbed:
@@ -124,12 +127,74 @@ def _decode_pil(payload: bytes, kind: str) -> dict:
         }
 
 
+def _ppm_parse(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) image: returns (width, height, rgb bytes).
+
+    Pure-stdlib real codec — exists so a REAL decode→pixels→transform
+    path executes even in runtimes without Pillow (this container).
+    Handles the standard header grammar: tokens separated by
+    whitespace, '#' comments, maxval must be 255."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"PPM maxval {maxval} unsupported (8-bit only)")
+    pixels = payload[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, pixels
+
+
+def ppm_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6) encode of raw 8-bit RGB bytes."""
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def _decode_ppm(payload: bytes, kind: str) -> dict:
+    """Real image decode for binary PPM via the stdlib parser. Feature
+    contract identical to the PIL tier: mean_byte over pixel bytes,
+    feat_0/feat_1 = width/height / 2^16, content_hash = md5 of the
+    PIXEL bytes (container-independent)."""
+    if payload is None:
+        raise NotImplementedError("null payload: nothing to decode")
+    if kind != "image":
+        return _decode_stub(payload)
+    w, h, pixels = _ppm_parse(payload)
+    return {
+        "mean_byte": sum(pixels) / max(len(pixels), 1),
+        "feat_0": w / 2**16,
+        "feat_1": h / 2**16,
+        "content_hash": hashlib.md5(pixels).hexdigest(),
+    }
+
+
+def best_real_codec() -> str:
+    """The strongest REAL (non-stub) codec this runtime can execute:
+    'pil' when Pillow is importable, else the stdlib 'ppm' tier."""
+    return "pil" if pil_available() else "ppm"
+
+
 def _pick_codec(codec: str):
     if codec == "pil" or (codec == "auto" and pil_available()):
         return _decode_pil
+    if codec == "ppm":
+        return _decode_ppm
     if codec in ("auto", "stub"):
         return lambda payload, kind: _decode_stub(payload)
-    raise ValueError(f"unknown codec {codec!r} (expected stub|pil|auto)")
+    raise ValueError(f"unknown codec {codec!r} (expected stub|ppm|pil|auto)")
 
 
 def decode_features(media: DataFrame, codec: str = "stub") -> DataFrame:
@@ -167,13 +232,15 @@ def resize_images(
     """Image resize: payload → payload' with updated meta.
 
     ``codec="pil"``/"auto": real decode → ``Image.resize`` → PNG
-    re-encode on the executors. ``codec="stub"`` (default): the
-    deterministic fake (payload truncated by area ratio) — the
+    re-encode on the executors. ``codec="ppm"``: real decode of binary
+    PPM via the stdlib parser → numpy nearest-neighbor resample → PPM
+    re-encode (the no-Pillow real tier). ``codec="stub"`` (default):
+    the deterministic fake (payload truncated by area ratio) — the
     schema/meta handling is identical, which is the tested contract."""
     out_schema = MEDIA_SCHEMA
     use_pil = codec == "pil" or (codec == "auto" and pil_available())
-    if codec not in ("stub", "pil", "auto"):
-        raise ValueError(f"unknown codec {codec!r} (expected stub|pil|auto)")
+    if codec not in ("stub", "ppm", "pil", "auto"):
+        raise ValueError(f"unknown codec {codec!r} (expected stub|ppm|pil|auto)")
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if use_pil:
@@ -191,6 +258,20 @@ def resize_images(
             meta.update({"width": width, "height": height, "format": "png"})
             return out.getvalue(), meta
 
+        def ppm_resize(row):
+            import numpy as np
+
+            meta = dict(row["meta"]) if row["meta"] is not None else {}
+            if row["kind"] != "image":
+                return row["payload"], meta
+            w0, h0, pixels = _ppm_parse(row["payload"])
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h0, w0, 3)
+            ys = (np.arange(height) * h0) // height
+            xs = (np.arange(width) * w0) // width
+            out = arr[ys][:, xs]
+            meta.update({"width": width, "height": height, "format": "ppm"})
+            return ppm_encode(width, height, out.tobytes()), meta
+
         def fake_resize(row):
             # STUB: a real resize decodes + rescales; the deterministic
             # fake truncates payload proportionally to the area ratio.
@@ -201,7 +282,9 @@ def resize_images(
             meta.update({"width": width, "height": height})
             return row["payload"][:n], meta
 
-        xform = pil_resize if use_pil else fake_resize
+        xform = (
+            pil_resize if use_pil else ppm_resize if codec == "ppm" else fake_resize
+        )
         for pdf in batches:
             resized = pdf.apply(xform, axis=1)
             pdf = pdf.assign(
