@@ -193,6 +193,8 @@ def main() -> None:
     # the suite total still pays every materialization exactly once.
     # (Best-of-2 would otherwise silently drop the build cost.)
     from erkg_tutorials_spark.plans.graphq import (
+        coorder_nbrs_cached,
+        part_coorder_edges,
         ppr_watchlist_tp_cached,
         trade_edges_fwd,
         trade_graph_invariants,
@@ -222,8 +224,13 @@ def main() -> None:
         # it follows the invariants sequentially)
         ppr_watchlist_tp_cached(spark, sf_dir).count()
 
+    def _coorder_chain() -> None:
+        part_coorder_edges(spark, sf_dir).count()
+        coorder_nbrs_cached(spark, sf_dir).count()
+
     chains = [
         _graph_chain,
+        _coorder_chain,
         lambda: minhash_pairs_cached(spark, sf_dir).count(),
         lambda: ivf_centroids_cached(spark, sf_dir).count(),
         lambda: pq_codes_cached(spark, sf_dir).count(),
@@ -237,15 +244,22 @@ def main() -> None:
     timings["shared_materializations"] = round(time.time() - t0, 3)
 
     # best-of-2 per query (JMH-style): the first run pays per-plan
-    # codegen compilation; the second is the throughput number.
+    # codegen compilation; the second is the throughput number. For
+    # the expensive iterative graph family, both runs are also
+    # recorded as [best, worst] so ambient variance (SCALING.md
+    # "Bench variance") is visible in the artifact instead of folded
+    # silently into best-of.
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        if name.startswith("g") and max(runs) > 3.0:
+            spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # e1 runs a fresh end-to-end pipeline that shares nothing with the
     # registry queries; free the session's accumulated storage first
@@ -271,6 +285,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )

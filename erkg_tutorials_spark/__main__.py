@@ -5,6 +5,7 @@
     python -m erkg_tutorials_spark explain <query> [--sf-dir DIR]
     python -m erkg_tutorials_spark oracle <query>        # print the DuckDB twin
     python -m erkg_tutorials_spark pipeline <report> <suspicious> <countries> <out_dir>
+    python -m erkg_tutorials_spark index save|load <path> [--sf-dir DIR]
 
 ``run`` prints the result as a table (default 20 rows); ``explain``
 prints the formatted physical plan; ``pipeline`` executes the E1
@@ -42,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("countries")
     p_pipe.add_argument("out_dir")
 
+    p_idx = sub.add_parser(
+        "index", help="persist / reload the trained vector-index artifacts"
+    )
+    p_idx.add_argument("action", choices=("save", "load"))
+    p_idx.add_argument("path")
+    p_idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     args = p.parse_args(argv)
 
     from erkg_tutorials_spark.plans.registry import ORACLES, QUERIES
@@ -77,6 +85,22 @@ def main(argv: list[str] | None = None) -> int:
         write_jsonl(ents, f"{args.out_dir}/entities.jsonl")
         write_jsonl(aliases, f"{args.out_dir}/aliases.jsonl")
         print(f"wrote {args.out_dir}/entities.jsonl and aliases.jsonl")
+        return 0
+
+    if args.cmd == "index":
+        from erkg_tutorials_spark.similarity.index_store import (
+            ARTIFACTS,
+            load_index,
+            save_index,
+        )
+
+        if args.action == "save":
+            save_index(spark, args.sf_dir, args.path)
+            print(f"saved {', '.join(ARTIFACTS)} under {args.path}")
+        else:
+            loaded = load_index(spark, args.sf_dir, args.path)
+            for name, df in loaded.items():
+                print(f"loaded {name}: {df.count()} rows")
         return 0
 
     if args.query not in QUERIES:

@@ -866,75 +866,141 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     through it are |N(u) ∩ N(v)|; per vertex, tri(w) = ½ Σ over
     incident edges (each triangle at w spans exactly two of them).
     See clustering_from_edges for the degree-capped hybrid plan."""
-    return clustering_from_edges(part_coorder_edges(spark, sf_dir))
+    return clustering_from_edges(
+        part_coorder_edges(spark, sf_dir),
+        nbrs=coorder_nbrs_cached(spark, sf_dir),
+    )
 
 
 CLUSTERING_DEG_CAP = 2048  # adjacency arrays above this skip the broadcast
 
 
+def coorder_nbrs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted adjacency arrays of the co-order graph, memoized — the
+    |V|-row table clustering broadcasts twice and probes once (hub
+    detection); the memo makes all three consumers read one cached
+    build instead of re-running the (term, doc)-wide groupBy each."""
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    return memoized(
+        spark,
+        sf_dir,
+        "coorder_nbrs",
+        lambda: _adjacency_arrays(part_coorder_edges(spark, sf_dir)),
+    )
+
+
+def _adjacency_arrays(pp: DataFrame) -> DataFrame:
+    adj = pp.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
+        pp.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    return adj.groupBy(F.col("z").alias("id")).agg(
+        F.sort_array(F.collect_set("x")).alias("ns")
+    )
+
+
 def clustering_from_edges(
-    pp: DataFrame, deg_cap: int = CLUSTERING_DEG_CAP
+    pp: DataFrame,
+    deg_cap: int = CLUSTERING_DEG_CAP,
+    nbrs: DataFrame | None = None,
 ) -> DataFrame:
     """Local clustering coefficients from canonical (u < v) edges.
 
-    Hybrid per-edge common-neighbor counting:
+    Hybrid per-edge common-neighbor counting, chosen by a RUNTIME hub
+    probe (one tiny job over the — ideally memoized — adjacency
+    table):
 
-    * **Broadcast tier** (deg ≤ deg_cap, the overwhelming majority):
+    * **Broadcast tier** (no vertex above deg_cap — the common case):
       per-vertex sorted adjacency arrays broadcast once; the
       intersection runs JVM-side (`array_intersect` inside codegen)
       per edge, so NO wedge set is ever materialized — the naive wedge
       join on the co-order graph (avg degree ~120) would shuffle
       Σd²/2 ≈ 150M rows at sf0.1, vs 2·|E| array lookups here.
-    * **Shuffle tier** (edges touching a vertex with deg > deg_cap):
-      hub arrays would blow the broadcast budget on a hub-heavy 100×
-      graph, so those edges count common neighbors with a distributed
-      wedge join instead — explode the edge's u-adjacency, equi-join
-      on (v, w) membership, count per edge. Volume is Σ deg(u) over
-      hub edges only; everything shuffles on plain long keys.
+    * **Hybrid tier** (hubs exist): edges with both endpoints ≤
+      deg_cap keep the broadcast intersection; edges touching a hub
+      count common neighbors with a distributed wedge join instead —
+      explode the edge's u-adjacency, equi-join on (v, w) membership,
+      count per edge. Volume is Σ deg(u) over hub edges only;
+      everything shuffles on plain long keys.
 
-    The two tiers union before the per-vertex halving, so results are
-    independent of deg_cap (pinned by the hub fixture test and the
-    unchanged canonical-u<v oracle)."""
+    The probe matters for cost, not correctness: the hub branch joins
+    against the full 2|E|-row adjacency relation, and Spark would
+    shuffle it even when the hub edge set is empty at runtime —
+    measured +4.7 s on the hubless sf0.1 co-order graph (r5 bench).
+    Results are deg_cap-independent (pinned by the hub fixture test
+    at cap 5 vs 1e9 and the unchanged canonical-u<v oracle)."""
+    if nbrs is None:
+        nbrs = _adjacency_arrays(pp)
     adj = pp.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
         pp.select(F.col("v").alias("z"), F.col("u").alias("x"))
     )
-    nbrs = adj.groupBy(F.col("z").alias("id")).agg(
-        F.sort_array(F.collect_set("x")).alias("ns")
-    )
     deg = nbrs.select("id", F.size("ns").cast("long").alias("deg"))
-    small = nbrs.where(F.size("ns") <= deg_cap)
-    # one left join per endpoint against the SAME broadcast table both
-    # classifies the edge (null ⇒ hub endpoint) and delivers the arrays
-    tagged = pp.join(
-        F.broadcast(small.select(F.col("id").alias("u"), F.col("ns").alias("nu"))),
-        "u",
-        "left",
-    ).join(
-        F.broadcast(small.select(F.col("id").alias("v"), F.col("ns").alias("nv"))),
-        "v",
-        "left",
+    has_hubs = (
+        nbrs.where(F.size("ns") > deg_cap).limit(1).count() > 0
     )
-    per_edge_small = tagged.where(
-        F.col("nu").isNotNull() & F.col("nv").isNotNull()
-    ).select(
-        "u",
-        "v",
-        F.size(F.array_intersect("nu", "nv")).cast("long").alias("common"),
-    )
-    hub_edges = tagged.where(F.col("nu").isNull() | F.col("nv").isNull()).select(
-        "u", "v"
-    )
-    # distributed wedge count for hub-incident edges; exploding from u
-    # unconditionally is fine because hubs are rare by construction —
-    # routing via the lower-degree endpoint would halve the fan-out at
-    # the cost of a third classification join
-    per_edge_hub = (
-        hub_edges.join(adj.select(F.col("z").alias("u"), F.col("x").alias("w")), "u")
-        .join(adj.select(F.col("z").alias("v"), F.col("x").alias("w")), ["v", "w"])
-        .groupBy("u", "v")
-        .agg(F.count("*").cast("long").alias("common"))
-    )
-    per_edge = per_edge_small.unionByName(per_edge_hub)
+
+    if not has_hubs:
+        per_edge = (
+            pp.join(
+                F.broadcast(
+                    nbrs.select(F.col("id").alias("u"), F.col("ns").alias("nu"))
+                ),
+                "u",
+            )
+            .join(
+                F.broadcast(
+                    nbrs.select(F.col("id").alias("v"), F.col("ns").alias("nv"))
+                ),
+                "v",
+            )
+            .select(
+                "u",
+                "v",
+                F.size(F.array_intersect("nu", "nv")).cast("long").alias("common"),
+            )
+        )
+    else:
+        small = nbrs.where(F.size("ns") <= deg_cap)
+        # one left join per endpoint against the SAME broadcast table
+        # both classifies the edge (null ⇒ hub endpoint) and delivers
+        # the arrays
+        tagged = pp.join(
+            F.broadcast(
+                small.select(F.col("id").alias("u"), F.col("ns").alias("nu"))
+            ),
+            "u",
+            "left",
+        ).join(
+            F.broadcast(
+                small.select(F.col("id").alias("v"), F.col("ns").alias("nv"))
+            ),
+            "v",
+            "left",
+        )
+        per_edge_small = tagged.where(
+            F.col("nu").isNotNull() & F.col("nv").isNotNull()
+        ).select(
+            "u",
+            "v",
+            F.size(F.array_intersect("nu", "nv")).cast("long").alias("common"),
+        )
+        hub_edges = tagged.where(
+            F.col("nu").isNull() | F.col("nv").isNull()
+        ).select("u", "v")
+        # distributed wedge count for hub-incident edges; exploding
+        # from u unconditionally is fine because hubs are rare by
+        # construction — routing via the lower-degree endpoint would
+        # halve the fan-out at the cost of a third classification join
+        per_edge_hub = (
+            hub_edges.join(
+                adj.select(F.col("z").alias("u"), F.col("x").alias("w")), "u"
+            )
+            .join(adj.select(F.col("z").alias("v"), F.col("x").alias("w")), ["v", "w"])
+            .groupBy("u", "v")
+            .agg(F.count("*").cast("long").alias("common"))
+        )
+        per_edge = per_edge_small.unionByName(per_edge_hub)
+
     halves = per_edge.select(F.col("u").alias("id"), "common").unionByName(
         per_edge.select(F.col("v").alias("id"), "common")
     )

@@ -310,4 +310,9 @@ class TestClusteringHybrid:
 
         df = clustering_from_edges(self._fixture_edges(spark), deg_cap=5)
         plan = df._jdf.queryExecution().analyzed().toString()
+        # the wedge-join branch is present (its `w` column exists) and
+        # unions with the broadcast tier
+        import re
+
+        assert re.search(r"\bw#\d+", plan), plan
         assert "Union" in plan

@@ -187,14 +187,19 @@ class TestLinkPredictionPlans:
         assert "BroadcastHashJoin" in plan, plan
 
     def test_clustering_coeff_broadcasts_adjacency(self, spark):
-        """The sub-cap adjacency-array table must broadcast (a shuffle
-        join would move the per-edge array payload through an
-        exchange), and the degree-capped hub fallback — shuffle wedge
-        join, then union with the broadcast tier — must exist in the
-        plan rather than only in a comment."""
+        """The adjacency-array table must broadcast (a shuffle join
+        would move the per-edge array payload through an exchange) —
+        and on this HUBLESS graph the runtime probe must pick the
+        lean broadcast-only plan: no per-edge union with the hub
+        wedge-join branch, whose empty-side joins still shuffle the
+        full 2|E| adjacency (the r5 bench regression). The hub branch
+        itself is plan-asserted in
+        test_graph_frames.py::TestClusteringHybrid."""
         plan = plan_of(QUERIES["g_clustering_coeff"](spark, SF_DIR))
         assert plan.count("BroadcastHashJoin") >= 2, plan
-        assert "Union" in plan, plan
+        # the wedge join is the only place a column named `w` exists;
+        # a hubless graph must not carry that branch
+        assert not re.search(r"\bw#\d+", plan), plan
 
     def test_pagerank_vertex_count_no_global_window(self, spark):
         """The un-namespaced vertex count must be a broadcast scalar
