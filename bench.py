@@ -118,6 +118,25 @@ HEADLINE = [
     "supplier_hhi",
 ]
 
+# The iterative graph family: spread ([best, worst]) is recorded for
+# any of these that runs >3 s, so ambient variance is visible in the
+# artifact. An explicit tuple, not a name-prefix heuristic (r5 ADVICE:
+# startswith("g") misclassifies future non-graph g* names).
+GRAPH_QUERIES = (
+    "g3_two_hop_reach",
+    "g5_pagerank_top20",
+    "g5_textrank_phrases",
+    "g6_connected_components",
+    "g_motif_reach",
+    "g_shortest_paths",
+    "g_label_propagation",
+    "g_hits_top",
+    "g_ppr_watchlist",
+    "g_link_prediction",
+    "g_clustering_coeff",
+    "g_scc_nations",
+)
+
 
 def _bench_e1(spark, sf: float | None) -> float:
     """End-to-end E1 (the reference's actual pipeline): Senzing JSONL
@@ -258,7 +277,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
-        if name.startswith("g") and max(runs) > 3.0:
+        if name in GRAPH_QUERIES and max(runs) > 3.0:
             spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # e1 runs a fresh end-to-end pipeline that shares nothing with the

@@ -55,11 +55,20 @@ ASSETS = (
 )
 
 
-def _committed(path: str) -> bool:
+def _committed(spark: SparkSession, path: str) -> bool:
     """True iff a Spark job finished writing the artifact (the
     _SUCCESS marker commits atomically after all task files). A
-    half-written output from a killed run is treated as absent."""
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    half-written output from a killed run is treated as absent.
+
+    Goes through the Hadoop FileSystem API (not os.path) so the
+    resume/skip logic works on any committer-backed URI — s3a://,
+    hdfs://, file:// — the same surface index_store's writer path
+    supports. (r5 ADVICE: the os.path.exists version silently rebuilt
+    everything on non-POSIX out_dirs.)"""
+    jvm = spark.sparkContext._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = marker.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(marker))
 
 
 def materialize_senzing_assets(
@@ -78,6 +87,11 @@ def materialize_senzing_assets(
     artifacts are never recomputed; the report is scanned only if some
     report-derived asset is missing.
     """
+    if upto is not None and upto not in dict(ASSETS):
+        raise ValueError(
+            f"upto={upto!r} is not an asset; expected one of "
+            f"{[n for n, _ in ASSETS]}"
+        )
     paths = {name: os.path.join(out_dir, name) for name, _ in ASSETS}
     log: dict[str, str] = {}
 
@@ -116,7 +130,7 @@ def materialize_senzing_assets(
 
     for name, fmt in ASSETS:
         path = paths[name]
-        if _committed(path):
+        if _committed(spark, path):
             log[name] = "cached"
         else:
             df = builders[name]()

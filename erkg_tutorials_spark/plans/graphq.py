@@ -869,6 +869,7 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_from_edges(
         part_coorder_edges(spark, sf_dir),
         nbrs=coorder_nbrs_cached(spark, sf_dir),
+        has_hubs=coorder_has_hubs_cached(spark, sf_dir),
     )
 
 
@@ -890,6 +891,36 @@ def coorder_nbrs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def coorder_has_hubs_cached(
+    spark: SparkSession, sf_dir: str, deg_cap: int = CLUSTERING_DEG_CAP
+) -> bool:
+    """Memoized hub-probe verdict for the co-order graph.
+
+    The probe (does any vertex exceed deg_cap?) is a property of the
+    DATA, not of the query invocation — so it runs its limit-1 job at
+    most once per (session, sf_dir, cap); repeated
+    ``g_clustering_coeff`` calls construct their plan job-free (r5
+    VERDICT item 3 / ADVICE on eager actions during plan
+    construction). Note the FIRST invocation still runs one tiny Spark
+    job during plan construction — ``explain g_clustering_coeff`` on a
+    cold session is not job-free; this is the documented tradeoff for
+    picking the branch at plan time."""
+    from erkg_tutorials_spark.plans.memo import memoized_scalar
+
+    return bool(
+        memoized_scalar(
+            spark,
+            sf_dir,
+            f"coorder_has_hubs_cap{deg_cap}",
+            lambda: coorder_nbrs_cached(spark, sf_dir)
+            .where(F.size("ns") > deg_cap)
+            .limit(1)
+            .count()
+            > 0,
+        )
+    )
+
+
 def _adjacency_arrays(pp: DataFrame) -> DataFrame:
     adj = pp.select(F.col("u").alias("z"), F.col("v").alias("x")).unionByName(
         pp.select(F.col("v").alias("z"), F.col("u").alias("x"))
@@ -903,6 +934,7 @@ def clustering_from_edges(
     pp: DataFrame,
     deg_cap: int = CLUSTERING_DEG_CAP,
     nbrs: DataFrame | None = None,
+    has_hubs: bool | None = None,
 ) -> DataFrame:
     """Local clustering coefficients from canonical (u < v) edges.
 
@@ -935,9 +967,12 @@ def clustering_from_edges(
         pp.select(F.col("v").alias("z"), F.col("u").alias("x"))
     )
     deg = nbrs.select("id", F.size("ns").cast("long").alias("deg"))
-    has_hubs = (
-        nbrs.where(F.size("ns") > deg_cap).limit(1).count() > 0
-    )
+    if has_hubs is None:
+        # standalone use (raw edge set, no session memo): probe here.
+        # Registry callers pass the memoized verdict
+        # (coorder_has_hubs_cached) so only the first invocation per
+        # (session, sf_dir) pays this job.
+        has_hubs = nbrs.where(F.size("ns") > deg_cap).limit(1).count() > 0
 
     if not has_hubs:
         per_edge = (

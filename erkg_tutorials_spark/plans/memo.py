@@ -33,6 +33,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# Scalar sibling of _MEMO: data-derived Python values (e.g. the
+# clustering hub-probe verdict, a measured max degree) that are a
+# property of the dataset, not of any one query invocation. Swept with
+# the same application-id rule; nothing to unpersist.
+_SCALAR_MEMO: dict[tuple[str, str, str], object] = {}
 # Concurrent view refresh (bench overlaps the independent shared
 # builds from worker threads) must not race two builds of one key:
 # the loser's orphaned .cache() handle would pin storage with no memo
@@ -57,6 +62,8 @@ def _sweep(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     for key in [k for k in _MEMO if k[0] != app]:
         _drop(key)
+    for key in [k for k in _SCALAR_MEMO if k[0] != app]:
+        _SCALAR_MEMO.pop(key, None)
 
 
 def memoized(
@@ -95,12 +102,36 @@ def install(
         return cached
 
 
+def memoized_scalar(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    compute: Callable[[], object],
+) -> object:
+    """Cached-per-(application, sf_dir) Python value, computed once.
+
+    For data-derived verdicts that gate a plan choice (the clustering
+    hub probe): the verdict is a property of the dataset, so repeated
+    query invocations must not re-run the probing Spark job (r5
+    VERDICT item 3). Unlike ``memoized``, the computation is EAGER
+    (it usually runs a tiny job), so the lock is held across it — the
+    probe is limit-1 cheap, and a racing duplicate would just waste
+    the job it exists to avoid."""
+    with _LOCK:
+        _sweep(spark)
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        if key not in _SCALAR_MEMO:
+            _SCALAR_MEMO[key] = compute()
+        return _SCALAR_MEMO[key]
+
+
 def release(
     spark: SparkSession,
     sf_dir: str | None = None,
     name: str | None = None,
 ) -> int:
-    """Unpersist + evict matching memo entries; returns count evicted."""
+    """Unpersist + evict matching memo entries (DataFrames AND
+    scalars); returns count evicted."""
     app = spark.sparkContext.applicationId
     with _LOCK:
         victims = [
@@ -112,4 +143,13 @@ def release(
         ]
         for k in victims:
             _drop(k)
-        return len(victims)
+        scalar_victims = [
+            k
+            for k in _SCALAR_MEMO
+            if k[0] == app
+            and (sf_dir is None or k[1] == sf_dir)
+            and (name is None or k[2] == name)
+        ]
+        for k in scalar_victims:
+            _SCALAR_MEMO.pop(k, None)
+        return len(victims) + len(scalar_victims)

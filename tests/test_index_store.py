@@ -28,8 +28,14 @@ def _rows(df):
 
 
 @pytest.fixture(scope="module")
-def index_dir(tmp_path_factory):
-    return str(tmp_path_factory.mktemp("vector_index"))
+def index_dir(tmp_path_factory, spark):
+    """A directory that already holds a saved index — the save happens
+    HERE so every test below is independently runnable by node id
+    (r5 ADVICE: the manifest tests used to depend on the round-trip
+    test having run first)."""
+    path = str(tmp_path_factory.mktemp("vector_index"))
+    save_index(spark, SF_DIR, path)
+    return path
 
 
 class TestIndexRoundTrip:
@@ -40,7 +46,6 @@ class TestIndexRoundTrip:
             for name, df in _train_artifacts(spark).items()
         }
 
-        save_index(spark, SF_DIR, index_dir)
         assert memo.release(spark, sf_dir=SF_DIR) > 0  # memos existed; now wiped
 
         loaded = load_index(spark, SF_DIR, index_dir)

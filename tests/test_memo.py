@@ -129,3 +129,65 @@ class TestCheckpointAttributionWarning:
             assert not second  # one-time only
         finally:
             ckpt._warned_extraction_failure = old_flag
+
+
+class TestScalarMemo:
+    """memoized_scalar: the data-derived-verdict cache (r5 VERDICT
+    item 3 — the clustering hub probe must not re-run per query
+    invocation)."""
+
+    def test_computes_once_and_releases(self, spark):
+        calls = []
+
+        def compute():
+            calls.append(1)
+            return 42
+
+        assert memo.memoized_scalar(spark, SF_DIR, "_test_scalar", compute) == 42
+        assert memo.memoized_scalar(spark, SF_DIR, "_test_scalar", compute) == 42
+        assert len(calls) == 1
+        assert memo.release(spark, sf_dir=SF_DIR, name="_test_scalar") == 1
+        assert memo.memoized_scalar(spark, SF_DIR, "_test_scalar", compute) == 42
+        assert len(calls) == 2
+        memo.release(spark, sf_dir=SF_DIR, name="_test_scalar")
+
+    def test_falsy_values_cached(self, spark):
+        """False is a legitimate verdict (the hubless common case) and
+        must be cached, not recomputed."""
+        calls = []
+
+        def compute():
+            calls.append(1)
+            return False
+
+        assert memo.memoized_scalar(spark, SF_DIR, "_test_falsy", compute) is False
+        assert memo.memoized_scalar(spark, SF_DIR, "_test_falsy", compute) is False
+        assert len(calls) == 1
+        memo.release(spark, sf_dir=SF_DIR, name="_test_falsy")
+
+    def test_clustering_plan_construction_job_free_when_warm(self, spark):
+        """Once the hub verdict is memoized, constructing the
+        g_clustering_coeff plan launches ZERO Spark jobs — asserted by
+        running the construction inside a dedicated job group and
+        checking the group stays empty (r5 ADVICE: the probe used to
+        run a job even for `explain`)."""
+        from erkg_tutorials_spark.plans.registry import QUERIES
+
+        QUERIES["g_clustering_coeff"](spark, SF_DIR)  # warm: probe may run here
+        sc = spark.sparkContext
+        sc.setJobGroup("probe-check", "plan construction must be job-free")
+        try:
+            QUERIES["g_clustering_coeff"](spark, SF_DIR)  # no action taken
+            assert sc.statusTracker().getJobIdsForGroup("probe-check") == []
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+
+    def test_hub_probe_verdict_flips_with_cap(self, spark):
+        """The memo keys on deg_cap, so a cap below the max degree
+        still flips the branch (the fixture guarantee, now through the
+        cached path)."""
+        from erkg_tutorials_spark.plans.graphq import coorder_has_hubs_cached
+
+        assert coorder_has_hubs_cached(spark, SF_DIR, deg_cap=1) is True
+        memo.release(spark, sf_dir=SF_DIR, name="coorder_has_hubs_cap1")
