@@ -297,18 +297,30 @@ def main() -> None:
     timings["e1_senzing_pipeline"] = round(_bench_e1(spark, sf), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    # Also persist the COMPLETE artifact in-repo: the driver's capture
+    # keeps only the last ~4 KB of stdout, which truncated the front
+    # half of the per-query dict in BENCH_r05.json (r5 VERDICT item 4).
+    # Round number = 1 + the highest committed driver artifact, unless
+    # pinned via SPARK_GRAFT_ROUND.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds, default=0) + 1))
+    with open(os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     spark.stop()
 
 

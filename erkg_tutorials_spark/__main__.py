@@ -44,11 +44,20 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("out_dir")
 
     p_idx = sub.add_parser(
-        "index", help="persist / reload the trained vector-index artifacts"
+        "index",
+        help="persist / reload trained index artifacts "
+        "(vector: IVF/PQ/SQ8; graph: edges/invariants/teleport/adjacency)",
     )
     p_idx.add_argument("action", choices=("save", "load"))
     p_idx.add_argument("path")
     p_idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_idx.add_argument(
+        "--family",
+        choices=("vector", "graph", "all"),
+        default="all",
+        help="which index family to save/load (default: all); families "
+        "live under <path>/vector and <path>/graph when saving both",
+    )
 
     args = p.parse_args(argv)
 
@@ -88,19 +97,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "index":
-        from erkg_tutorials_spark.similarity.index_store import (
-            ARTIFACTS,
-            load_index,
-            save_index,
-        )
+        from erkg_tutorials_spark.graph import index_store as graph_store
+        from erkg_tutorials_spark.similarity import index_store as vector_store
 
-        if args.action == "save":
-            save_index(spark, args.sf_dir, args.path)
-            print(f"saved {', '.join(ARTIFACTS)} under {args.path}")
-        else:
-            loaded = load_index(spark, args.sf_dir, args.path)
-            for name, df in loaded.items():
-                print(f"loaded {name}: {df.count()} rows")
+        # a single family keeps the bare path (backward compatible with
+        # the r5 vector-only layout); "all" nests one dir per family
+        plural = args.family == "all"
+        stores = {"vector": vector_store, "graph": graph_store}
+        families = stores if plural else {args.family: stores[args.family]}
+        for fam, store in families.items():
+            path = f"{args.path}/{fam}" if plural else args.path
+            if args.action == "save":
+                store.save_index(spark, args.sf_dir, path)
+                print(f"saved [{fam}] {', '.join(store.ARTIFACTS)} under {path}")
+            else:
+                loaded = store.load_index(spark, args.sf_dir, path)
+                for name, df in loaded.items():
+                    print(f"loaded [{fam}] {name}: {df.count()} rows")
         return 0
 
     if args.query not in QUERIES:

@@ -125,6 +125,18 @@ def memoized_scalar(
         return _SCALAR_MEMO[key]
 
 
+def install_scalar(
+    spark: SparkSession, sf_dir: str, name: str, value: object
+) -> object:
+    """Place an externally determined value (e.g. the hub verdict read
+    from a persisted index manifest — graph/index_store.py) into the
+    scalar memo slot, replacing any existing entry."""
+    with _LOCK:
+        _sweep(spark)
+        _SCALAR_MEMO[(spark.sparkContext.applicationId, sf_dir, name)] = value
+        return value
+
+
 def release(
     spark: SparkSession,
     sf_dir: str | None = None,
