@@ -138,6 +138,74 @@ GRAPH_QUERIES = (
 )
 
 
+HUB_DEG = 8192  # synthetic hub degree: 4x CLUSTERING_DEG_CAP
+
+
+def _bench_hub_clustering(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Time BOTH clustering branches on a hub-HEAVY graph (r5 VERDICT
+    item 1: the wedge-join branch exists specifically for 100× scale
+    but had zero timing evidence — the sf0.1 co-order graph is hubless,
+    so the runtime probe never picks it).
+
+    Graph = the sf co-order edge set + one synthetic hub (vertex -1,
+    which canonically precedes every part id) wired to the HUB_DEG
+    smallest part vertices. Same graph, two plans:
+
+    * ``g_clustering_hub_hybrid`` — production cap (2048): the hub's
+      8192 incident edges route through the distributed wedge join
+      (min-degree-routed), everything else keeps the broadcast
+      intersection.
+    * ``g_clustering_hub_lean``  — cap forced above the hub degree:
+      the broadcast-only plan carries the hub's 8192-element adjacency
+      array through the broadcast and intersects it per edge. Viable
+      at THIS size; the number documents what the hybrid's overhead
+      buys relative to it.
+
+    Branch equality is fixture-pinned (tests/test_graph_frames.py, cap
+    5 vs 1e9), so this measures cost, not correctness."""
+    from pyspark.sql import functions as F
+
+    from erkg_tutorials_spark.plans.graphq import (
+        _adjacency_arrays,
+        clustering_from_edges,
+        part_coorder_edges,
+    )
+
+    pp = part_coorder_edges(spark, sf_dir)
+    hub_nbrs = (
+        pp.select(F.col("u").alias("v")).distinct().orderBy("v").limit(HUB_DEG)
+    )
+    hub_edges = hub_nbrs.select(F.lit(-1).cast("long").alias("u"), "v")
+    g = pp.select(F.col("u").cast("long"), F.col("v").cast("long")).unionByName(
+        hub_edges
+    ).cache()
+    g.count()
+    nbrs = _adjacency_arrays(g).cache()
+    nbrs.count()
+
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name, cap in (
+        ("g_clustering_hub_hybrid", None),  # production cap → wedge branch
+        ("g_clustering_hub_lean", 1 << 62),  # force broadcast-only
+    ):
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            df = (
+                clustering_from_edges(g, nbrs=nbrs, has_hubs=True)
+                if cap is None
+                else clustering_from_edges(g, deg_cap=cap, nbrs=nbrs, has_hubs=False)
+            )
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+    g.unpersist()
+    nbrs.unpersist()
+    return timings, spread
+
+
 def _bench_e1(spark, sf: float | None) -> float:
     """End-to-end E1 (the reference's actual pipeline): Senzing JSONL
     report → graph → suspicious 2-hop filter → entity/alias artifacts.
@@ -279,6 +347,10 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         if name in GRAPH_QUERIES and max(runs) > 3.0:
             spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+
+    hub_timings, hub_spread = _bench_hub_clustering(spark, sf_dir)
+    timings.update(hub_timings)
+    spread.update(hub_spread)
 
     # e1 runs a fresh end-to-end pipeline that shares nothing with the
     # registry queries; free the session's accumulated storage first

@@ -1022,15 +1022,38 @@ def clustering_from_edges(
         hub_edges = tagged.where(
             F.col("nu").isNull() | F.col("nv").isNull()
         ).select("u", "v")
-        # distributed wedge count for hub-incident edges; exploding
-        # from u unconditionally is fine because hubs are rare by
-        # construction — routing via the lower-degree endpoint would
-        # halve the fan-out at the cost of a third classification join
-        per_edge_hub = (
+        # Distributed wedge count for hub-incident edges, ROUTED via
+        # the lower-degree endpoint: |N(u) ∩ N(v)| enumerates wedges
+        # from whichever side is cheaper, so a (hub, x) edge fans out
+        # by deg(x) ~ avg, not deg(hub) — total volume Σ min-deg over
+        # hub edges instead of Σ max-deg. (r6: exploding from u
+        # unconditionally made each hub edge pay the HUB's degree —
+        # quadratic in hub degree across its incident edges, the exact
+        # blow-up this branch exists to avoid at 100×.) The deg joins
+        # shuffle on plain long keys; hub_edges is the small side, so
+        # AQE broadcasts it without a hint.
+        dd = deg
+        routed = (
             hub_edges.join(
-                adj.select(F.col("z").alias("u"), F.col("x").alias("w")), "u"
+                dd.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
             )
-            .join(adj.select(F.col("z").alias("v"), F.col("x").alias("w")), ["v", "w"])
+            .join(dd.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+            .select(
+                "u",
+                "v",
+                F.when(F.col("du") <= F.col("dv"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("a"),
+                F.when(F.col("du") <= F.col("dv"), F.col("v"))
+                .otherwise(F.col("u"))
+                .alias("b"),
+            )
+        )
+        per_edge_hub = (
+            routed.join(
+                adj.select(F.col("z").alias("a"), F.col("x").alias("w")), "a"
+            )
+            .join(adj.select(F.col("z").alias("b"), F.col("x").alias("w")), ["b", "w"])
             .groupBy("u", "v")
             .agg(F.count("*").cast("long").alias("common"))
         )
