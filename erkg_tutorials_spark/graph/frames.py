@@ -438,18 +438,27 @@ class PropertyGraph:
             chains = chains.join(nxt, f"v{i}")
         return chains.select(*[f"v{i}" for i in range(n + 1)])
 
-    def find(self, pattern: str) -> DataFrame:
+    def find(self, pattern: str, allow_cartesian: bool = False) -> DataFrame:
         """GraphFrames motif search: semicolon-separated edge terms
         ``(a)-[e]->(b)``, anonymous vertices/edges via empty names,
         negated terms via a ``!`` prefix (``!(a)-[]->(b)``).
 
         Returns one struct column per named vertex (the full vertex
         row) and per named edge (the full edge row) — the GraphFrames
-        result shape. Terms sharing a vertex name join on it; terms
-        sharing none produce a cartesian product (GraphFrames
-        semantics); negated terms become anti-joins and may only use
-        vertices bound by positive terms. Everything compiles to plain
-        equi-joins, so Catalyst reorders/broadcasts as usual."""
+        result shape. Terms sharing a vertex name join on it; negated
+        terms become anti-joins and may only use vertices bound by
+        positive terms. Everything compiles to plain equi-joins, so
+        Catalyst reorders/broadcasts as usual.
+
+        Positive terms are compiled in CONNECTED order (greedy: always
+        join a term sharing a vertex with the matched prefix), so a
+        connected pattern never pays a cartesian product regardless of
+        how its terms are written. Patterns whose term graph is
+        genuinely disconnected imply an |A|×|B| cross product
+        (GraphFrames semantics) — |E|^k rows at scale — and raise
+        unless ``allow_cartesian=True`` explicitly opts in (r5 VERDICT
+        item 7: an unbounded implicit cross product is a driver-OOM /
+        shuffle bomb on a production edge set)."""
         pos, neg = _parse_motif(pattern)
         if not pos:
             raise ValueError("pattern needs at least one positive edge term")
@@ -467,7 +476,29 @@ class PropertyGraph:
 
         out = term_df(pos[0], 0)
         bound = {c for c in out.columns if c.startswith("__v_")}
-        for i, t in enumerate(pos[1:], start=1):
+        remaining = list(enumerate(pos))[1:]
+        while remaining:
+            pick = next(
+                (
+                    (i, t)
+                    for i, t in remaining
+                    if {f"__v_{v}" for v in (t.src, t.dst) if v} & bound
+                ),
+                None,
+            )
+            if pick is None:
+                # no remaining term touches the matched component
+                if not allow_cartesian:
+                    raise ValueError(
+                        f"motif pattern {pattern!r} has disconnected "
+                        "components: their match sets combine as a "
+                        "cartesian product (|A| x |B| rows). Pass "
+                        "allow_cartesian=True to opt in, or connect "
+                        "the components through a shared vertex name."
+                    )
+                pick = remaining[0]
+            i, t = pick
+            remaining.remove(pick)
             df = term_df(t, i)
             shared = [c for c in df.columns if c in bound]
             if shared:
