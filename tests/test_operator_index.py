@@ -1,0 +1,26 @@
+"""OPERATORS.md must stay current with the registry (r5 VERDICT item
+8): the committed index is regenerated here and compared verbatim, so
+adding/moving/renaming a query without re-running
+tools/gen_operator_index.py fails the suite."""
+
+import os
+
+from tools.gen_operator_index import OUT, render
+
+
+def test_operator_index_is_current():
+    assert os.path.exists(OUT), "OPERATORS.md missing; run tools/gen_operator_index.py"
+    with open(OUT) as fh:
+        committed = fh.read()
+    assert committed == render(), (
+        "OPERATORS.md is stale; run python tools/gen_operator_index.py"
+    )
+
+
+def test_every_query_indexed_once():
+    from erkg_tutorials_spark.plans.registry import QUERIES
+
+    with open(OUT) as fh:
+        text = fh.read()
+    for name in QUERIES:
+        assert f"| `{name}` |" in text, name
