@@ -908,3 +908,76 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("share_ppm") * F.col("share_ppm")) / F.lit(1e12), 6
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact nearest-rank percentiles via histogram counting — the
+# scale pattern that replaces a global sort. approx_percentile /
+# percentile_approx sketches are not cross-engine reproducible, and a
+# true sort of the fact table is a full-data exchange; instead the
+# fact rows collapse to a (group, value) -> count histogram first
+# (map-side partial agg; the distinct-value domain is orders of
+# magnitude smaller than the row count), then ONE window over the
+# tiny histogram computes cumulative counts, and the percentile is
+# the minimal value whose cumulative count reaches ceil(q*n) —
+# nearest-rank definition, exact in integers (ceil(q*n) =
+# (n*q_pct + 99) div 100, no floats anywhere until the final /100.0
+# cents display division). Scale shape: one groupBy shuffle on
+# (group, cents) + a per-group window over distinct values; the raw
+# fact table is never sorted or re-shuffled whole.
+# ---------------------------------------------------------------------------
+_PCTS = (50, 90, 99)
+
+
+@register(
+    "exact_percentiles_orders",
+    f"""
+    WITH hist AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT priority, cents, c,
+             SUM(c) OVER (PARTITION BY priority ORDER BY cents) AS cum,
+             SUM(c) OVER (PARTITION BY priority) AS n
+      FROM hist
+    )
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           {", ".join(
+               f"MIN(CASE WHEN cum >= (n * {p} + 99) // 100 THEN cents END) / 100.0 AS p{p}"
+               for p in _PCTS
+           )}
+    FROM cum GROUP BY priority
+    """,
+)
+def exact_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of order value per priority,
+    via the histogram-counting pattern (no sort, no sketch)."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        money_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    hist = o.groupBy("priority", "cents").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("priority").orderBy("cents")
+    w_all = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_orders")] + [
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"), F.col("cents")
+                )
+            )
+            / 100.0
+        ).alias(f"p{p}")
+        for p in _PCTS
+    ]
+    return cum.groupBy("priority").agg(*aggs)
