@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from erkg_tutorials_spark.plans import (
     analytics,
+    analytics2,
     coverage,
     coverage2,
     eventsq,
@@ -36,6 +37,7 @@ _MODULES = (
     eventsq,
     temporal,
     analytics,
+    analytics2,
     coverage,
     coverage2,
 )

@@ -1,0 +1,253 @@
+"""Tests for the second analytics tier (plans/analytics2.py):
+heavy hitters, rolling distinct, transitions, sweep-line peaks,
+skyline, duplicated n-grams, Gram matrix."""
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+from erkg_tutorials_spark.plans.analytics2 import (
+    HH_K,
+    dedup_duplicated_ngrams,
+    embedding_gram_matrix,
+    event_transition_matrix,
+    heavy_hitters_users,
+    misra_gries_candidates,
+    peak_open_orders,
+    rolling_distinct_users_7d,
+    skyline_parts,
+)
+
+
+class TestMisraGries:
+    """The pruning pass must NEVER drop a true heavy hitter — the
+    exact second pass can only remove, not restore, candidates."""
+
+    @staticmethod
+    def _run(values, k, batch=7):
+        batches = (
+            pd.DataFrame({"x": values[i : i + batch]})
+            for i in range(0, len(values), batch)
+        )
+        (out,) = list(misra_gries_candidates(batches, "x", k))
+        return set(out["x"])
+
+    def test_state_bounded(self):
+        vals = list(range(10_000))
+        batches = [pd.DataFrame({"x": vals})]
+        (out,) = list(misra_gries_candidates(iter(batches), "x", 16))
+        assert len(out) <= 16
+
+    @pytest.mark.parametrize("order", ["sorted", "reverse", "interleaved"])
+    def test_guarantee_superset_of_heavy_hitters(self, order):
+        # 3 heavy keys + a long tail; every ordering must retain the
+        # heavy keys with k counters.
+        heavy = ["a"] * 120 + ["b"] * 90 + ["c"] * 80
+        tail = [f"t{i}" for i in range(400)]
+        vals = heavy + tail
+        if order == "sorted":
+            vals = sorted(vals)
+        elif order == "reverse":
+            vals = sorted(vals, reverse=True)
+        else:
+            vals = list(
+                itertools.chain.from_iterable(
+                    itertools.zip_longest(heavy, tail)
+                )
+            )
+            vals = [v for v in vals if v is not None]
+        n, k = len(vals), 10
+        cands = self._run(vals, k)
+        from collections import Counter
+
+        freqs = Counter(vals)
+        for key, f in freqs.items():
+            if f * k > n:
+                assert key in cands, f"{key} (freq {f} > n/k={n/k}) pruned"
+
+    def test_adversarial_decrement_churn(self):
+        # Alternate bursts designed to trigger many decrement rounds.
+        vals = []
+        for i in range(50):
+            vals += [f"burst{i}_{j}" for j in range(12)]
+            vals += ["hh"] * 13
+        n, k = len(vals), 20
+        assert vals.count("hh") * k > n
+        assert "hh" in self._run(vals, k, batch=11)
+
+
+class TestHeavyHittersUsers:
+    def test_matches_plain_groupby(self, spark):
+        out = {
+            (r.user_id, r.cnt) for r in heavy_hitters_users(spark, SF_DIR).collect()
+        }
+        e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        n = e.count()
+        exact = {
+            (r.user_id, r.cnt)
+            for r in e.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()
+            if r.cnt * HH_K > n
+        }
+        assert out == exact
+
+    def test_threshold_strict(self, spark):
+        for r in heavy_hitters_users(spark, SF_DIR).collect():
+            assert r.cnt * HH_K > r.n_total
+
+
+class TestRollingDistinct:
+    def test_window_end_day_only_active_days(self, spark):
+        rows = rolling_distinct_users_7d(spark, SF_DIR).collect()
+        e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        from pyspark.sql import functions as F
+
+        active = {
+            (r.event_type, r.day)
+            for r in e.select(
+                "event_type",
+                (F.unix_timestamp("ts").cast("long") / 86400).cast("long").alias("day"),
+            )
+            .distinct()
+            .collect()
+        }
+        assert {(r.event_type, r.day) for r in rows} == active
+
+    def test_monotone_vs_single_day(self, spark):
+        # The 7-day distinct count can never be below that day's own
+        # distinct count.
+        from pyspark.sql import functions as F
+
+        e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_type",
+            F.expr("cast(unix_timestamp(ts) as long) div 86400").alias("day"),
+            "user_id",
+        )
+        single = {
+            (r.event_type, r.day): r.u
+            for r in e.groupBy("event_type", "day")
+            .agg(F.countDistinct("user_id").alias("u"))
+            .collect()
+        }
+        for r in rolling_distinct_users_7d(spark, SF_DIR).collect():
+            assert r.users_7d >= single[(r.event_type, r.day)]
+
+
+class TestTransitions:
+    def test_probabilities_normalize(self, spark):
+        rows = event_transition_matrix(spark, SF_DIR).collect()
+        from collections import defaultdict
+
+        by_cur = defaultdict(float)
+        for r in rows:
+            by_cur[r.cur] += r.p_cond
+            assert r.c_from >= r.c_pair > 0
+        for cur, total in by_cur.items():
+            assert abs(total - 1.0) < 1e-4, (cur, total)
+
+    def test_pair_counts_sum_to_c_from(self, spark):
+        rows = event_transition_matrix(spark, SF_DIR).collect()
+        from collections import defaultdict
+
+        sums = defaultdict(int)
+        c_from = {}
+        for r in rows:
+            sums[r.cur] += r.c_pair
+            c_from[r.cur] = r.c_from
+        assert sums == c_from
+
+
+class TestPeakOpenOrders:
+    def test_peak_positive_and_day_in_range(self, spark):
+        rows = peak_open_orders(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r.peak >= 1
+            assert r.first_peak_day >= "1992-01-01"
+
+    def test_peak_bounded_by_order_count(self, spark):
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        counts = {
+            r.o_orderpriority: r["count"]
+            for r in o.groupBy("o_orderpriority").count().collect()
+        }
+        for r in peak_open_orders(spark, SF_DIR).collect():
+            assert r.peak <= counts[r.priority]
+
+
+class TestSkyline:
+    def test_no_dominated_survivor(self, spark):
+        rows = skyline_parts(spark, SF_DIR).collect()
+        by_brand = {}
+        for r in rows:
+            by_brand.setdefault(r.p_brand, []).append((r.price, r.p_size))
+        for brand, pts in by_brand.items():
+            for a in pts:
+                for b in pts:
+                    if a is b:
+                        continue
+                    dominated = (
+                        b[0] <= a[0]
+                        and b[1] >= a[1]
+                        and (b[0] < a[0] or b[1] > a[1])
+                    )
+                    assert not dominated, (brand, a, b)
+
+    def test_every_excluded_part_is_dominated(self, spark):
+        # Completeness: anything not in the skyline is dominated by
+        # some part of the same brand.
+        from pyspark.sql import functions as F
+
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+            "p_brand", "p_partkey", "p_retailprice", "p_size"
+        )
+        kept = {r.p_partkey for r in skyline_parts(spark, SF_DIR).collect()}
+        all_parts = part.collect()
+        by_brand = {}
+        for r in all_parts:
+            by_brand.setdefault(r.p_brand, []).append(r)
+        for r in all_parts:
+            if r.p_partkey in kept:
+                continue
+            dominated = any(
+                o.p_retailprice <= r.p_retailprice
+                and o.p_size >= r.p_size
+                and (o.p_retailprice < r.p_retailprice or o.p_size > r.p_size)
+                for o in by_brand[r.p_brand]
+            )
+            assert dominated, r
+
+
+class TestDuplicatedNgrams:
+    def test_every_row_cross_doc(self, spark):
+        for r in dedup_duplicated_ngrams(spark, SF_DIR).collect():
+            assert r.n_docs >= 2
+            assert r.n_occ >= r.n_docs
+            assert len(r.gram.split(" ")) == 5
+
+
+class TestGramMatrix:
+    def test_shape_and_symmetric_source(self, spark):
+        rows = embedding_gram_matrix(spark, SF_DIR).collect()
+        d = max(r.j for r in rows)
+        assert len(rows) == d * (d + 1) // 2
+        assert all(r.i <= r.j for r in rows)
+
+    def test_diagonal_nonnegative(self, spark):
+        for r in embedding_gram_matrix(spark, SF_DIR).collect():
+            if r.i == r.j:
+                assert r.s >= 0
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        rows = embedding_gram_matrix(spark, SF_DIR).collect()
+        pdf = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").toPandas()
+        X = np.round(
+            np.stack(pdf["embedding"].to_numpy()).astype("float64") * 1_000_000
+        ).astype("int64")
+        G = X.T @ X
+        for r in rows:
+            assert r.s == G[r.i - 1, r.j - 1]

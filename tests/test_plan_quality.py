@@ -71,6 +71,9 @@ class TestNoPythonInHotPath:
         "multimodal_decode",
         "multimodal_frame_sample",
         "multimodal_resize",
+        # Misra-Gries candidate pass: bounded O(K) state per partition
+        # is the point — a JVM groupBy would shuffle every distinct key.
+        "heavy_hitters_users",
     }
 
     def test_no_row_at_a_time_python_anywhere(self, spark):
