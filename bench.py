@@ -116,6 +116,13 @@ HEADLINE = [
     "events_new_vs_returning",
     "basket_association_rules",
     "supplier_hhi",
+    "exact_percentiles_orders",
+    "heavy_hitters_users",
+    "rolling_distinct_users_7d",
+    "peak_open_orders",
+    "skyline_parts",
+    "dedup_duplicated_ngrams",
+    "embedding_gram_matrix",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
