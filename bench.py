@@ -123,6 +123,9 @@ HEADLINE = [
     "skyline_parts",
     "dedup_duplicated_ngrams",
     "embedding_gram_matrix",
+    "doc_perplexity_bigram",
+    "rfm_segments",
+    "mad_outliers_events",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -490,3 +490,260 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / F.lit(float(_Q) ** 2), 6).alias("gram"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation via value-based quartile cuts. No global
+# NTILE (an empty-partition window = one task over every customer at
+# scale); instead the nearest-rank p25/p50/p75 of each metric come
+# from per-metric histograms and scoring is a broadcast-join compare.
+# Ties share a score (value-based quartiles), which is also the more
+# meaningful semantics for segmentation.
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(last_day) AS maxd FROM base),
+    cust AS (
+      SELECT b.custkey, mx.maxd - b.last_day AS recency_days, b.frequency, b.cents
+      FROM base b CROSS JOIN mx
+    ),
+    mvals AS (
+      SELECT custkey, 'r' AS metric, -recency_days AS v FROM cust
+      UNION ALL SELECT custkey, 'f', frequency FROM cust
+      UNION ALL SELECT custkey, 'm', cents FROM cust
+    ),
+    hist AS (SELECT metric, v, CAST(COUNT(*) AS BIGINT) AS c FROM mvals GROUP BY 1, 2),
+    cum AS (
+      SELECT metric, v, c,
+             SUM(c) OVER (PARTITION BY metric ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY metric) AS n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT metric,
+             MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END) AS q25,
+             MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS q50,
+             MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN v END) AS q75
+      FROM cum GROUP BY 1
+    ),
+    scored AS (
+      SELECT mv.custkey, mv.metric,
+             1 + CASE WHEN mv.v > c.q25 THEN 1 ELSE 0 END
+               + CASE WHEN mv.v > c.q50 THEN 1 ELSE 0 END
+               + CASE WHEN mv.v > c.q75 THEN 1 ELSE 0 END AS score
+      FROM mvals mv JOIN cuts c ON c.metric = mv.metric
+    )
+    SELECT cu.custkey, cu.recency_days, cu.frequency, cu.cents / 100.0 AS monetary,
+           CAST(MAX(CASE WHEN s.metric = 'r' THEN s.score END) AS BIGINT) AS r_score,
+           CAST(MAX(CASE WHEN s.metric = 'f' THEN s.score END) AS BIGINT) AS f_score,
+           CAST(MAX(CASE WHEN s.metric = 'm' THEN s.score END) AS BIGINT) AS m_score,
+           CAST(MAX(CASE WHEN s.metric = 'r' THEN s.score END) * 100
+              + MAX(CASE WHEN s.metric = 'f' THEN s.score END) * 10
+              + MAX(CASE WHEN s.metric = 'm' THEN s.score END) AS BIGINT) AS segment
+    FROM cust cu JOIN scored s ON s.custkey = cu.custkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-quartile RFM scores per customer (4 = best tier).
+
+    One groupBy to customer grain, then each metric's nearest-rank
+    p25/p50/p75 via the histogram pattern (windows run over per-metric
+    distinct-value histograms, partitioned by metric — never an
+    empty-partition NTILE over all customers), and scoring is a
+    3-row broadcast-join comparison. Recency scores through its
+    negation so "more recent" ranks high like the other metrics.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    epoch = F.to_date(F.lit("1970-01-01"))
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.datediff(F.col("o_orderdate"), epoch).cast("long")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(money_cents(F.col("o_totalprice"))).alias("cents"),
+    )
+    mx = base.agg(F.max("last_day").alias("maxd"))
+    cust = base.crossJoin(F.broadcast(mx)).select(
+        "custkey",
+        (F.col("maxd") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "cents",
+    )
+    mvals = (
+        cust.select("custkey", F.lit("r").alias("metric"), (-F.col("recency_days")).alias("v"))
+        .unionAll(cust.select("custkey", F.lit("f"), F.col("frequency")))
+        .unionAll(cust.select("custkey", F.lit("m"), F.col("cents")))
+    )
+    hist = mvals.groupBy("metric", "v").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("metric").orderBy("v")
+    w_all = Window.partitionBy("metric")
+    cum = hist.select(
+        "metric",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    cuts = cum.groupBy("metric").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"), F.col("v"))
+            ).alias(f"q{p}")
+            for p in (25, 50, 75)
+        ]
+    )
+    scored = mvals.join(F.broadcast(cuts), "metric").select(
+        "custkey",
+        "metric",
+        (
+            F.lit(1)
+            + (F.col("v") > F.col("q25")).cast("int")
+            + (F.col("v") > F.col("q50")).cast("int")
+            + (F.col("v") > F.col("q75")).cast("int")
+        ).alias("score"),
+    )
+    pivoted = scored.groupBy("custkey").agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col("score"))).alias(f"{m}_score")
+            for m in ("r", "f", "m")
+        ]
+    )
+    return cust.join(pivoted, "custkey").select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("cents") / 100.0).alias("monetary"),
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: exact median + MAD per event type from
+# ONE value histogram (the nearest-rank pattern of
+# exact_percentiles_orders, applied twice without re-scanning facts).
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outliers_events",
+    """
+    WITH hist AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS median_cents
+      FROM cum GROUP BY event_type
+    ),
+    dev_hist AS (
+      SELECT h.event_type, ABS(h.cents - m.median_cents) AS adev,
+             CAST(SUM(h.c) AS BIGINT) AS c
+      FROM hist h JOIN med m ON m.event_type = h.event_type
+      GROUP BY 1, 2
+    ),
+    dev_cum AS (
+      SELECT event_type, adev, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY adev) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM dev_hist
+    ),
+    mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN adev END) AS mad_cents
+      FROM dev_cum GROUP BY event_type
+    )
+    SELECT m.event_type, m.n, m.median_cents / 100.0 AS median_value,
+           d.mad_cents / 100.0 AS mad_value,
+           CAST(COALESCE(SUM(CASE WHEN dh.adev > 3 * d.mad_cents THEN dh.c END), 0) AS BIGINT)
+             AS n_outliers
+    FROM med m
+    JOIN mad d ON d.event_type = m.event_type
+    JOIN dev_hist dh ON dh.event_type = m.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median, MAD, and |x - med| > 3*MAD outlier counts per event type.
+
+    Both medians come from the SAME (type, cents) histogram — the
+    deviation histogram is derived from it by re-keying, so the raw
+    event table is scanned once no matter how many robust statistics
+    are stacked on top. All comparisons are integer-exact.
+    """
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_type", money_cents(F.col("value")).alias("cents")
+    )
+    hist = e.groupBy("event_type", "cents").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("event_type").orderBy("cents")
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("median_cents"),
+    )
+    dev_hist = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(F.col("cents") - F.col("median_cents")).alias("adev"),
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+    w_dcum = Window.partitionBy("event_type").orderBy("adev")
+    dev_cum = dev_hist.select(
+        "event_type",
+        "adev",
+        "c",
+        F.sum("c").over(w_dcum).alias("cum"),
+        F.sum("c").over(w_all).alias("dn"),
+    )
+    mad = dev_cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(dn + 1) div 2"), F.col("adev"))
+        ).alias("mad_cents")
+    )
+    return (
+        dev_hist.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            "n",
+            (F.col("median_cents") / 100.0).alias("median_value"),
+            (F.col("mad_cents") / 100.0).alias("mad_value"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("adev") > 3 * F.col("mad_cents"), F.col("c"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

@@ -286,3 +286,88 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     merges, _ = bpe_train(word_freqs(docs), n_merges=BPE_MERGES)
     return merges
+
+
+# ---------------------------------------------------------------------------
+# Per-document perplexity under the corpus's own bigram MLE LM — the
+# quality-filtering signal a training-data pipeline computes for every
+# document (CCNet / Gopher-style, with the LM trained in-engine).
+#
+# Cross-engine float discipline: ln(p) is quantized to an exact 1e-6
+# integer PER DISTINCT BIGRAM (a deterministic per-row IEEE op over
+# the vocab²-bounded LM table), so the per-document accumulation is
+# integer arithmetic — associative, partial-agg-order independent.
+# The only post-sum float op is one display division per output row.
+# Scale shape: the LM table is vocab²-bounded (tiny vs the corpus);
+# per-doc scoring joins each doc's bigram counts to the broadcast LM.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_perplexity_bigram",
+    _POS_CTE
+    + """,
+    bi AS (
+      SELECT doc_id, term AS w1,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM pos
+    ),
+    doc_bi AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_doc
+      FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    lm AS (
+      SELECT w1, w2,
+             CAST(ROUND(ln(SUM(c_doc) * 1.0 /
+               SUM(SUM(c_doc)) OVER (PARTITION BY w1)) * 1000000, 0) AS BIGINT)
+               AS qlog
+      FROM doc_bi GROUP BY w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.c_doc) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(d.c_doc * lm.qlog) / (SUM(d.c_doc) * 1000000.0), 6)
+             AS avg_nll
+    FROM doc_bi d JOIN lm ON lm.w1 = d.w1 AND lm.w2 = d.w2
+    GROUP BY d.doc_id
+    """,
+)
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average negative log-likelihood per document under the
+    corpus-trained bigram MLE model.
+
+    The LM is derived from the same corpus, so every document bigram
+    is in-vocabulary (no smoothing needed for MLE scoring). The join
+    to the LM is vocab²-bounded — broadcast-sized at any corpus scale.
+    """
+    pos = _positions(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bi = pos.select(
+        "doc_id",
+        F.col("term").alias("w1"),
+        F.lead("term").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c_doc"))
+    wl = Window.partitionBy("w1")
+    lm = (
+        doc_bi.groupBy("w1", "w2")
+        .agg(F.sum("c_doc").alias("c12"))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(F.col("c12") / F.sum("c12").over(wl)) * 1_000_000, 0
+            )
+            .cast("long")
+            .alias("qlog"),
+        )
+    )
+    return (
+        doc_bi.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("c_doc") * F.col("qlog"))
+                / (F.sum("c_doc") * 1_000_000.0),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

@@ -251,3 +251,69 @@ class TestGramMatrix:
         G = X.T @ X
         for r in rows:
             assert r.s == G[r.i - 1, r.j - 1]
+
+
+class TestRfmSegments:
+    def test_scores_in_range_and_segment_consistent(self, spark):
+        from erkg_tutorials_spark.plans.analytics2 import rfm_segments
+
+        rows = rfm_segments(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+            assert r.segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+    def test_monotone_in_metric(self, spark):
+        # A strictly higher monetary value can never get a lower m_score.
+        from erkg_tutorials_spark.plans.analytics2 import rfm_segments
+
+        rows = sorted(rfm_segments(spark, SF_DIR).collect(), key=lambda r: r.monetary)
+        for a, b in zip(rows, rows[1:]):
+            assert a.m_score <= b.m_score
+
+    def test_ties_share_scores(self, spark):
+        from erkg_tutorials_spark.plans.analytics2 import rfm_segments
+
+        rows = rfm_segments(spark, SF_DIR).collect()
+        by_freq = {}
+        for r in rows:
+            by_freq.setdefault(r.frequency, set()).add(r.f_score)
+        for freq, scores in by_freq.items():
+            assert len(scores) == 1, (freq, scores)
+
+
+class TestMadOutliers:
+    def test_matches_pandas_median(self, spark):
+        from erkg_tutorials_spark.plans.analytics2 import mad_outliers_events
+
+        rows = {r.event_type: r for r in mad_outliers_events(spark, SF_DIR).collect()}
+        pdf = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("event_type", "value")
+            .toPandas()
+        )
+        import numpy as np
+
+        for etype, grp in pdf.groupby("event_type"):
+            cents = np.round(grp["value"].to_numpy() * 100).astype("int64")
+            cents.sort()
+            n = len(cents)
+            med = cents[(n + 1) // 2 - 1]  # nearest-rank lower median
+            adev = np.sort(np.abs(cents - med))
+            mad = adev[(n + 1) // 2 - 1]
+            r = rows[etype]
+            assert r.median_value == med / 100.0
+            assert r.mad_value == mad / 100.0
+            assert r.n_outliers == int((np.abs(cents - med) > 3 * mad).sum())
+
+
+class TestDocPerplexity:
+    def test_every_doc_scored_and_positive(self, spark):
+        from erkg_tutorials_spark.plans.llmops import doc_perplexity_bigram
+
+        rows = doc_perplexity_bigram(spark, SF_DIR).collect()
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(rows) == n_docs
+        for r in rows:
+            assert r.n_bigrams >= 1
+            assert r.avg_nll >= 0.0  # MLE probs <= 1 -> -log >= 0
