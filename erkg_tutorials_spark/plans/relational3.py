@@ -677,3 +677,104 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q2 — minimum-cost supplier (TPC-H Q2 adapted: no partsupp table in
+# this schema, so the (part, supplier) supply cost is the cheapest
+# observed lineitem price for the pair, exact in cents). Completes
+# the 22/22 TPC-H family. Region-restricted suppliers (EUROPE), all
+# tying suppliers kept, correlated-min expressed as groupBy + join
+# back (no per-part subquery re-scan).
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH eur_supp AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    big_parts AS (
+      SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 40
+    ),
+    costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cost_cents
+      FROM lineitem
+      JOIN big_parts ON l_partkey = p_partkey
+      JOIN eur_supp ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, MIN(cost_cents) AS best_cents FROM costs GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_size,
+           es.s_name, es.n_name,
+           c.cost_cents / 100.0 AS supply_cost
+    FROM costs c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.cost_cents = b.best_cents
+    JOIN big_parts p ON p.p_partkey = c.l_partkey
+    JOIN eur_supp es ON es.s_suppkey = c.l_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest EUROPE supplier(s) per large part (TPC-H Q2 shape).
+
+    The correlated MIN subquery becomes one groupBy + an equi-join
+    back — a single extra shuffle over the (part, supplier)-grain
+    cost table, never a per-part re-scan. Dimension sides (suppliers
+    restricted by region, the part slice) broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    eur_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    big_parts = t["part"].where(F.col("p_size") >= 40).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    costs = (
+        t["lineitem"]
+        .join(
+            F.broadcast(big_parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(money_cents(F.col("l_extendedprice"))).alias("cost_cents"))
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("cost_cents").alias("best_cents"))
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.l_partkey)
+            & (costs.cost_cents == best.best_cents),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(big_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            "s_name",
+            "n_name",
+            (F.col("cost_cents") / 100.0).alias("supply_cost"),
+        )
+    )
