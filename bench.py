@@ -126,6 +126,8 @@ HEADLINE = [
     "doc_perplexity_bigram",
     "rfm_segments",
     "mad_outliers_events",
+    "q2_min_cost_supplier",
+    "bucketed_colocated_revenue",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

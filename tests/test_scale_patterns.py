@@ -543,3 +543,67 @@ class TestDefaultFetch:
             "timeout": 7.0,
         }
         assert "café".encode("latin-1").decode("latin-1") in html
+
+
+class TestBucketedJoin:
+    def test_join_is_shuffle_free(self, spark):
+        from erkg_tutorials_spark.plans.scale import bucketed_table
+
+        # Disable broadcast so the bucketed SortMergeJoin path is the
+        # one under test, and AQE so the static plan is inspectable.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            o = bucketed_table(spark, SF_DIR, "orders", "o_orderkey").select(
+                "o_orderkey", "o_orderpriority"
+            )
+            li = bucketed_table(spark, SF_DIR, "lineitem", "l_orderkey").select(
+                "l_orderkey", "l_quantity"
+            )
+            joined = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def test_bucketed_result_equals_plain(self, spark):
+        from erkg_tutorials_spark.plans.scale import bucketed_colocated_revenue
+
+        got = {
+            (r.o_orderpriority, r.n_lines, r.revenue)
+            for r in bucketed_colocated_revenue(spark, SF_DIR).collect()
+        }
+        t = load_tables(spark, SF_DIR)
+        plain = (
+            t["orders"]
+            .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                (
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000,
+                            0,
+                        ).cast("long")
+                    )
+                    / 10000.0
+                ).alias("revenue"),
+            )
+        )
+        want = {(r.o_orderpriority, r.n_lines, r.revenue) for r in plain.collect()}
+        assert got == want
+
+    def test_write_memoized(self, spark):
+        from erkg_tutorials_spark.plans.scale import bucketed_table
+
+        a = bucketed_table(spark, SF_DIR, "orders", "o_orderkey")
+        # second call must hit the catalog, not rewrite
+        import time
+
+        t0 = time.time()
+        b = bucketed_table(spark, SF_DIR, "orders", "o_orderkey")
+        assert time.time() - t0 < 1.0
+        assert a.schema == b.schema
