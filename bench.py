@@ -128,6 +128,8 @@ HEADLINE = [
     "mad_outliers_events",
     "q2_min_cost_supplier",
     "bucketed_colocated_revenue",
+    "dedup_containment",
+    "partition_pruned_daily",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -334,3 +334,72 @@ def bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("rev4") / 10000.0).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned reads: the third storage-layout primitive next to
+# bucketing (co-located joins) and Z-order (multi-dim clustering).
+# The event stream is written ONCE partitioned by day
+# (write.partitionBy — one directory per day, the lakehouse layout);
+# a date-range query then reads ONLY the in-range directories: the
+# scan's PartitionFilters prune at file-listing time, before any IO.
+# The plan gate in tests/test_scale_patterns.py asserts the pruned
+# scan reads fewer files than the full table has partitions.
+# ---------------------------------------------------------------------------
+PRUNE_FROM_DAY = 19748  # 2024-01-26; events span 2024-01-01..30 at every SF
+
+
+def day_partitioned_events(spark: SparkSession, sf_dir: str):
+    """Return (path, DataFrame) of events written day-partitioned,
+    writing on first use (memoized by the parquet _SUCCESS marker)."""
+    import os as _os
+    import re as _re
+
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+
+    safe = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    path = f"/tmp/erkg_partitioned/events_{safe}"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        (
+            load_tables(spark, sf_dir)["events"]
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                money_cents(F.col("value")).alias("cents"),
+                F.expr("ts_sec div 86400").alias("day"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    return path, spark.read.parquet(path)
+
+
+@register(
+    "partition_pruned_daily",
+    f"""
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    WHERE CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 >= {PRUNE_FROM_DAY}
+    GROUP BY 1, 2
+    """,
+)
+def partition_pruned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup over the tail of the event stream, read through
+    the day-partitioned layout so out-of-range days are pruned at
+    file-listing time (PartitionFilters, zero IO for pruned days).
+    Results are layout-independent — the oracle filters the raw
+    table."""
+    _, ev = day_partitioned_events(spark, sf_dir)
+    return (
+        ev.where(F.col("day") >= PRUNE_FROM_DAY)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+    )

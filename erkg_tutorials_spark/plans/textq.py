@@ -739,3 +739,83 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (doc-inside-doc): C(A->B) = |A∩B| / |A| over
+# word-3-gram shingle sets — the asymmetric complement of Jaccard
+# that catches a short document embedded in a longer one (Jaccard is
+# diluted by the length gap; containment is not). Full corpus, no
+# sample bound: the posting-list self-join carries one row per
+# (shared shingle, doc pair) and partial-aggregates to pair counts —
+# the inverted-index pattern, linear in Σ df(shingle)² only across
+# genuinely shared shingles.
+# ---------------------------------------------------------------------------
+CONTAINMENT_TAU = 0.8
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+      FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    both_dirs AS (
+      SELECT id_a AS src_id, id_b AS dst_id, n_inter FROM inter
+      UNION ALL
+      SELECT id_b, id_a, n_inter FROM inter
+    )
+    SELECT b.src_id, b.dst_id,
+           ROUND(b.n_inter * 1.0 / s.n, 6) AS containment
+    FROM both_dirs b JOIN sizes s ON s.doc_id = b.src_id
+    WHERE b.n_inter * 1.0 / s.n >= {CONTAINMENT_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose shingle set is >= {tau} contained in another's.
+
+    One intersection count per unordered pair (a < b), emitted in
+    both directions and normalized by each source's own set size —
+    the direction with the smaller set flags the embedded document.
+    """
+    from erkg_tutorials_spark.dedup.minhash import shingles
+
+    t = load_tables(spark, sf_dir)
+    sh = shingles(t["documents"], k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    both = inter.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "n_inter"
+    ).unionAll(
+        inter.select(
+            F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"), "n_inter"
+        )
+    )
+    return (
+        both.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "src_id")), "src_id"
+        )
+        .where(F.col("n_inter") / F.col("n") >= CONTAINMENT_TAU)
+        .select(
+            "src_id",
+            "dst_id",
+            F.round(F.col("n_inter") / F.col("n"), 6).alias("containment"),
+        )
+    )

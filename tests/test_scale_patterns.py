@@ -607,3 +607,48 @@ class TestBucketedJoin:
         b = bucketed_table(spark, SF_DIR, "orders", "o_orderkey")
         assert time.time() - t0 < 1.0
         assert a.schema == b.schema
+
+
+class TestPartitionPruning:
+    def test_scan_prunes_partitions(self, spark):
+        from erkg_tutorials_spark.plans.scale import (
+            PRUNE_FROM_DAY,
+            day_partitioned_events,
+        )
+
+        path, ev = day_partitioned_events(spark, SF_DIR)
+        pruned = ev.where(F.col("day") >= PRUNE_FROM_DAY)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert f"(day#" in plan or "isnotnull(day" in plan, plan
+        # the pruned scan must touch strictly fewer partitions than exist
+        import os
+
+        all_days = [d for d in os.listdir(path) if d.startswith("day=")]
+        in_range = [d for d in all_days if int(d.split("=")[1]) >= PRUNE_FROM_DAY]
+        assert 0 < len(in_range) < len(all_days)
+        got_days = {r.day for r in pruned.select("day").distinct().collect()}
+        assert got_days == {int(d.split("=")[1]) for d in in_range}
+
+    def test_rollup_equals_raw_table(self, spark):
+        from erkg_tutorials_spark.plans.scale import (
+            PRUNE_FROM_DAY,
+            partition_pruned_daily,
+        )
+
+        got = {
+            (r.day, r.event_type, r.n_events, r.total_value)
+            for r in partition_pruned_daily(spark, SF_DIR).collect()
+        }
+        from erkg_tutorials_spark.functions.exact_math import money_cents
+
+        raw = (
+            load_tables(spark, SF_DIR)["events"]
+            .select("event_type", F.expr("ts_sec div 86400").alias("day"),
+                    money_cents(F.col("value")).alias("cents"))
+            .where(F.col("day") >= PRUNE_FROM_DAY)
+            .groupBy("day", "event_type")
+            .agg(F.count("*").alias("n"), (F.sum("cents") / 100.0).alias("v"))
+        )
+        want = {(r.day, r.event_type, r.n, r.v) for r in raw.collect()}
+        assert got == want
