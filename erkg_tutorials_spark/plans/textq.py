@@ -791,7 +791,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.dedup.minhash import shingles
 
     t = load_tables(spark, sf_dir)
-    sh = shingles(t["documents"], k=3)
+    # cache: the shingle table feeds both join sides and the size agg
+    # (same convention as dedup_ngram_jaccard); at 100 TB this becomes
+    # a materialized shingle table, not a memory cache
+    sh = shingles(t["documents"], k=3).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
