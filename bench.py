@@ -130,6 +130,7 @@ HEADLINE = [
     "bucketed_colocated_revenue",
     "dedup_containment",
     "partition_pruned_daily",
+    "session_top_paths",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -600,3 +600,95 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).alias("n_returning"),
         F.sum("n_new").over(wc).alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session journey paths: the most common opening event-type sequences
+# (first 3 events of each 30-min session) — the product-analytics
+# "user flow" report, composed from the sessionize CTE + per-session
+# sequence extraction. Distinct from event_transition_matrix (which
+# is memoryless): a path is an ordered prefix, not a 1-step hop.
+# ---------------------------------------------------------------------------
+@register(
+    "session_top_paths",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e
+    ),
+    flags AS (
+      SELECT *, CASE WHEN prev IS NULL OR sec - prev > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flags
+    ),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY sec, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening 3-event path per session, with session frequency.
+
+    Sessionization (lag → flag → running sum) and path extraction
+    share one user-partitioned sort — a second ROW_NUMBER over the
+    same (user, time) ordering adds no shuffle. The path table is
+    bounded by |types|³ regardless of event volume.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", "event_id", "event_type", F.col("ts_sec").alias("sec")
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    lagged = e.withColumn("prev", F.lag("sec").over(order))
+    flags = lagged.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("sec") - F.col("prev") > SESSION_GAP_SECONDS),
+            1,
+        ).otherwise(0),
+    )
+    sess = flags.withColumn(
+        "session_id",
+        F.sum("new_s").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ranked = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("sec", "event_id")
+        ),
+    ).where(F.col("rn") <= 3)
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " > ",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))

@@ -101,3 +101,20 @@ class TestAnomalyZScore:
         for r in events_anomaly_zscore(spark, SF_DIR).collect():
             assert abs(r.z) > 3
             assert r.is_anomaly
+
+
+class TestSessionTopPaths:
+    def test_paths_bounded_and_counts_match_sessions(self, spark):
+        from erkg_tutorials_spark.plans.eventsq import (
+            events_sessionize,
+            session_top_paths,
+        )
+        from tests.conftest import SF_DIR
+
+        rows = session_top_paths(spark, SF_DIR).collect()
+        n_sessions = events_sessionize(spark, SF_DIR).count()
+        assert sum(r.n_sessions for r in rows) == n_sessions
+        for r in rows:
+            steps = r.path.split(" > ")
+            assert 1 <= len(steps) <= 3
+            assert all(s in {"click", "error", "purchase", "signup", "view"} for s in steps)
