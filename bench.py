@@ -131,6 +131,7 @@ HEADLINE = [
     "dedup_containment",
     "partition_pruned_daily",
     "session_top_paths",
+    "sample_weighted_orders",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

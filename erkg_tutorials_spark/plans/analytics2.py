@@ -747,3 +747,77 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis A-ES with a
+# hash-derived uniform instead of RNG state): each row draws
+# u = md5-uniform in (0,1) and ranks by ln(u)/w — the same ordering
+# as the textbook u^(1/w) key, without pow. P(row in sample) is
+# proportional-to-weight-without-replacement; the hash makes the
+# "draw" reproducible under retries/stragglers, which RNG-state
+# sampling is not. ln is quantized to 1e-6 integers before ranking
+# (the doc_perplexity_bigram precedent), with the unique key as
+# tie-break, so both engines cut the top-k identically.
+# ---------------------------------------------------------------------------
+WSAMPLE_K = 200
+
+
+@register(
+    "sample_weighted_orders",
+    f"""
+    WITH keyed AS (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS weight_cents,
+             CAST(ROUND(
+               ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                  / 4503599627370497.0)
+               / (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) / 100.0)
+               * 1000000, 0) AS BIGINT) AS qkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY priority
+                                   ORDER BY qkey DESC, o_orderkey) AS rn
+      FROM keyed
+    )
+    SELECT priority, o_orderkey, weight_cents / 100.0 AS weight, qkey
+    FROM ranked WHERE rn <= {WSAMPLE_K}
+    """,
+)
+def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} weighted sample of orders per priority (A-ES keys).
+
+    One window per priority partition over the keyed rows; at scale
+    the per-group top-k would first take a per-partition top-k
+    (partial) before the shuffle — Spark's rank-limit pushdown does
+    this for ROW_NUMBER + filter. Weights are exact cents; the only
+    float ops are the fixed ln-key expression, quantized before
+    ranking.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4503599627370497.0)
+    w = money_cents(F.col("o_totalprice")) / 100.0
+    keyed = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        money_cents(F.col("o_totalprice")).alias("weight_cents"),
+        F.round(F.log(u) / w * 1_000_000, 0).cast("long").alias("qkey"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("priority").orderBy(F.col("qkey").desc(), "o_orderkey")
+    )
+    return (
+        keyed.withColumn("rn", rn)
+        .where(F.col("rn") <= WSAMPLE_K)
+        .select(
+            "priority",
+            "o_orderkey",
+            (F.col("weight_cents") / 100.0).alias("weight"),
+            "qkey",
+        )
+    )

@@ -317,3 +317,36 @@ class TestDocPerplexity:
         for r in rows:
             assert r.n_bigrams >= 1
             assert r.avg_nll >= 0.0  # MLE probs <= 1 -> -log >= 0
+
+
+class TestWeightedSample:
+    def test_sample_size_and_weight_bias(self, spark):
+        from erkg_tutorials_spark.plans.analytics2 import (
+            WSAMPLE_K,
+            sample_weighted_orders,
+        )
+        from pyspark.sql import functions as F
+
+        rows = sample_weighted_orders(spark, SF_DIR).collect()
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        per_prio = {
+            r.o_orderpriority: r["count"]
+            for r in o.groupBy("o_orderpriority").count().collect()
+        }
+        from collections import Counter
+
+        got = Counter(r.priority for r in rows)
+        for prio, n in per_prio.items():
+            assert got[prio] == min(WSAMPLE_K, n)
+        # weighted sampling must bias toward heavy rows: the sampled
+        # mean weight exceeds the population mean
+        pop_mean = o.agg(F.avg("o_totalprice")).first()[0]
+        samp_mean = sum(r.weight for r in rows) / len(rows)
+        assert samp_mean > pop_mean
+
+    def test_deterministic(self, spark):
+        from erkg_tutorials_spark.plans.analytics2 import sample_weighted_orders
+
+        a = {(r.priority, r.o_orderkey) for r in sample_weighted_orders(spark, SF_DIR).collect()}
+        b = {(r.priority, r.o_orderkey) for r in sample_weighted_orders(spark, SF_DIR).collect()}
+        assert a == b
