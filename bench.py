@@ -132,6 +132,7 @@ HEADLINE = [
     "partition_pruned_daily",
     "session_top_paths",
     "sample_weighted_orders",
+    "hll_union_users",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -981,3 +981,110 @@ def exact_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _PCTS
     ]
     return cum.groupBy("priority").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# HLL MERGE: union of the five per-type sketches by register max —
+# the mergeability property that makes sketches work at 100 TB (per
+# partition/day/shard sketches combine without touching raw data;
+# the union estimate comes from the merged 256 registers alone). The
+# raw rows feed ONLY the per-type register build (the same one
+# hll_distinct_users runs); everything after operates on <= 5*256
+# register rows.
+# ---------------------------------------------------------------------------
+_HLL_UNION_SQL = f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx, user_id FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(hx, 3, 15)) AS BIGINT) AS w
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS m
+      FROM r GROUP BY event_type, bucket
+    ),
+    merged AS (
+      SELECT bucket, MAX(m) AS m FROM regs GROUP BY bucket
+    ),
+    agg AS (
+      SELECT CAST(SUM(CAST(power(2, 64 - m) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_present,
+             COUNT(*) AS n_buckets
+      FROM merged
+    ),
+    est AS (
+      SELECT (256 - n_buckets) AS v,
+             CAST('{{n4}}' AS HUGEINT)
+               // (2570790 * CAST(s_present + (256 - n_buckets)
+                                  * CAST(power(2, 64) AS DECIMAL(38,0)) AS HUGEINT))
+               AS est_scaled
+      FROM agg
+    ),
+    ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM h),
+    ns AS (SELECT COUNT(DISTINCT event_type) AS n_sketches FROM regs)
+    SELECT CAST(ns.n_sketches AS BIGINT) AS n_sketches,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           CASE WHEN est_scaled <= 6400000 AND v > 0
+                THEN ROUND(256 * ln(256.0 / v), 4)
+                ELSE CAST(est_scaled AS BIGINT) / 10000.0 END AS hll_union_estimate
+    FROM est CROSS JOIN ex CROSS JOIN ns
+""".replace("{n4}", _HLL_N4)
+
+
+@register("hll_union_users", _HLL_UNION_SQL)
+def hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users across ALL event types, estimated by MERGING the
+    per-type HLL sketches (register max) — no second pass over rows."""
+    e = load_tables(spark, sf_dir)["events"].select("event_type", "user_id")
+    h = e.select(
+        "event_type",
+        "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("hx"),
+    )
+    r = h.select(
+        "event_type",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring("hx", 3, 15), 16, 10).cast("bigint").alias("w"),
+    )
+    regs = r.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(61)).otherwise(
+                F.lit(61) - F.length(F.bin(F.col("w")))
+            )
+        ).alias("m")
+    )
+    merged = regs.groupBy("bucket").agg(F.max("m").alias("m"))
+    agg = merged.agg(
+        F.sum(F.expr("CAST(power(2, 64 - m) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("s_present"),
+        F.count("*").alias("n_buckets"),
+    )
+    est = agg.select(
+        (F.lit(256) - F.col("n_buckets")).alias("v"),
+        F.expr(
+            f"CAST(CAST('{_HLL_N4}' AS DECIMAL(38,0)) DIV "
+            "(CAST(2570790 AS DECIMAL(38,0)) * "
+            "(s_present + (256 - n_buckets) * CAST(power(2, 64) AS DECIMAL(38,0)))) "
+            "AS BIGINT)"
+        ).alias("est_scaled"),
+    )
+    ex = h.agg(F.count_distinct("user_id").alias("n_exact"))
+    ns = regs.agg(F.count_distinct("event_type").alias("n_sketches"))
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("n_sketches").cast("long").alias("n_sketches"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.when(
+                (F.col("est_scaled") <= 6400000) & (F.col("v") > 0),
+                F.round(F.lit(256) * F.log(F.lit(256.0) / F.col("v")), 4),
+            )
+            .otherwise(F.col("est_scaled") / F.lit(10000.0))
+            .alias("hll_union_estimate"),
+        )
+    )

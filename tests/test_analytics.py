@@ -184,3 +184,29 @@ class TestProfile:
         n_status = o.select("o_orderstatus").distinct().count()
         assert got["o_orderstatus"].n_distinct == n_status
         assert int(got["o_custkey"].min_val) <= int(got["o_custkey"].max_val)
+
+
+class TestHllUnion:
+    def test_union_estimate_within_sketch_error(self, spark):
+        from erkg_tutorials_spark.plans.analytics import hll_union_users
+        from tests.conftest import SF_DIR
+
+        (row,) = hll_union_users(spark, SF_DIR).collect()
+        assert row.n_sketches == 5
+        # m=256 registers -> relative error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+        assert abs(row.hll_union_estimate - row.n_exact) <= 0.2 * row.n_exact
+
+    def test_union_dominates_each_part(self, spark):
+        # merged-register estimate must be >= the largest per-type
+        # estimate (register max can only grow under union)
+        from erkg_tutorials_spark.plans.analytics import (
+            hll_distinct_users,
+            hll_union_users,
+        )
+        from tests.conftest import SF_DIR
+
+        per_type = max(
+            r.hll_estimate for r in hll_distinct_users(spark, SF_DIR).collect()
+        )
+        (row,) = hll_union_users(spark, SF_DIR).collect()
+        assert row.hll_union_estimate >= per_type - 1e-9
