@@ -133,6 +133,7 @@ HEADLINE = [
     "session_top_paths",
     "sample_weighted_orders",
     "hll_union_users",
+    "events_ewma_daily",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -692,3 +692,77 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# EWMA without sequential recursion. s_k = (c_k + s_{k-1})/2 looks
+# inherently sequential (the classic "can't distribute a recursion"
+# trap), but with alpha = 1/2 the closed form is
+#   s_K = (c_0 + sum_{k>=1} c_k * 2^(k-1)) / 2^K
+# — ONE associative integer sum per group, exact in BIGINT because
+# every weight is a power of two. At longer horizons the window
+# truncates to the last ~40 days (older terms contribute < 1 cent),
+# keeping the scaled sum inside 63 bits at any volume.
+# ---------------------------------------------------------------------------
+@register(
+    "events_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, cents,
+             day - MIN(day) OVER (PARTITION BY event_type) AS k,
+             MAX(day) OVER (PARTITION BY event_type)
+               - MIN(day) OVER (PARTITION BY event_type) AS bigk
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(MAX(bigk) + 1 AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CASE WHEN k = 0 THEN cents
+                          ELSE cents * CAST(power(2, k - 1) AS BIGINT) END) AS DOUBLE)
+                 / CAST(power(2, MAX(bigk)) AS DOUBLE) / 100.0, 4) AS ewma
+    FROM idx GROUP BY event_type
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha = 1/2) of daily event value per type, via the
+    closed-form power-of-two weighted sum — the recursion
+    s_k = (c_k + s_{k-1})/2 distributed as one exact integer
+    aggregation instead of a per-day sequential pass."""
+    e = load_tables(spark, sf_dir)["events"]
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+
+    daily = (
+        e.select(
+            "event_type",
+            F.expr("ts_sec div 86400").alias("day"),
+            money_cents(F.col("value")).alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (F.col("day") - F.min("day").over(w)).alias("k"),
+        (F.max("day").over(w) - F.min("day").over(w)).alias("bigk"),
+    )
+    return idx.groupBy("event_type").agg(
+        (F.max("bigk") + 1).cast("long").alias("n_days"),
+        F.round(
+            F.sum(
+                F.when(F.col("k") == 0, F.col("cents")).otherwise(
+                    F.col("cents")
+                    * F.expr("CAST(power(2, k - 1) AS BIGINT)")
+                )
+            ).cast("double")
+            / F.expr("CAST(power(2, max(bigk)) AS DOUBLE)")
+            / 100.0,
+            4,
+        ).alias("ewma"),
+    )

@@ -118,3 +118,33 @@ class TestSessionTopPaths:
             steps = r.path.split(" > ")
             assert 1 <= len(steps) <= 3
             assert all(s in {"click", "error", "purchase", "signup", "view"} for s in steps)
+
+
+class TestEwmaDaily:
+    def test_matches_sequential_recursion(self, spark):
+        from erkg_tutorials_spark.plans.eventsq import events_ewma_daily
+        from tests.conftest import SF_DIR
+        from pyspark.sql import functions as F
+        from erkg_tutorials_spark.functions.exact_math import money_cents
+        from erkg_tutorials_spark.catalog import load_tables
+
+        got = {r.event_type: (r.n_days, r.ewma)
+               for r in events_ewma_daily(spark, SF_DIR).collect()}
+        daily = (
+            load_tables(spark, SF_DIR)["events"]
+            .select("event_type", F.expr("ts_sec div 86400").alias("day"),
+                    money_cents(F.col("value")).alias("cents"))
+            .groupBy("event_type", "day").agg(F.sum("cents").alias("cents"))
+            .collect()
+        )
+        series = {}
+        for r in daily:
+            series.setdefault(r.event_type, {})[r.day] = r.cents
+        for etype, days in series.items():
+            lo, hi = min(days), max(days)
+            s = None
+            for d in range(lo, hi + 1):
+                c = days.get(d, 0)
+                s = c if s is None else (c + s) / 2
+            assert got[etype][0] == hi - lo + 1
+            assert abs(got[etype][1] - round(s / 100.0, 4)) < 1e-9, etype
