@@ -350,3 +350,38 @@ class TestWeightedSample:
         a = {(r.priority, r.o_orderkey) for r in sample_weighted_orders(spark, SF_DIR).collect()}
         b = {(r.priority, r.o_orderkey) for r in sample_weighted_orders(spark, SF_DIR).collect()}
         assert a == b
+
+
+class TestHeavyHittersPartitionInvariance:
+    def test_output_invariant_under_repartitioning(self, spark):
+        # The MG pass sees different per-partition streams at every
+        # parallelism, but the exact second pass makes the final
+        # output partitioning-independent.
+        from erkg_tutorials_spark.plans.analytics2 import HH_K
+        from pyspark.sql import functions as F
+        import pandas as pd
+
+        from erkg_tutorials_spark.plans.analytics2 import misra_gries_candidates
+
+        e = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+        results = []
+        for nparts in (1, 3, 17):
+            ep = e.repartition(nparts)
+
+            def mg(batches):
+                yield from misra_gries_candidates(batches, "user_id", HH_K)
+
+            cand = ep.mapInPandas(mg, "user_id bigint").distinct()
+            counts = (
+                ep.join(F.broadcast(cand), "user_id", "left_semi")
+                .groupBy("user_id")
+                .agg(F.count("*").alias("cnt"))
+            )
+            n = ep.count()
+            out = {
+                (r.user_id, r.cnt)
+                for r in counts.collect()
+                if r.cnt * HH_K > n
+            }
+            results.append(out)
+        assert results[0] == results[1] == results[2]

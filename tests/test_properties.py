@@ -62,3 +62,34 @@ class TestBearerBlocklist:
         a = bool(re.search(BEARER_MEGA_PATTERN, name.lower().strip()))
         b = bool(re.search(BEARER_MEGA_PATTERN, name.lower().strip().lower().strip()))
         assert a == b
+
+
+class TestMisraGriesProperty:
+    """Property: for ANY stream, ANY batch size, and ANY capacity k,
+    the Misra-Gries summary retains every key with freq > n/(k+1) —
+    the guarantee the two-pass heavy-hitter query's exactness rests
+    on (a pruned true heavy hitter could never be restored)."""
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=50),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_guarantee_holds(self, stream, k, batch):
+        import pandas as pd
+        from collections import Counter
+
+        from erkg_tutorials_spark.plans.analytics2 import misra_gries_candidates
+
+        batches = (
+            pd.DataFrame({"x": stream[i : i + batch]})
+            for i in range(0, len(stream), batch)
+        )
+        (out,) = list(misra_gries_candidates(batches, "x", k))
+        cands = set(out["x"])
+        assert len(cands) <= k
+        n = len(stream)
+        for key, f in Counter(stream).items():
+            if f * (k + 1) > n:
+                assert key in cands, (key, f, n, k)
