@@ -134,6 +134,7 @@ HEADLINE = [
     "sample_weighted_orders",
     "hll_union_users",
     "events_ewma_daily",
+    "g_weighted_sssp",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -153,6 +154,7 @@ GRAPH_QUERIES = (
     "g_link_prediction",
     "g_clustering_coeff",
     "g_scc_nations",
+    "g_weighted_sssp",
 )
 
 

@@ -1192,3 +1192,96 @@ def g_scc_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scc_id",
         F.count("*").over(Window.partitionBy("scc_id")).cast("long").alias("scc_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted SSSP (Bellman-Ford relaxation). Edge weight =
+# the cheapest lineitem price on the customer↔supplier link (exact
+# cents, symmetric); dist_{h+1}(v) = min(dist_h(v), min over in-edges
+# (u,v) of dist_h(u) + w) for H relaxation rounds — each round is ONE
+# join + ONE min-groupBy, the textbook distributed SSSP step. H=4 is
+# the hop bound, so the oracle unrolls 4 CTE rounds (no recursion)
+# and the result is "cheapest <=4-hop route cost", well-defined
+# independent of convergence. All costs are BIGINT cent sums — no
+# float path-cost ties to diverge on.
+# ---------------------------------------------------------------------------
+SSSP_SOURCE = "c:37"
+SSSP_HOPS = 4
+
+
+def _sssp_round_sql(h: int) -> str:
+    return f"""
+    d{h} AS MATERIALIZED (
+      SELECT id, MIN(cost) AS cost FROM (
+        SELECT id, cost FROM d{h - 1}
+        UNION ALL
+        SELECT w.dst AS id, d{h - 1}.cost + w.wcents AS cost
+        FROM d{h - 1} JOIN wedges w ON w.src = d{h - 1}.id
+      ) GROUP BY id
+    )"""
+
+
+@register(
+    "g_weighted_sssp",
+    """
+    WITH rawp AS MATERIALIZED (
+      SELECT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s,
+             MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS wcents
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    wedges AS MATERIALIZED (
+      SELECT c AS src, s AS dst, wcents FROM rawp
+      UNION ALL
+      SELECT s AS src, c AS dst, wcents FROM rawp
+    ),
+    d0 AS (SELECT 'c:37' AS id, CAST(0 AS BIGINT) AS cost),
+    """
+    + ",".join(_sssp_round_sql(h) for h in range(1, SSSP_HOPS + 1))
+    + f"""
+    SELECT id, cost / 100.0 AS min_cost
+    FROM d{SSSP_HOPS}
+    """,
+)
+def g_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest <=4-hop trade-route cost from customer c:37 to every
+    reachable vertex (Bellman-Ford, one relax join per hop).
+
+    The weighted edge table is memoized like the unweighted one; each
+    relaxation round shuffles only the current distance table (at most
+    |reachable| rows), not the graph. Costs stay exact BIGINT cents
+    until the display division.
+    """
+    from erkg_tutorials_spark.functions.exact_math import money_cents
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    def build_edges() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        rawp = (
+            t["orders"]
+            .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(
+                F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+                F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            )
+            .agg(F.min(money_cents(F.col("l_extendedprice"))).alias("wcents"))
+        )
+        return rawp.select(
+            F.col("c").alias("src"), F.col("s").alias("dst"), "wcents"
+        ).unionByName(
+            rawp.select(F.col("s").alias("src"), F.col("c").alias("dst"), "wcents")
+        )
+
+    wedges = memoized(spark, sf_dir, "trade_edges_weighted", build_edges)
+    dist = spark.createDataFrame([(SSSP_SOURCE, 0)], "id string, cost long")
+    for _ in range(SSSP_HOPS):
+        relaxed = dist.join(wedges, dist.id == wedges.src).select(
+            F.col("dst").alias("id"), (F.col("cost") + F.col("wcents")).alias("cost")
+        )
+        dist = (
+            dist.select("id", "cost")
+            .unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return dist.select("id", (F.col("cost") / 100.0).alias("min_cost"))

@@ -353,3 +353,38 @@ class TestClusteringHybrid:
 
         assert re.search(r"\bw#\d+", plan), plan
         assert "Union" in plan
+
+
+class TestWeightedSssp:
+    def test_source_zero_and_relaxation_invariants(self, spark):
+        from erkg_tutorials_spark.plans.graphq import (
+            SSSP_SOURCE,
+            g_weighted_sssp,
+        )
+        from tests.conftest import SF_DIR
+
+        rows = {r.id: r.min_cost for r in g_weighted_sssp(spark, SF_DIR).collect()}
+        assert rows[SSSP_SOURCE] == 0.0
+        # every non-source cost is positive and every reached vertex's
+        # cost is at least the cheapest single edge in the graph
+        others = {k: v for k, v in rows.items() if k != SSSP_SOURCE}
+        assert others
+        assert all(v > 0 for v in others.values())
+
+    def test_more_hops_never_worse(self, spark):
+        # H+1 rounds can only lower costs (relaxation is monotone)
+        from pyspark.sql import functions as F
+
+        from erkg_tutorials_spark.plans import graphq
+        from tests.conftest import SF_DIR
+
+        base = {r.id: r.min_cost for r in graphq.g_weighted_sssp(spark, SF_DIR).collect()}
+        orig = graphq.SSSP_HOPS
+        graphq.SSSP_HOPS = orig + 1
+        try:
+            more = {r.id: r.min_cost for r in graphq.g_weighted_sssp(spark, SF_DIR).collect()}
+        finally:
+            graphq.SSSP_HOPS = orig
+        for vid, cost in base.items():
+            assert more[vid] <= cost + 1e-9
+        assert set(base) <= set(more)
