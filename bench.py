@@ -135,6 +135,8 @@ HEADLINE = [
     "hll_union_users",
     "events_ewma_daily",
     "g_weighted_sssp",
+    "doc_chunks",
+    "hybrid_rrf_search",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -1,0 +1,265 @@
+"""RAG-serving preprocessing tier: overlapping document chunking and
+hybrid-search rank fusion — the two operators between a curated
+corpus and a retrieval index.
+
+Scale notes (100 TB):
+- doc_chunks: each token joins its <= ceil(W/S) owning chunks by pure
+  arithmetic (no token x chunk range join, no per-doc UDF); one
+  groupBy on (doc, chunk) with the document as the partition unit.
+- hybrid_rrf_search: both rankers are corpus-wide aggregations that
+  collapse to query-term-sized tables before ranking; the fusion
+  joins two top-k lists (k rows each). Reciprocal-rank terms are
+  single divisions added in a fixed order — no float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking: windows of W tokens every S tokens (overlap
+# W-S). Token i belongs to chunk k iff k*S < i <= k*S + W, i.e.
+# k in [ceil((i-W)/S) .. floor((i-1)/S)] clamped at 0 — at most
+# ceil(W/S) chunks per token, assigned arithmetically.
+# ---------------------------------------------------------------------------
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+def _chunks_oracle() -> str:
+    from erkg_tutorials_spark.plans.llmops import _POS_CTE
+
+    return (
+        _POS_CTE
+        + f""",
+    owners AS (
+      SELECT doc_id, i, term,
+             CAST(k AS BIGINT) AS k
+      FROM pos
+      CROSS JOIN unnest(generate_series(
+        CAST(greatest(0, ceil((i - {CHUNK_W}) / {CHUNK_S}.0)) AS BIGINT),
+        CAST(floor((i - 1) / {CHUNK_S}.0) AS BIGINT)
+      )) AS t(k)
+    )
+    SELECT doc_id, k AS chunk_id,
+           CAST(k * {CHUNK_S} + 1 AS BIGINT) AS chunk_start,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           string_agg(term, ' ' ORDER BY i) AS chunk_text
+    FROM owners
+    GROUP BY doc_id, k
+    """
+    )
+
+
+@register("doc_chunks", _chunks_oracle())
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping W={W}/stride-S={S} token chunks per document.
+
+    Ownership is computed per token (<= 2 chunks each at these
+    parameters) so there is no token-by-chunk range join; the only
+    wide stage is the (doc, chunk) aggregation, partitioned by the
+    document that owns it.
+    """
+    from erkg_tutorials_spark.plans.llmops import _positions
+
+    pos = _positions(spark, sf_dir)
+    owners = pos.select(
+        "doc_id",
+        "i",
+        "term",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.ceil((F.col("i") - CHUNK_W) / float(CHUNK_S)).cast("long"),
+                ),
+                F.floor((F.col("i") - 1) / float(CHUNK_S)).cast("long"),
+            )
+        ).alias("k"),
+    )
+    return owners.groupBy("doc_id", F.col("k").alias("chunk_id")).agg(
+        (F.col("chunk_id") * CHUNK_S + 1).cast("long").alias("chunk_start"),
+        F.count("*").alias("n_tok"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    ).select("doc_id", "chunk_id", "chunk_start", "n_tok", "chunk_text")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: BM25 ranking fused with a normalized-TF ranking via
+# Reciprocal Rank Fusion, RRF(d) = sum over rankers of 1/(60 + rank).
+# The second ranker deliberately has different biases (pure term
+# density, no idf/length saturation) — that disagreement is what RRF
+# exploits. Fixed 3-term query, ranks tie-broken by doc_id so both
+# engines agree exactly.
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_TOPK = 20
+_QTERMS = ("table", "hash", "merge")
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QTERMS)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS MATERIALIZED (
+      SELECT COUNT(*) AS n_docs, SUM(dl) / (1.0 * COUNT(*)) AS avgdl FROM dl
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE tok IN ({terms}) GROUP BY doc_id, tok
+    ),
+    df AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    bm25 AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS s1
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    r1 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id) AS rank1
+      FROM bm25 QUALIFY rank1 <= {RRF_TOPK}
+    ),
+    density AS (
+      SELECT tf.doc_id, ROUND(SUM(tf.tf) * 1.0 / MAX(dl.dl), 6) AS s2
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+      GROUP BY tf.doc_id
+    ),
+    r2 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS rank2
+      FROM density QUALIFY rank2 <= {RRF_TOPK}
+    ),
+    fused AS (
+      SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+             r1.rank1, r2.rank2,
+             ROUND(COALESCE(1.0 / ({RRF_K} + r1.rank1), 0)
+                 + COALESCE(1.0 / ({RRF_K} + r2.rank2), 0), 6) AS rrf
+      FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+    )
+    SELECT doc_id, rank1, rank2, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+    FROM fused
+    """
+
+
+@register("hybrid_rrf_search", _rrf_oracle())
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of BM25 and term-density rankings for
+    the fixed 3-term query (k={K}, top-{T} per ranker).
+
+    Both rankers reduce the corpus to a query-term-sized table before
+    any ranking; the full-outer fusion joins two {T}-row lists. The
+    final window sorts {T}*2 rows at most — driver-scale work framed
+    as a plan, not a collect.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*_QTERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    bm25 = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                        + 1
+                    )
+                    * F.col("tf")
+                    * 2.2
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("s1")
+        )
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — a
+    # distributed top-k (per-partition heads merged on one reducer of
+    # k rows), never a single-task sort of every scored doc. The
+    # row_number window then runs over k rows only.
+    r1 = (
+        bm25.orderBy(F.desc("s1"), "doc_id")
+        .limit(RRF_TOPK)
+        .withColumn(
+            "rank1", F.row_number().over(Window.orderBy(F.desc("s1"), "doc_id"))
+        )
+        .select("doc_id", "rank1")
+    )
+    density = (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("tf") / F.max("dl"), 6).alias("s2"))
+    )
+    r2 = (
+        density.orderBy(F.desc("s2"), "doc_id")
+        .limit(RRF_TOPK)
+        .withColumn(
+            "rank2", F.row_number().over(Window.orderBy(F.desc("s2"), "doc_id"))
+        )
+        .select("doc_id", "rank2")
+    )
+    fused = (
+        r1.join(r2, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank1",
+            "rank2",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("rank1")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rank2")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.withColumn(
+        "fused_rank",
+        F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id")).cast("long"),
+    )

@@ -14,6 +14,7 @@ from erkg_tutorials_spark.plans import (
     lakeops,
     llmops,
     llmops2,
+    ragops,
     relational,
     relational2,
     relational3,
@@ -31,6 +32,7 @@ _MODULES = (
     lakeops,
     llmops,
     llmops2,
+    ragops,
     graphq,
     textq,
     vectorq,
