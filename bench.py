@@ -137,6 +137,7 @@ HEADLINE = [
     "g_weighted_sssp",
     "doc_chunks",
     "hybrid_rrf_search",
+    "chunk_retrieval",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -263,3 +263,143 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fused_rank",
         F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id")).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end chunk retrieval: the chunked corpus embedded with the
+# hash-BoW encoder (md5 bucket counts — the same engine-portable
+# recipe v1_embed_hash oracles), scored by cosine against the fixed
+# query, top-10 returned. This is the serving path a RAG system runs
+# per query, expressed as one lazy plan: chunk -> embed -> prune to
+# query buckets -> score -> distributed top-k.
+# ---------------------------------------------------------------------------
+RETRIEVAL_DIM = 256
+RETRIEVAL_TOPK = 10
+_RETRIEVAL_QUERY = ("table", "hash", "merge", "join")
+
+
+def _bucket_sql(tok_expr: str) -> str:
+    return (
+        f"((instr('0123456789abcdef', substring(md5({tok_expr}), 15, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substring(md5({tok_expr}), 16, 1)) - 1))"
+        f" % {RETRIEVAL_DIM}"
+    )
+
+
+def _retrieval_oracle() -> str:
+    from erkg_tutorials_spark.plans.llmops import _POS_CTE
+
+    qvals = ", ".join(f"('{t}')" for t in _RETRIEVAL_QUERY)
+    return (
+        _POS_CTE
+        + f""",
+    owners AS (
+      SELECT doc_id, i, term, CAST(k AS BIGINT) AS k
+      FROM pos
+      CROSS JOIN unnest(generate_series(
+        CAST(greatest(0, ceil((i - {CHUNK_W}) / {CHUNK_S}.0)) AS BIGINT),
+        CAST(floor((i - 1) / {CHUNK_S}.0) AS BIGINT)
+      )) AS t(k)
+    ),
+    cvec AS (
+      SELECT doc_id, k AS chunk_id, {_bucket_sql('term')} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM owners GROUP BY 1, 2, 3
+    ),
+    cnorm AS (
+      SELECT doc_id, chunk_id, sqrt(SUM(c * c)) AS nrm FROM cvec GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT {_bucket_sql('tok')} AS bucket, CAST(COUNT(*) AS BIGINT) AS qc
+      FROM (VALUES {qvals}) AS t(tok) GROUP BY 1
+    ),
+    qnorm AS (SELECT sqrt(SUM(qc * qc)) AS qn FROM q),
+    dots AS (
+      SELECT v.doc_id, v.chunk_id, SUM(v.c * q.qc) AS dot
+      FROM cvec v JOIN q ON q.bucket = v.bucket
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, d.chunk_id,
+             ROUND(d.dot / (n.nrm * (SELECT qn FROM qnorm)), 6) AS cosine
+      FROM dots d JOIN cnorm n
+        ON n.doc_id = d.doc_id AND n.chunk_id = d.chunk_id
+    )
+    SELECT doc_id, chunk_id, cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {RETRIEVAL_TOPK}
+    """
+    )
+
+
+@register("chunk_retrieval", _retrieval_oracle())
+def chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} chunks for the fixed query by hash-BoW cosine.
+
+    The query's <= 4 buckets semi-prune the chunk vectors before any
+    scoring (the inverted-index access path); norms aggregate per
+    chunk once; the final top-k is orderBy().limit() =
+    TakeOrderedAndProject, never a global sort.
+    """
+    from erkg_tutorials_spark.plans.llmops import _positions
+
+    pos = _positions(spark, sf_dir)
+    owners = pos.select(
+        "doc_id",
+        "term",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.ceil((F.col("i") - CHUNK_W) / float(CHUNK_S)).cast("long"),
+                ),
+                F.floor((F.col("i") - 1) / float(CHUNK_S)).cast("long"),
+            )
+        ).alias("chunk_id"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 15, 2), 16, 10).cast("long")
+        % RETRIEVAL_DIM
+    )
+    cvec = owners.groupBy("doc_id", "chunk_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("c")
+    )
+    cnorm = cvec.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    q = (
+        spark.createDataFrame([(t,) for t in _RETRIEVAL_QUERY], "tok string")
+        .groupBy(
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 15, 2), 16, 10).cast("long")
+                % RETRIEVAL_DIM
+            ).alias("bucket")
+        )
+        .agg(F.count("*").alias("qc"))
+    )
+    qnorm = q.agg(F.sqrt(F.sum(F.col("qc") * F.col("qc"))).alias("qn"))
+    dots = (
+        cvec.join(F.broadcast(q), "bucket")
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).alias("dot"))
+    )
+    scored = (
+        dots.join(cnorm, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qn")), 6).alias("cosine"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "doc_id", "chunk_id")
+        .limit(RETRIEVAL_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), "doc_id", "chunk_id"))
+            .cast("long"),
+        )
+    )

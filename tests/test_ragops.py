@@ -79,3 +79,29 @@ class TestHybridRrf:
         if both and single:
             # best dual-list doc beats the worst single-list doc
             assert max(r.rrf for r in both) > min(r.rrf for r in single)
+
+
+class TestChunkRetrieval:
+    def test_topk_ranked_and_scores_valid(self, spark):
+        from erkg_tutorials_spark.plans.ragops import (
+            RETRIEVAL_TOPK,
+            chunk_retrieval,
+        )
+
+        rows = chunk_retrieval(spark, SF_DIR).collect()
+        assert len(rows) == RETRIEVAL_TOPK
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, RETRIEVAL_TOPK + 1)
+        )
+        scores = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert all(0 < s <= 1.0 + 1e-9 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+
+    def test_retrieved_chunks_exist(self, spark):
+        from erkg_tutorials_spark.plans.ragops import chunk_retrieval, doc_chunks
+
+        hits = {(r.doc_id, r.chunk_id) for r in chunk_retrieval(spark, SF_DIR).collect()}
+        chunks = {
+            (r.doc_id, r.chunk_id) for r in doc_chunks(spark, SF_DIR).collect()
+        }
+        assert hits <= chunks
