@@ -1275,7 +1275,12 @@ def g_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = memoized(spark, sf_dir, "trade_edges_weighted", build_edges)
     dist = spark.createDataFrame([(SSSP_SOURCE, 0)], "id string, cost long")
     for _ in range(SSSP_HOPS):
-        relaxed = dist.join(wedges, dist.id == wedges.src).select(
+        # broadcast the (<= |V|-row) distance table into the relax
+        # join so the edge table never shuffles; the min-groupBy is
+        # the round's only exchange. At a scale where dist outgrows
+        # broadcast, drop the hint and both sides co-shuffle on the
+        # vertex key — the plan stays one exchange per round per side.
+        relaxed = F.broadcast(dist).join(wedges, dist.id == wedges.src).select(
             F.col("dst").alias("id"), (F.col("cost") + F.col("wcents")).alias("cost")
         )
         dist = (
