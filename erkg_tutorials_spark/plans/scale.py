@@ -279,10 +279,12 @@ def bucketed_table(
     catalog entry — with the default in-memory catalog, bucket
     metadata lives for the session, which is exactly the memo
     lifetime the rest of the engine uses)."""
+    import os as _os
     import re as _re
 
     safe = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    name = f"bkt_{table}_{key}_{buckets}_{safe}"
+    st = _os.stat(_os.path.join(sf_dir, f"{table}.parquet"))
+    name = f"bkt_{table}_{key}_{buckets}_{safe}_{st.st_size}_{int(st.st_mtime)}"
     if not spark.catalog.tableExists(name):
         (
             load_tables(spark, sf_dir)[table]
@@ -358,7 +360,11 @@ def day_partitioned_events(spark: SparkSession, sf_dir: str):
     from erkg_tutorials_spark.functions.exact_math import money_cents
 
     safe = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    path = f"/tmp/erkg_partitioned/events_{safe}"
+    # fingerprint the source file into the path: if the driver ever
+    # regenerates the testdata in place, a stale /tmp copy must never
+    # satisfy the memo (it would silently serve old rows)
+    st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+    path = f"/tmp/erkg_partitioned/events_{safe}_{st.st_size}_{int(st.st_mtime)}"
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         (
             load_tables(spark, sf_dir)["events"]
