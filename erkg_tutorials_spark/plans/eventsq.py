@@ -697,42 +697,59 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # EWMA without sequential recursion. s_k = (c_k + s_{k-1})/2 looks
 # inherently sequential (the classic "can't distribute a recursion"
-# trap), but with alpha = 1/2 the closed form is
-#   s_K = (c_0 + sum_{k>=1} c_k * 2^(k-1)) / 2^K
-# — ONE associative integer sum per group, exact in BIGINT because
-# every weight is a power of two. At longer horizons the window
-# truncates to the last ~40 days (older terms contribute < 1 cent),
-# keeping the scaled sum inside 63 bits at any volume.
+# trap), but with alpha = 1/2 the closed form over the trailing
+# window [mx-39 .. mx] is
+#   s = (c_0 + sum_{k>=1} c_k * 2^(k-1)) / 2^K      (k rebased, K <= 39)
+# — ONE associative sum per group. The 40-day truncation is part of
+# the operator's DEFINITION (terms older than 40 halvings contribute
+# < 2^-40 of their value — below any 4dp output), and it bounds the
+# largest weight at 2^39; the weighted terms accumulate in
+# DECIMAL(38,0) so arbitrarily large daily volumes cannot overflow
+# the sum either. Both engines evaluate the identical expression
+# tree; no float accumulation anywhere before the final division.
 # ---------------------------------------------------------------------------
+EWMA_WINDOW_DAYS = 40
+
+
 @register(
     "events_ewma_daily",
-    """
+    f"""
     WITH daily AS (
       SELECT event_type,
              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ),
+    spans AS (
+      SELECT event_type, cents, day,
+             MIN(day) OVER (PARTITION BY event_type) AS mn,
+             MAX(day) OVER (PARTITION BY event_type) AS mx
+      FROM daily
+    ),
     idx AS (
       SELECT event_type, cents,
-             day - MIN(day) OVER (PARTITION BY event_type) AS k,
-             MAX(day) OVER (PARTITION BY event_type)
-               - MIN(day) OVER (PARTITION BY event_type) AS bigk
-      FROM daily
+             day - greatest(mn, mx - {EWMA_WINDOW_DAYS - 1}) AS k,
+             mx - greatest(mn, mx - {EWMA_WINDOW_DAYS - 1}) AS bigk,
+             mx - mn + 1 AS span_days
+      FROM spans
+      WHERE day >= greatest(mn, mx - {EWMA_WINDOW_DAYS - 1})
     )
     SELECT event_type,
-           CAST(MAX(bigk) + 1 AS BIGINT) AS n_days,
-           ROUND(CAST(SUM(CASE WHEN k = 0 THEN cents
-                          ELSE cents * CAST(power(2, k - 1) AS BIGINT) END) AS DOUBLE)
+           CAST(MAX(span_days) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CASE WHEN k = 0 THEN CAST(cents AS DECIMAL(38,0))
+                          ELSE CAST(cents AS DECIMAL(38,0))
+                               * CAST(power(2, k - 1) AS DECIMAL(38,0)) END) AS DOUBLE)
                  / CAST(power(2, MAX(bigk)) AS DOUBLE) / 100.0, 4) AS ewma
     FROM idx GROUP BY event_type
     """,
 )
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA (alpha = 1/2) of daily event value per type, via the
-    closed-form power-of-two weighted sum — the recursion
-    s_k = (c_k + s_{k-1})/2 distributed as one exact integer
-    aggregation instead of a per-day sequential pass."""
+    """EWMA (alpha = 1/2) of daily event value per type over the
+    trailing 40-day window, via the closed-form power-of-two
+    weighted sum — the recursion s_k = (c_k + s_{k-1})/2 distributed
+    as one exact DECIMAL(38,0) aggregation instead of a per-day
+    sequential pass. Truncation error vs the unbounded recursion is
+    < 2^-40 of the oldest dropped term — unobservable at 4dp."""
     e = load_tables(spark, sf_dir)["events"]
     from erkg_tutorials_spark.functions.exact_math import money_cents
 
@@ -746,19 +763,26 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("cents"))
     )
     w = Window.partitionBy("event_type")
+    win_lo = F.greatest(
+        F.min("day").over(w), F.max("day").over(w) - (EWMA_WINDOW_DAYS - 1)
+    )
     idx = daily.select(
         "event_type",
         "cents",
-        (F.col("day") - F.min("day").over(w)).alias("k"),
-        (F.max("day").over(w) - F.min("day").over(w)).alias("bigk"),
-    )
+        "day",
+        (F.col("day") - win_lo).alias("k"),
+        (F.max("day").over(w) - win_lo).alias("bigk"),
+        (F.max("day").over(w) - F.min("day").over(w) + 1).alias("span_days"),
+    ).where(F.col("k") >= 0)
     return idx.groupBy("event_type").agg(
-        (F.max("bigk") + 1).cast("long").alias("n_days"),
+        F.max("span_days").cast("long").alias("n_days"),
         F.round(
             F.sum(
-                F.when(F.col("k") == 0, F.col("cents")).otherwise(
-                    F.col("cents")
-                    * F.expr("CAST(power(2, k - 1) AS BIGINT)")
+                F.when(
+                    F.col("k") == 0, F.col("cents").cast("decimal(38,0)")
+                ).otherwise(
+                    F.col("cents").cast("decimal(38,0)")
+                    * F.expr("CAST(power(2, k - 1) AS DECIMAL(38,0))")
                 )
             ).cast("double")
             / F.expr("CAST(power(2, max(bigk)) AS DOUBLE)")

@@ -113,16 +113,21 @@ def memoized_scalar(
     For data-derived verdicts that gate a plan choice (the clustering
     hub probe): the verdict is a property of the dataset, so repeated
     query invocations must not re-run the probing Spark job (r5
-    VERDICT item 3). Unlike ``memoized``, the computation is EAGER
-    (it usually runs a tiny job), so the lock is held across it — the
-    probe is limit-1 cheap, and a racing duplicate would just waste
-    the job it exists to avoid."""
+    VERDICT item 3). The computation is EAGER (it runs a Spark job —
+    limit-1 cheap when its inputs are cached, but the COLD path can
+    trigger the full adjacency build), so it runs OUTSIDE the global
+    lock: holding _LOCK across a multi-second job would stall every
+    concurrent memoized()/install() caller. Double-checked locking —
+    a racing duplicate wastes one probe job, never corrupts state."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     with _LOCK:
         _sweep(spark)
-        key = (spark.sparkContext.applicationId, sf_dir, name)
-        if key not in _SCALAR_MEMO:
-            _SCALAR_MEMO[key] = compute()
-        return _SCALAR_MEMO[key]
+        if key in _SCALAR_MEMO:
+            return _SCALAR_MEMO[key]
+    value = compute()
+    with _LOCK:
+        # first writer wins so every caller sees one consistent verdict
+        return _SCALAR_MEMO.setdefault(key, value)
 
 
 def install_scalar(

@@ -8,8 +8,11 @@ Scale notes (100 TB):
   groupBy on (doc, chunk) with the document as the partition unit.
 - hybrid_rrf_search: both rankers are corpus-wide aggregations that
   collapse to query-term-sized tables before ranking; the fusion
-  joins two top-k lists (k rows each). Reciprocal-rank terms are
-  single divisions added in a fixed order — no float accumulation.
+  joins two top-k lists (k rows each). BM25 contributions quantize
+  to 1e-6 integers per (doc, term) BEFORE summation and the density
+  ranker orders on an exact integer proxy, so ranking never depends
+  on float accumulation order; the reciprocal-rank terms themselves
+  are single divisions added in a fixed order.
 """
 
 from __future__ import annotations
@@ -136,12 +139,16 @@ def _rrf_oracle() -> str:
     ),
     df AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
     bm25 AS (
+      -- each per-(doc, term) contribution is quantized to an exact
+      -- 1e-6 integer BEFORE the SUM (the doc_perplexity recipe):
+      -- float summation order differs between engines, integer
+      -- summation does not
       SELECT tf.doc_id,
-             ROUND(SUM(
+             CAST(SUM(CAST(ROUND(
                ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
                * tf.tf * 2.2
                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
-             ), 6) AS s1
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS s1q
       FROM tf
       JOIN df ON df.tok = tf.tok
       JOIN dl ON dl.doc_id = tf.doc_id
@@ -149,16 +156,20 @@ def _rrf_oracle() -> str:
       GROUP BY tf.doc_id
     ),
     r1 AS (
-      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id) AS rank1
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s1q DESC, doc_id) AS rank1
       FROM bm25 QUALIFY rank1 <= {RRF_TOPK}
     ),
     density AS (
-      SELECT tf.doc_id, ROUND(SUM(tf.tf) * 1.0 / MAX(dl.dl), 6) AS s2
+      SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS tfsum,
+             CAST(MAX(dl.dl) AS BIGINT) AS dlen
       FROM tf JOIN dl ON dl.doc_id = tf.doc_id
       GROUP BY tf.doc_id
     ),
     r2 AS (
-      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS rank2
+      -- rank on the exact rational tfsum/dlen via cross-multiplied
+      -- integer ordering proxy: tfsum * 1e9 // dlen (deterministic)
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY (tfsum * 1000000000) // dlen DESC, doc_id) AS rank2
       FROM density QUALIFY rank2 <= {RRF_TOPK}
     ),
     fused AS (
@@ -204,8 +215,11 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(
+            # per-(doc, term) contribution quantized to an exact 1e-6
+            # integer before the SUM (doc_perplexity recipe) — float
+            # summation order differs between engines
+            F.sum(
+                F.round(
                     F.log(
                         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
                         + 1
@@ -216,9 +230,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("tf")
                         + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
                     )
-                ),
-                6,
-            ).alias("s1")
+                    * 1_000_000,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s1q")
         )
     )
     # orderBy().limit() compiles to TakeOrderedAndProject — a
@@ -226,23 +243,27 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k rows), never a single-task sort of every scored doc. The
     # row_number window then runs over k rows only.
     r1 = (
-        bm25.orderBy(F.desc("s1"), "doc_id")
+        bm25.orderBy(F.desc("s1q"), "doc_id")
         .limit(RRF_TOPK)
         .withColumn(
-            "rank1", F.row_number().over(Window.orderBy(F.desc("s1"), "doc_id"))
+            "rank1", F.row_number().over(Window.orderBy(F.desc("s1q"), "doc_id"))
         )
         .select("doc_id", "rank1")
     )
     density = (
         tf.join(dl, "doc_id")
         .groupBy("doc_id")
-        .agg(F.round(F.sum("tf") / F.max("dl"), 6).alias("s2"))
+        .agg(
+            F.sum("tf").alias("tfsum"),
+            F.max("dl").alias("dlen"),
+        )
+        .withColumn("s2q", F.expr("(tfsum * 1000000000) div dlen"))
     )
     r2 = (
-        density.orderBy(F.desc("s2"), "doc_id")
+        density.orderBy(F.desc("s2q"), "doc_id")
         .limit(RRF_TOPK)
         .withColumn(
-            "rank2", F.row_number().over(Window.orderBy(F.desc("s2"), "doc_id"))
+            "rank2", F.row_number().over(Window.orderBy(F.desc("s2q"), "doc_id"))
         )
         .select("doc_id", "rank2")
     )

@@ -148,3 +148,59 @@ class TestEwmaDaily:
                 s = c if s is None else (c + s) / 2
             assert got[etype][0] == hi - lo + 1
             assert abs(got[etype][1] - round(s / 100.0, 4)) < 1e-9, etype
+
+    def test_long_span_truncates_without_overflow(self, spark, tmp_path):
+        """Regression for the >=64-day overflow: 2^(k-1) BIGINT weights
+        wrapped (Spark) or errored (DuckDB) once a type's day span
+        reached 64. The operator now truncates to the trailing 40 days
+        with DECIMAL(38,0) weights; pin both the windowed recursion
+        value and the full-span n_days on a 100-day synthetic table."""
+        import datetime
+
+        from pyspark.sql import Row
+
+        from erkg_tutorials_spark.plans.eventsq import (
+            EWMA_WINDOW_DAYS,
+            events_ewma_daily,
+        )
+
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            Row(
+                event_id=d,
+                ts=base + datetime.timedelta(days=d),
+                user_id=1,
+                event_type="click",
+                value=float(d + 1),  # distinct per-day values, 1..100
+                props="{}",
+            )
+            for d in range(100)
+        ]
+        sf_dir = str(tmp_path / "sf_long")
+        spark.createDataFrame(rows).write.parquet(f"{sf_dir}/events.parquet")
+
+        got = events_ewma_daily(spark, sf_dir).collect()
+        assert len(got) == 1
+        assert got[0].n_days == 100  # span reported over ALL days
+        # windowed sequential recursion over the trailing 40 days only
+        cents = {d: (d + 1) * 100 for d in range(100)}
+        s = None
+        for d in range(100 - EWMA_WINDOW_DAYS, 100):
+            s = cents[d] if s is None else (cents[d] + s) / 2
+        assert abs(got[0].ewma - round(s / 100.0, 4)) < 1e-9
+
+        # the DuckDB oracle must survive the same span (it used to
+        # raise out-of-range on CAST(power(2, 63) AS BIGINT))
+        import duckdb
+
+        import __spark_entry__ as entrymod
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_dir}/events.parquet/*.parquet'"
+        )
+        duck = con.sql(entrymod.oracle_sql()["events_ewma_daily"]).df()
+        assert len(duck) == 1
+        assert int(duck.iloc[0]["n_days"]) == 100
+        assert abs(float(duck.iloc[0]["ewma"]) - got[0].ewma) < 1e-9
