@@ -105,8 +105,30 @@ def main(argv: list[str] | None = None) -> int:
         plural = args.family == "all"
         stores = {"vector": vector_store, "graph": graph_store}
         families = stores if plural else {args.family: stores[args.family]}
+        bare_legacy = False
+        if plural and args.action == "load":
+            # r5-era artifacts were vector-only at the BARE path (no
+            # <path>/vector nesting). Detect by manifest location so
+            # `index load <old-path>` keeps working with the new
+            # default --family=all.
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+
+            def _exists(p: str) -> bool:
+                hp = jvm.org.apache.hadoop.fs.Path(p)
+                return hp.getFileSystem(hconf).exists(hp)
+
+            if not _exists(f"{args.path}/vector/_manifest") and _exists(
+                f"{args.path}/_manifest"
+            ):
+                bare_legacy = True
+                families = {"vector": vector_store}
+                print(
+                    f"note: {args.path} is an r5-era bare vector layout; "
+                    "loading family=vector only"
+                )
         for fam, store in families.items():
-            path = f"{args.path}/{fam}" if plural else args.path
+            path = f"{args.path}/{fam}" if plural and not bare_legacy else args.path
             if args.action == "save":
                 store.save_index(spark, args.sf_dir, path)
                 print(f"saved [{fam}] {', '.join(store.ARTIFACTS)} under {path}")

@@ -271,6 +271,28 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETS = 8
 
 
+def _evict_stale_layouts(root: str, prefix: str, keep: str) -> None:
+    """Remove fingerprinted /tmp layout siblings superseded by ``keep``.
+
+    The fingerprint (source size+mtime) in each layout name guards
+    against stale reads; this guards against stale DISK — without it,
+    every testdata regeneration orphans a full copy of the table under
+    ``root``. Only same-prefix siblings are touched, so concurrent
+    layouts for other tables / sf_dirs are unaffected. (These are
+    single-machine /tmp scratch dirs; a concurrent session holding the
+    superseded layout would re-write it on next use.)"""
+    import os as _os
+    import shutil as _shutil
+
+    try:
+        entries = _os.listdir(root)
+    except FileNotFoundError:
+        return
+    for entry in entries:
+        if entry.startswith(prefix) and entry != keep:
+            _shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
+
+
 def bucketed_table(
     spark: SparkSession, sf_dir: str, table: str, key: str, buckets: int = BUCKETS
 ) -> DataFrame:
@@ -286,6 +308,9 @@ def bucketed_table(
     st = _os.stat(_os.path.join(sf_dir, f"{table}.parquet"))
     name = f"bkt_{table}_{key}_{buckets}_{safe}_{st.st_size}_{int(st.st_mtime)}"
     if not spark.catalog.tableExists(name):
+        _evict_stale_layouts(
+            "/tmp/erkg_bucketed", f"bkt_{table}_{key}_{buckets}_{safe}_", name
+        )
         (
             load_tables(spark, sf_dir)[table]
             .write.format("parquet")
@@ -366,6 +391,9 @@ def day_partitioned_events(spark: SparkSession, sf_dir: str):
     st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
     path = f"/tmp/erkg_partitioned/events_{safe}_{st.st_size}_{int(st.st_mtime)}"
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        _evict_stale_layouts(
+            "/tmp/erkg_partitioned", f"events_{safe}_", _os.path.basename(path)
+        )
         (
             load_tables(spark, sf_dir)["events"]
             .select(

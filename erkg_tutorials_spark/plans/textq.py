@@ -316,9 +316,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-verification baseline the LSH path approximates."""
     from erkg_tutorials_spark.dedup.minhash import shingles
 
+    from erkg_tutorials_spark.plans.memo import memoized
+
     t = load_tables(spark, sf_dir)
     sample = t["documents"].where(F.col("doc_id") < 200)
-    sh = shingles(sample, k=3).cache()
+    # memoized (not a bare .cache()): the table feeds both join sides
+    # and the size agg, and release(spark) can evict it
+    sh = memoized(
+        spark, sf_dir, "jaccard_sample_shingles", lambda: shingles(sample, k=3)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -789,12 +795,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direction with the smaller set flags the embedded document.
     """
     from erkg_tutorials_spark.dedup.minhash import shingles
+    from erkg_tutorials_spark.plans.memo import memoized
 
     t = load_tables(spark, sf_dir)
-    # cache: the shingle table feeds both join sides and the size agg
-    # (same convention as dedup_ngram_jaccard); at 100 TB this becomes
-    # a materialized shingle table, not a memory cache
-    sh = shingles(t["documents"], k=3).cache()
+    # memoized (not a bare .cache(), which would pin executor storage
+    # with no eviction path): the shingle table feeds both join sides
+    # and the size agg, and repeated invocations reuse one build. At
+    # 100 TB this becomes a materialized shingle table on disk.
+    sh = memoized(
+        spark, sf_dir, "containment_doc_shingles",
+        lambda: shingles(t["documents"], k=3),
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

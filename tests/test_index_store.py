@@ -71,6 +71,20 @@ class TestIndexRoundTrip:
         stored = spark.read.parquet(f"{index_dir}/_manifest").first().asDict()
         assert stored == index_params()
 
+    def test_cli_default_family_loads_bare_legacy_layout(
+        self, spark, index_dir, capsys
+    ):
+        """`index load <path>` with the r6 default --family=all must
+        still open an r5-era artifact, where the vector family lives
+        at the BARE path (no <path>/vector nesting)."""
+        from erkg_tutorials_spark.__main__ import main
+
+        assert main(["index", "load", index_dir, "--sf-dir", SF_DIR]) == 0
+        out = capsys.readouterr().out
+        assert "bare vector layout" in out
+        assert "loaded [vector]" in out
+        assert "[graph]" not in out
+
 
 def _train_artifacts(spark):
     from erkg_tutorials_spark.similarity.index_store import _getters

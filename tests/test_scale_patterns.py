@@ -608,6 +608,32 @@ class TestBucketedJoin:
         assert time.time() - t0 < 1.0
         assert a.schema == b.schema
 
+    def test_stale_fingerprint_siblings_evicted(self, tmp_path):
+        """A regenerated source gets a new fingerprinted layout name;
+        superseded same-prefix siblings must be deleted (not orphaned),
+        while other tables' layouts survive."""
+        from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
+
+        root = tmp_path / "erkg_bucketed"
+        for d in (
+            "bkt_orders_o_orderkey_8_sfX_100_1",  # stale sibling
+            "bkt_orders_o_orderkey_8_sfX_200_2",  # current
+            "bkt_lineitem_l_orderkey_8_sfX_100_1",  # other table
+        ):
+            (root / d).mkdir(parents=True)
+        _evict_stale_layouts(
+            str(root),
+            "bkt_orders_o_orderkey_8_sfX_",
+            "bkt_orders_o_orderkey_8_sfX_200_2",
+        )
+        left = sorted(p.name for p in root.iterdir())
+        assert left == [
+            "bkt_lineitem_l_orderkey_8_sfX_100_1",
+            "bkt_orders_o_orderkey_8_sfX_200_2",
+        ]
+        # missing root is a no-op, not an error
+        _evict_stale_layouts(str(tmp_path / "nope"), "x_", "x_1")
+
 
 class TestPartitionPruning:
     def test_scan_prunes_partitions(self, spark):

@@ -39,9 +39,23 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _src_fingerprint() -> str:
+    """(size, mtime) digest over every source parquet — the same
+    staleness guard as plans/scale.py's /tmp layouts: a regenerated
+    testdata set must never be served stale replicated rows."""
+    parts = []
+    for fname in sorted(os.listdir(SRC)):
+        if fname.endswith(".parquet"):
+            st = os.stat(os.path.join(SRC, fname))
+            parts.append(f"{fname}:{st.st_size}:{int(st.st_mtime)}")
+    import hashlib
+
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def replicate(n: int) -> str:
     dst = f"/tmp/erkg_sfrep_{n}x"
-    marker = os.path.join(dst, "_REPLICated_OK")
+    marker = os.path.join(dst, f"_REPLICATED_OK_{_src_fingerprint()}")
     if os.path.exists(marker):
         return dst
     shutil.rmtree(dst, ignore_errors=True)
