@@ -138,6 +138,10 @@ HEADLINE = [
     "doc_chunks",
     "hybrid_rrf_search",
     "chunk_retrieval",
+    # round-6 batch: exact similarity join, Bloom prefilter, winsorize
+    "simjoin_prefix_filter",
+    "bloom_prefilter_orders",
+    "winsorized_event_stats",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

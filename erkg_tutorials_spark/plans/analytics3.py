@@ -1,0 +1,418 @@
+"""Third analytics tier: exact-result scale primitives that the
+approximate families deliberately avoid —
+
+* ``simjoin_prefix_filter``: an EXACT set-similarity self-join
+  (shingle Jaccard >= tau) via AllPairs-style prefix filtering
+  (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06). Unlike the
+  MinHash/SimHash/LSH paths (which trade recall for speed), prefix
+  filtering is a *complete* pruning: the candidate set provably
+  contains every qualifying pair, so the verified output equals the
+  brute-force pairwise join bit-for-bit while shuffling only each
+  document's rarest-token prefix.
+* ``bloom_prefilter_orders``: a deterministic Bloom filter built
+  from a dimension key set and probed by the fact table, with exact
+  false-positive accounting — the runtime-prefilter pattern
+  quantified (vs ``runtime_prefilter_join``'s exact-set variant).
+* ``winsorized_event_stats``: exact nearest-rank p01/p99
+  winsorization per group from a value histogram — the standard
+  robust-stats cleanup before training-data aggregation, computed
+  without any single-task global sort.
+
+Every query has a full DuckDB oracle; ratios are single divisions of
+already-exact integers (the money_cents / quantize-then-sum recipe).
+
+Scale notes (100 TB):
+- simjoin_prefix_filter: the prefix join's left side carries only
+  ``|x| - ceil(tau*|x|) + 1`` tokens per record (half the tokens at
+  tau=0.5), ordered rarest-first so hot shingles almost never appear
+  in any prefix; the verify join touches only surviving candidate
+  pairs. No all-pairs product anywhere. Production PPJoin adds
+  positional upper bounds on top; the completeness argument (below)
+  is unchanged.
+- bloom_prefilter_orders: the bitset is bounded (M_BITS rows max)
+  and broadcast; the fact table is scanned once map-side with no
+  shuffle before the pass/fail verdict. At 100 TB the "expensive
+  join" behind the filter only sees the pass rows.
+- winsorized_event_stats: percentiles come from the per-group
+  histogram of DISTINCT cent values (bounded domain), windowed per
+  group — the fact table itself is never sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.functions.exact_math import money_cents
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard similarity self-join via prefix filtering.
+#
+# tau is carried as the integer fraction TAU_NUM/TAU_DEN so every
+# threshold comparison is integer-exact in both engines:
+#   J(A,B) >= tau  <=>  ni * TAU_DEN >= TAU_NUM * (|A| + |B| - ni).
+#
+# Completeness of the pruning (docstring math the tests pin):
+# canonicalize |A| <= |B|. J >= tau implies the overlap o satisfies
+# o(1+tau) >= tau(|A| + |B|) >= tau(|B| + o), i.e. o >= tau*|B|, so
+# o >= ceil(tau*|B|) >= ceil(tau*|A|). If A shares NO token with B
+# inside A's prefix (its first |A| - ceil(tau*|A|) + 1 tokens in the
+# global rarest-first order), every common token lies in A's suffix
+# of size ceil(tau*|A|) - 1, so o < ceil(tau*|A|) — contradiction.
+# Hence joining the SMALLER record's prefix against the larger
+# record's FULL token set misses nothing; the size bound
+# |B| <= |A|/tau (from o <= |A| and o >= tau*|B|) prunes further.
+# ---------------------------------------------------------------------------
+SIMJOIN_TAU_NUM = 1
+SIMJOIN_TAU_DEN = 2  # tau = 0.5
+
+
+@register(
+    "simjoin_prefix_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+      FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(ni * 1.0 / (za.n + zb.n - ni), 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE ni * {SIMJOIN_TAU_DEN} >= {SIMJOIN_TAU_NUM} * (za.n + zb.n - ni)
+    """,
+)
+def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= 1/2, EXACTLY,
+    via prefix filtering — same output as the brute-force oracle,
+    but the candidate join only shuffles each doc's rarest-token
+    prefix instead of its full shingle set.
+
+    Reference analogue: the tutorials dedup entities by pairwise
+    name similarity over blocked candidates; this is the exact
+    set-overlap version of that blocking, with a proof of
+    completeness instead of a recall target.
+    """
+    from erkg_tutorials_spark.dedup.minhash import shingles
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    t = load_tables(spark, sf_dir)
+    # shares the containment query's memoized shingle table
+    sh = memoized(
+        spark, sf_dir, "containment_doc_shingles",
+        lambda: shingles(t["documents"], k=3),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+
+    # per-doc rarest-first prefix: first n - ceil(tau*n) + 1 tokens.
+    # ceil(tau*n) computed in integers: (n*NUM + DEN - 1) div DEN.
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(
+                f"(n * {SIMJOIN_TAU_NUM} + {SIMJOIN_TAU_DEN} - 1) "
+                f"div {SIMJOIN_TAU_DEN}"
+            )
+            + 1
+        )
+        .select(F.col("doc_id").alias("ia"), F.col("n").alias("na"), "shingle")
+    )
+    full = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("ib"), F.col("n").alias("nb"), "shingle"
+    )
+    cand = (
+        prefix.join(full, "shingle")
+        .where(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("ia") < F.col("ib")))
+        )
+        # size bound: tau*|B| <= |A|
+        .where(F.col("nb") * SIMJOIN_TAU_NUM <= F.col("na") * SIMJOIN_TAU_DEN)
+        .select("ia", "ib", "na", "nb")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("ia"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("ib"), "shingle")
+    verified = (
+        cand.join(sa, "ia")
+        .join(sb, ["ib", "shingle"])
+        .groupBy("ia", "ib", "na", "nb")
+        .agg(F.count("*").cast("long").alias("ni"))
+        .where(
+            F.col("ni") * SIMJOIN_TAU_DEN
+            >= SIMJOIN_TAU_NUM * (F.col("na") + F.col("nb") - F.col("ni"))
+        )
+    )
+    # oracle convention: id_a < id_b (ours is size-canonical)
+    return verified.select(
+        F.least("ia", "ib").alias("id_a"),
+        F.greatest("ia", "ib").alias("id_b"),
+        F.round(
+            F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 6
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bloom filter build + probe with exact FP accounting.
+# Hash family: h_i(x) = md5("<x>#<i>") first 15 hex digits as int,
+# mod M_BITS — byte-identical in Spark (conv(...,16,10)) and DuckDB
+# (CAST('0x'||... AS BIGINT)), so the bitset, the pass set, and the
+# false-positive count are all exactly reproducible.
+# ---------------------------------------------------------------------------
+BLOOM_M_BITS = 16384
+BLOOM_K = 3
+_BLOOM_SEGMENT = "AUTOMOBILE"
+
+
+@register(
+    "bloom_prefilter_orders",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+    ),
+    bits AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(
+          md5(CAST(c_custkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)),
+          1, 15)) AS BIGINT) % {BLOOM_M_BITS} AS pos
+      FROM keys CROSS JOIN unnest(generate_series(0, {BLOOM_K - 1})) AS t(i)
+    ),
+    probe AS (
+      SELECT o.o_orderkey, o.o_custkey, t.i,
+        CAST(('0x' || substr(
+          md5(CAST(o.o_custkey AS VARCHAR) || '#' || CAST(t.i AS VARCHAR)),
+          1, 15)) AS BIGINT) % {BLOOM_M_BITS} AS pos
+      FROM orders o CROSS JOIN unnest(generate_series(0, {BLOOM_K - 1})) AS t(i)
+    ),
+    verdict AS (
+      SELECT p.o_orderkey, p.o_custkey,
+             CAST(COUNT(b.pos) AS BIGINT) = {BLOOM_K} AS pass
+      FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY 1, 2
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+      CAST(COUNT(*) AS BIGINT) AS n_probed,
+      CAST(SUM(CASE WHEN v.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(CASE WHEN k.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_true,
+      CAST(SUM(CASE WHEN v.pass AND k.c_custkey IS NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_false_pos
+    FROM verdict v LEFT JOIN keys k ON k.c_custkey = v.o_custkey
+    """,
+)
+def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a {BLOOM_M_BITS}-bit, {BLOOM_K}-hash Bloom filter over
+    one market segment's customer keys, probe every order through
+    it, and report the exact pass / true-match / false-positive
+    counts. The bitset is bounded and broadcast; the fact scan never
+    shuffles before the verdict — the quantified version of the
+    runtime-prefilter join pattern.
+    """
+    t = load_tables(spark, sf_dir)
+    keys = (
+        t["customer"]
+        .where(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select("c_custkey")
+        .distinct()
+    )
+
+    def _pos(col: str):
+        return F.expr(
+            f"CAST(conv(substr(md5(concat(CAST({col} AS STRING), '#', "
+            f"CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+            f"% {BLOOM_M_BITS}"
+        )
+
+    hashes = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
+    bits = (
+        keys.select("c_custkey", hashes)
+        .select(_pos("c_custkey").alias("pos"))
+        .distinct()
+    )
+    probe = t["orders"].select("o_orderkey", "o_custkey", hashes).select(
+        "o_orderkey", "o_custkey", _pos("o_custkey").alias("pos")
+    )
+    verdict = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg((F.count("hit") == BLOOM_K).alias("pass"))
+    )
+    scalars = keys.agg(F.count("*").cast("long").alias("n_keys")).crossJoin(
+        bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    )
+    truth = keys.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+        "is_true", F.lit(1)
+    )
+    return (
+        verdict.join(F.broadcast(truth), "o_custkey", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_probed"),
+            F.sum(F.when(F.col("pass"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.sum(F.when(F.col("is_true").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            F.sum(
+                F.when(F.col("pass") & F.col("is_true").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "n_keys", "n_bits_set", "n_probed", "n_pass", "n_true", "n_false_pos"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact winsorization: clamp each event's value to its type's exact
+# nearest-rank [p01, p99] band, then aggregate the clamped values.
+# Percentile rank ceil(p*n) in integers: (n*p_num + p_den - 1) div
+# p_den. Same histogram recipe as exact_percentiles_orders /
+# mad_outliers_events; the fact table is never globally sorted.
+# ---------------------------------------------------------------------------
+WINSOR_LO_NUM, WINSOR_LO_DEN = 1, 100  # p01
+WINSOR_HI_NUM, WINSOR_HI_DEN = 99, 100  # p99
+
+
+@register(
+    "winsorized_event_stats",
+    f"""
+    WITH vals AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    pct AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum >= (n * {WINSOR_LO_NUM} + {WINSOR_LO_DEN} - 1)
+                                  // {WINSOR_LO_DEN} THEN cents END) AS lo,
+             MIN(CASE WHEN cum >= (n * {WINSOR_HI_NUM} + {WINSOR_HI_DEN} - 1)
+                                  // {WINSOR_HI_DEN} THEN cents END) AS hi
+      FROM cum GROUP BY event_type
+    )
+    SELECT v.event_type, p.n,
+           p.lo / 100.0 AS p01_value,
+           p.hi / 100.0 AS p99_value,
+           CAST(SUM(CASE WHEN v.cents < p.lo THEN 1
+                         WHEN v.cents > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped,
+           CAST(SUM(greatest(p.lo, least(p.hi, v.cents))) AS BIGINT) / 100.0
+             AS winsorized_sum,
+           ROUND(CAST(SUM(greatest(p.lo, least(p.hi, v.cents))) AS BIGINT)
+                 * 1.0 / p.n / 100.0, 4) AS winsorized_mean
+    FROM vals v JOIN pct p ON p.event_type = v.event_type
+    GROUP BY v.event_type, p.n, p.lo, p.hi
+    """,
+)
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats after exact p01/p99 winsorization —
+    the two-pass robust-aggregation pattern: tiny per-group
+    percentile scalars from a distinct-value histogram, broadcast
+    back over one more scan of the facts."""
+    e = load_tables(spark, sf_dir)["events"]
+    vals = e.select("event_type", money_cents(F.col("value")).alias("cents"))
+    hist = vals.groupBy("event_type", "cents").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("cents")
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pct = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(
+                    f"(n * {WINSOR_LO_NUM} + {WINSOR_LO_DEN} - 1) "
+                    f"div {WINSOR_LO_DEN}"
+                ),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(
+                    f"(n * {WINSOR_HI_NUM} + {WINSOR_HI_DEN} - 1) "
+                    f"div {WINSOR_HI_DEN}"
+                ),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = vals.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "n",
+        "lo",
+        "hi",
+        F.greatest("lo", F.least("hi", F.col("cents"))).alias("wcents"),
+        ((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")))
+        .cast("long")
+        .alias("clip"),
+    )
+    return clamped.groupBy("event_type", "n", "lo", "hi").agg(
+        F.sum("clip").cast("long").alias("n_clamped"),
+        (F.sum("wcents").cast("long") / 100.0).alias("winsorized_sum"),
+        F.round(
+            F.sum("wcents").cast("long") / F.col("n") / 100.0, 4
+        ).alias("winsorized_mean"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("lo") / 100.0).alias("p01_value"),
+        (F.col("hi") / 100.0).alias("p99_value"),
+        "n_clamped",
+        "winsorized_sum",
+        "winsorized_mean",
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 from erkg_tutorials_spark.plans import (
     analytics,
     analytics2,
+    analytics3,
     coverage,
     coverage2,
     eventsq,
@@ -40,6 +41,7 @@ _MODULES = (
     temporal,
     analytics,
     analytics2,
+    analytics3,
     coverage,
     coverage2,
 )

@@ -1,0 +1,144 @@
+"""Tests for the third analytics tier (plans/analytics3.py): exact
+prefix-filter similarity join, Bloom prefilter, winsorization.
+
+The oracle gate already pins output equality; these pin the
+NON-oracle-visible invariants — that the prefix filter actually
+prunes while staying complete, that the Bloom filter never produces
+a false negative, and that winsorization clamps exactly at the
+nearest-rank band."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from erkg_tutorials_spark.plans.analytics3 import (
+    BLOOM_K,
+    BLOOM_M_BITS,
+    SIMJOIN_TAU_DEN,
+    SIMJOIN_TAU_NUM,
+    bloom_prefilter_orders,
+    simjoin_prefix_filter,
+    winsorized_event_stats,
+)
+
+
+class TestSimjoinPrefixFilter:
+    def test_matches_bruteforce_pairs(self, spark):
+        """Completeness + precision: the prefix-filtered join equals
+        the brute-force pairwise Jaccard join exactly."""
+        from erkg_tutorials_spark.dedup.minhash import shingles
+        from erkg_tutorials_spark.catalog import load_tables
+
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in simjoin_prefix_filter(spark, SF_DIR).collect()
+        }
+        sh = shingles(load_tables(spark, SF_DIR)["documents"], k=3)
+        rows = sh.collect()
+        sets: dict = {}
+        for r in rows:
+            sets.setdefault(r.doc_id, set()).add(r.shingle)
+        want = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ni = len(sets[a] & sets[b])
+                nu = len(sets[a] | sets[b])
+                if ni * SIMJOIN_TAU_DEN >= SIMJOIN_TAU_NUM * nu:
+                    want[(a, b)] = round(ni / nu, 6)
+        assert got == want
+        assert len(want) > 0  # the fixture corpus has qualifying pairs
+
+    def test_prefix_actually_prunes(self, spark):
+        """The candidate prefix table must be strictly smaller than
+        the full shingle table (roughly a (1 - tau) fraction at
+        tau=1/2) — otherwise the operator is brute force in
+        disguise."""
+        from erkg_tutorials_spark.dedup.minhash import shingles
+        from erkg_tutorials_spark.catalog import load_tables
+
+        sh = shingles(load_tables(spark, SF_DIR)["documents"], k=3)
+        n_full = sh.count()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        n_prefix = (
+            sizes.select(
+                (
+                    F.col("n")
+                    - F.expr(
+                        f"(n * {SIMJOIN_TAU_NUM} + {SIMJOIN_TAU_DEN} - 1) "
+                        f"div {SIMJOIN_TAU_DEN}"
+                    )
+                    + 1
+                ).alias("p")
+            )
+            .agg(F.sum("p"))
+            .first()[0]
+        )
+        assert n_prefix < 0.6 * n_full
+
+    def test_prefix_length_edge_cases(self):
+        """prefix_len = n - ceil(tau*n) + 1 stays in [1, n] for any
+        n >= 1 (a 1-token doc keeps its single token)."""
+        for n in (1, 2, 3, 10, 11, 1000):
+            ceil_tn = (n * SIMJOIN_TAU_NUM + SIMJOIN_TAU_DEN - 1) // SIMJOIN_TAU_DEN
+            p = n - ceil_tn + 1
+            assert 1 <= p <= n, n
+
+
+class TestBloomPrefilter:
+    @pytest.fixture(scope="class")
+    def row(self, spark):
+        return bloom_prefilter_orders(spark, SF_DIR).first()
+
+    def test_no_false_negatives(self, row):
+        """Bloom filters may pass non-members but must NEVER reject a
+        member: every true match is in the pass set."""
+        assert row.n_pass >= row.n_true
+        assert row.n_false_pos == row.n_pass - row.n_true
+
+    def test_bitset_bounds(self, row):
+        assert 0 < row.n_bits_set <= min(BLOOM_M_BITS, row.n_keys * BLOOM_K)
+
+    def test_filter_is_selective(self, row):
+        """The whole point: the pass set is far smaller than the
+        probe set (the FP rate at this fill factor is tiny)."""
+        assert row.n_pass < row.n_probed
+        assert row.n_false_pos <= 0.05 * row.n_probed
+
+
+class TestWinsorize:
+    def test_matches_numpy_clamp(self, spark):
+        """Exact nearest-rank winsorization vs a NumPy reference on
+        the same integer-cents data."""
+        from erkg_tutorials_spark.catalog import load_tables
+
+        got = {
+            r.event_type: r for r in winsorized_event_stats(spark, SF_DIR).collect()
+        }
+        events = (
+            load_tables(spark, SF_DIR)["events"]
+            .select("event_type", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"))
+            .collect()
+        )
+        series: dict = {}
+        for r in events:
+            series.setdefault(r.event_type, []).append(r.cents)
+        for etype, cents in series.items():
+            arr = np.sort(np.array(cents, dtype=np.int64))
+            n = len(arr)
+            lo = arr[max((n * 1 + 99) // 100, 1) - 1]  # nearest-rank p01
+            hi = arr[max((n * 99 + 99) // 100, 1) - 1]  # nearest-rank p99
+            clamped = np.clip(arr, lo, hi)
+            r = got[etype]
+            assert r.n == n
+            assert r.p01_value == lo / 100.0
+            assert r.p99_value == hi / 100.0
+            assert r.n_clamped == int(((arr < lo) | (arr > hi)).sum())
+            assert r.winsorized_sum == int(clamped.sum()) / 100.0
+
+    def test_band_is_proper(self, spark):
+        for r in winsorized_event_stats(spark, SF_DIR).collect():
+            assert r.p01_value <= r.p99_value
+            assert r.n_clamped < r.n  # p01..p99 keeps the bulk
