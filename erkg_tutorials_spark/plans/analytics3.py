@@ -250,29 +250,56 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    def _pos(col: str):
-        return F.expr(
+    def _pos(col: str, i) -> str:
+        return (
             f"CAST(conv(substr(md5(concat(CAST({col} AS STRING), '#', "
-            f"CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+            f"CAST({i} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
             f"% {BLOOM_M_BITS}"
         )
 
+    # Build side: distinct bit positions packed into 64-bit words
+    # (<= M_BITS/64 rows), shipped as ONE broadcast map row. The probe
+    # then tests membership per fact row map-side — no explode, no
+    # per-order shuffle; the only exchange left is the final partial-
+    # aggregated scalar rollup.
     hashes = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
     bits = (
         keys.select("c_custkey", hashes)
-        .select(_pos("c_custkey").alias("pos"))
+        .select(F.expr(_pos("c_custkey", "i")).alias("pos"))
         .distinct()
     )
-    probe = t["orders"].select("o_orderkey", "o_custkey", hashes).select(
-        "o_orderkey", "o_custkey", _pos("o_custkey").alias("pos")
+    words = bits.select(
+        F.expr("pos div 64").alias("w"), F.expr("CAST(pos % 64 AS INT)").alias("b")
+    ).groupBy("w").agg(
+        F.expr(
+            "aggregate(collect_set(b), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc | shiftleft(CAST(1 AS BIGINT), x))"
+        ).alias("word")
     )
+    bitmap = words.agg(
+        F.expr("map_from_entries(collect_list(struct(w, word)))").alias("wm"),
+        F.sum(F.bit_count("word")).cast("long").alias("n_bits_set"),
+    )
+
+    def _member(h: str) -> str:
+        return (
+            f"(shiftrightunsigned("
+            f"coalesce(element_at(wm, ({h}) div 64), CAST(0 AS BIGINT)), "
+            f"CAST(({h}) % 64 AS INT)) & 1) = 1"
+        )
+
+    h = [_pos("o_custkey", i) for i in range(BLOOM_K)]
     verdict = (
-        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
-        .groupBy("o_orderkey", "o_custkey")
-        .agg((F.count("hit") == BLOOM_K).alias("pass"))
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .crossJoin(F.broadcast(bitmap))
+        .select(
+            "o_custkey",
+            F.expr(" AND ".join(_member(hi) for hi in h)).alias("pass"),
+        )
     )
     scalars = keys.agg(F.count("*").cast("long").alias("n_keys")).crossJoin(
-        bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+        F.broadcast(bitmap.select("n_bits_set"))
     )
     truth = keys.withColumnRenamed("c_custkey", "o_custkey").withColumn(
         "is_true", F.lit(1)
