@@ -142,6 +142,7 @@ HEADLINE = [
     "simjoin_prefix_filter",
     "bloom_prefilter_orders",
     "winsorized_event_stats",
+    "simjoin_edit_distance",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

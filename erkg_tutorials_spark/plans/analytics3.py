@@ -184,6 +184,76 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact edit-distance self-join via deletion neighborhoods (FastSS,
+# Bocek et al. 2007 tech report; the SymSpell scheme). For d = 1:
+#   ed(s, t) <= 1  ==>  D1(s) ∩ D1(t) != ∅
+# where D1(x) = {x} ∪ {x with one char deleted} — a substitution at
+# position i makes both sides equal after deleting position i; an
+# insertion/deletion makes one side equal to the other's 0-deletion.
+# The converse does NOT hold (sharing a variant only bounds ed <= 2),
+# so candidates are verified with levenshtein(). This prunes where
+# q-gram count filtering cannot: strings sharing a long constant
+# prefix (every TPC-H supplier name starts "Supplier#") share most
+# q-grams, but share a deletion variant only if they differ in at
+# most ~2 positions.
+# ---------------------------------------------------------------------------
+EDIT_DMAX = 1
+
+
+@register(
+    "simjoin_edit_distance",
+    f"""
+    WITH s AS (SELECT s_suppkey, s_name FROM supplier)
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+    FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+    WHERE abs(length(a.s_name) - length(b.s_name)) <= {EDIT_DMAX}
+      AND levenshtein(a.s_name, b.s_name) <= {EDIT_DMAX}
+    """,
+)
+def simjoin_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All supplier-name pairs within edit distance {EDIT_DMAX},
+    EXACTLY, via the deletion-neighborhood join: each name explodes
+    into length+1 deletion variants, candidates are pairs sharing a
+    variant (provably a superset of every qualifying pair), and a
+    levenshtein() verify pass makes the output equal to the
+    brute-force pairwise join. The equi-join on variants shuffles
+    O(n * len) short keys instead of materializing the n^2 product.
+    """
+    s = load_tables(spark, sf_dir)["supplier"].select("s_suppkey", "s_name")
+    variants = s.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(
+            F.expr(
+                "array_union(array(s_name), transform(sequence(1, length(s_name)), "
+                "i -> concat(substring(s_name, 1, i - 1), "
+                "substring(s_name, i + 1, length(s_name)))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a"), "v"
+    )
+    b = variants.select(
+        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "name_a", "id_b", "name_b")
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("name_a", "name_b") <= EDIT_DMAX
+    ).select(
+        "id_a",
+        "id_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic Bloom filter build + probe with exact FP accounting.
 # Hash family: h_i(x) = md5("<x>#<i>") first 15 hex digits as int,
 # mod M_BITS — byte-identical in Spark (conv(...,16,10)) and DuckDB
