@@ -143,6 +143,8 @@ HEADLINE = [
     "bloom_prefilter_orders",
     "winsorized_event_stats",
     "simjoin_edit_distance",
+    "attribution_first_touch",
+    "audience_overlap_bitmap",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -513,3 +513,100 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_sum",
         "winsorized_mean",
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT audience overlap via packed bitmaps: the distinct user set of
+# each event type becomes (word = user div 64, 64-bit OR of user%64
+# bits) rows — the roaring/bitmap-index pattern. Pairwise
+# intersection is then SUM(bit_count(wa & wb)) over an equi-join on
+# word: the shuffle carries |types| x (max_user/64) packed rows
+# REGARDLESS of event count, and the result is exact — the
+# set-intersection complement to the approximate HLL union
+# (hll_union_users).
+# ---------------------------------------------------------------------------
+@register(
+    "audience_overlap_bitmap",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, za.n AS n_a, zb.n AS n_b, p.n_common,
+           ROUND(p.n_common * 1.0 / (za.n + zb.n - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes za ON za.event_type = p.type_a
+    JOIN sizes zb ON zb.event_type = p.type_b
+    """,
+)
+def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience intersection/Jaccard between event
+    types, computed on packed 64-bit user bitmaps instead of raw
+    (type, user) rows."""
+    e = load_tables(spark, sf_dir)["events"]
+    words = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.expr("user_id div 64").alias("w"),
+            F.expr("CAST(user_id % 64 AS INT)").alias("b"),
+        )
+        .groupBy("event_type", "w")
+        .agg(
+            F.expr(
+                "aggregate(collect_set(b), CAST(0 AS BIGINT), "
+                "(acc, x) -> acc | shiftleft(CAST(1 AS BIGINT), x))"
+            ).alias("word")
+        )
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "w", F.col("word").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "w", F.col("word").alias("wb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("long")
+            .alias("n_common")
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                     F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                     F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -338,3 +338,106 @@ def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
         (F.sum(money_cents(F.col("o_totalprice"))).over(w) / 100.0).alias("running_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-touch marketing attribution: each purchase is credited to the
+# EARLIEST non-purchase event by the same user inside the preceding
+# window (strictly before the purchase), ties broken by event_id;
+# purchases with no touch in window report as 'none'. Same bucketed
+# range join as range_join_view_purchase (candidates from an equi-join
+# on (user, bucket) with the touch side exploded into the two buckets
+# an in-window purchase can occupy), then one row_number per purchase
+# over its bounded candidate set — never a per-user cross product and
+# no global sort. The credited value rides as exact integer cents.
+# ---------------------------------------------------------------------------
+FIRST_TOUCH_WINDOW_SECONDS = 7 * 86400
+
+
+@register(
+    "attribution_first_touch",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, {_SEC} AS sec FROM events
+    ),
+    p AS (
+      SELECT event_id, user_id, value, sec FROM e WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id, user_id, event_type, sec FROM e
+      WHERE event_type <> 'purchase'
+    ),
+    first_touch AS (
+      SELECT p.event_id AS purchase_id, p.value, t.event_type,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY t.sec, t.event_id) AS rn
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.sec < p.sec
+       AND t.sec >= p.sec - {FIRST_TOUCH_WINDOW_SECONDS}
+    ),
+    credited AS (
+      SELECT p.event_id, p.value, COALESCE(ft.event_type, 'none') AS touch
+      FROM p LEFT JOIN first_touch ft
+        ON ft.purchase_id = p.event_id AND ft.rn = 1
+    )
+    SELECT touch AS first_touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0
+             AS attributed_value
+    FROM credited GROUP BY touch
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases credited to the user's earliest non-purchase event
+    within the preceding 7 days (first-touch model), with exact
+    attributed value per touch type and a 'none' bucket for
+    unattributed purchases."""
+    w_len = FIRST_TOUCH_WINDOW_SECONDS
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts_sec").alias("sec"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        money_cents(F.col("value")).alias("cents"),
+        F.col("sec").alias("p_sec"),
+        F.expr(f"sec div {w_len}").alias("jb"),
+    )
+    touches = (
+        e.where(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+            F.col("sec").alias("t_sec"),
+        )
+        .withColumn(
+            "jb",
+            F.explode(
+                F.array(
+                    F.expr(f"t_sec div {w_len}"),
+                    F.expr(f"t_sec div {w_len} + 1"),
+                )
+            ),
+        )
+    )
+    cand = purchases.join(touches, ["user_id", "jb"]).where(
+        (F.col("t_sec") < F.col("p_sec"))
+        & (F.col("t_sec") >= F.col("p_sec") - w_len)
+    )
+    wn = Window.partitionBy("purchase_id").orderBy("t_sec", "touch_id")
+    first = (
+        cand.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "touch_type")
+    )
+    credited = purchases.join(first, "purchase_id", "left").select(
+        F.coalesce("touch_type", F.lit("none")).alias("first_touch_type"),
+        "cents",
+    )
+    return credited.groupBy("first_touch_type").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        (F.sum("cents") / 100.0).alias("attributed_value"),
+    )

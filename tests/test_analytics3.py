@@ -204,6 +204,113 @@ class TestBloomPrefilter:
         assert row.n_false_pos <= 0.05 * row.n_probed
 
 
+class TestAudienceOverlapBitmap:
+    def test_matches_python_sets(self, spark):
+        """Packed-word bitmap intersection vs plain Python set math."""
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.analytics3 import audience_overlap_bitmap
+
+        got = {
+            (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_common)
+            for r in audience_overlap_bitmap(spark, SF_DIR).collect()
+        }
+        rows = (
+            load_tables(spark, SF_DIR)["events"]
+            .select("event_type", "user_id")
+            .distinct()
+            .collect()
+        )
+        sets: dict = {}
+        for r in rows:
+            sets.setdefault(r.event_type, set()).add(r.user_id)
+        types = sorted(sets)
+        for i, a in enumerate(types):
+            for b in types[i + 1:]:
+                assert got[(a, b)] == (
+                    len(sets[a]),
+                    len(sets[b]),
+                    len(sets[a] & sets[b]),
+                )
+
+    def test_word_table_is_bounded(self, spark):
+        """The packed representation must carry at most
+        |types| x (max_user/64 + 1) rows — independent of event
+        count (the whole point of the bitmap)."""
+        from erkg_tutorials_spark.catalog import load_tables
+        from pyspark.sql import functions as F2
+
+        e = load_tables(spark, SF_DIR)["events"]
+        n_types, max_user = e.agg(
+            F2.countDistinct("event_type"), F2.max("user_id")
+        ).first()
+        words = (
+            e.select("event_type", F2.expr("user_id div 64").alias("w"))
+            .distinct()
+            .count()
+        )
+        assert words <= n_types * (max_user // 64 + 1)
+
+
+class TestAttributionFirstTouch:
+    def test_conserves_purchases_and_value(self, spark):
+        """Every purchase is credited exactly once (incl. 'none');
+        total attributed value equals total purchase value."""
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.temporal import attribution_first_touch
+
+        rows = attribution_first_touch(spark, SF_DIR).collect()
+        e = load_tables(spark, SF_DIR)["events"]
+        purchases = e.where(F.col("event_type") == "purchase")
+        n = purchases.count()
+        total_cents = purchases.select(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+        ).first()[0]
+        assert sum(r.n_purchases for r in rows) == n
+        assert round(sum(r.attributed_value for r in rows), 2) == total_cents / 100.0
+
+    def test_first_touch_is_earliest_in_window(self, spark):
+        """Spot-check against a per-user Python replay of the
+        first-touch rule."""
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.temporal import (
+            FIRST_TOUCH_WINDOW_SECONDS,
+        )
+
+        e = (
+            load_tables(spark, SF_DIR)["events"]
+            .select("event_id", "user_id", "event_type", "ts_sec")
+            .collect()
+        )
+        by_user: dict = {}
+        for r in e:
+            by_user.setdefault(r.user_id, []).append(r)
+        counts: dict = {}
+        for rows_u in by_user.values():
+            touches = sorted(
+                (r for r in rows_u if r.event_type != "purchase"),
+                key=lambda r: (r.ts_sec, r.event_id),
+            )
+            for p in (r for r in rows_u if r.event_type == "purchase"):
+                ft = next(
+                    (
+                        t.event_type
+                        for t in touches
+                        if p.ts_sec - FIRST_TOUCH_WINDOW_SECONDS
+                        <= t.ts_sec
+                        < p.ts_sec
+                    ),
+                    "none",
+                )
+                counts[ft] = counts.get(ft, 0) + 1
+        from erkg_tutorials_spark.plans.temporal import attribution_first_touch
+
+        got = {
+            r.first_touch_type: r.n_purchases
+            for r in attribution_first_touch(spark, SF_DIR).collect()
+        }
+        assert got == counts
+
+
 class TestWinsorize:
     def test_matches_numpy_clamp(self, spark):
         """Exact nearest-rank winsorization vs a NumPy reference on
