@@ -145,6 +145,7 @@ HEADLINE = [
     "simjoin_edit_distance",
     "attribution_first_touch",
     "audience_overlap_bitmap",
+    "shard_manifest",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -499,3 +499,82 @@ def e2_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_kept.alias("tok_kept"),
         F.ceil(tok_kept / F.lit(float(SEQ_BUDGET))).cast("long").alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard manifest: the last mile of the
+# curation pipeline. Every document gets (a) a shard by md5 hash —
+# byte-identical in both engines via the conv/'0x' hex parse — and
+# (b) a reproducible WITHIN-shard order by a second independent
+# hash: the "global training shuffle" without any global sort (one
+# row_number per shard partition). The manifest row per shard pins
+# counts, char volume, and the first 3 doc_ids in training order, so
+# a dataloader (or the oracle) can verify the exact layout.
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+
+
+@register(
+    "shard_manifest",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+        CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {N_SHARDS} AS shard,
+        CAST(('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS okey
+      FROM documents
+    ),
+    ordered AS (
+      SELECT shard, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+               AS pos
+      FROM assigned
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           string_agg(CASE WHEN pos <= 3 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY pos) AS head_docs
+    FROM ordered GROUP BY shard
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard layout with a reproducible
+    within-shard training order — hash sharding + per-shard
+    row_number, never a global sort; re-running on the same corpus
+    reproduces the layout bit-for-bit (no RNG state)."""
+    d = load_tables(spark, sf_dir)["documents"]
+
+    def _h(prefix: str) -> str:
+        return (
+            f"CAST(conv(substr(md5(concat('{prefix}:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"{_h('shard')} % {N_SHARDS}").alias("shard"),
+        F.expr(_h("order")).alias("okey"),
+    )
+    wn = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    ordered = assigned.withColumn("pos", F.row_number().over(wn))
+    return ordered.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("pos") <= 3,
+                            F.struct("pos", F.col("doc_id").cast("string")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("col2"),
+            ),
+        ).alias("head_docs"),
+    )

@@ -131,3 +131,50 @@ class TestGapsIslands:
         pd.testing.assert_frame_equal(
             got.astype({"streak_len": "int64"}), want.astype({"streak_len": "int64"})
         )
+
+
+class TestShardManifest:
+    def test_covers_corpus_and_bounded_heads(self, spark):
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.llmops2 import N_SHARDS, shard_manifest
+        from tests.conftest import SF_DIR
+
+        rows = shard_manifest(spark, SF_DIR).collect()
+        d = load_tables(spark, SF_DIR)["documents"]
+        assert sum(r.n_docs for r in rows) == d.count()
+        assert sum(r.total_chars for r in rows) == (
+            d.agg({"n_chars": "sum"}).first()[0]
+        )
+        assert len(rows) <= N_SHARDS
+        for r in rows:
+            heads = r.head_docs.split(",")
+            assert 1 <= len(heads) <= 3
+            assert len(heads) == min(3, r.n_docs)
+
+    def test_layout_is_deterministic(self, spark):
+        """Re-running produces the identical manifest — no RNG
+        state; the training order is a pure function of doc_id."""
+        from erkg_tutorials_spark.plans.llmops2 import shard_manifest
+        from tests.conftest import SF_DIR
+
+        a = sorted(map(tuple, shard_manifest(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, shard_manifest(spark, SF_DIR).collect()))
+        assert a == b
+
+    def test_no_global_sort_in_plan(self, spark):
+        """The within-shard order must come from a PARTITIONED
+        window — a global Sort with no partitioning would be the
+        single-task funnel this layout exists to avoid."""
+        from erkg_tutorials_spark.plans.llmops2 import shard_manifest
+        from tests.conftest import SF_DIR
+
+        plan = (
+            shard_manifest(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        for m in re.finditer(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan):
+            assert "shard" in m.group(1), plan
