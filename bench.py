@@ -146,6 +146,8 @@ HEADLINE = [
     "attribution_first_touch",
     "audience_overlap_bitmap",
     "shard_manifest",
+    "dedup_incremental_exact",
+    "skew_report_lineitem",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

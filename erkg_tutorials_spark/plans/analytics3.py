@@ -610,3 +610,210 @@ def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) exact near-dup: the production ingest
+# mode — a new batch arrives and must be checked against the standing
+# corpus WITHOUT re-joining the corpus against itself. Same prefix-
+# filter completeness as simjoin_prefix_filter, but one-sided: the
+# overlap bound o >= ceil(tau*|A|) holds for A = the delta document
+# alone, so joining only the DELTA side's rarest-token prefixes
+# against the corpus posting list misses nothing, and candidate
+# volume scales with the delta, not the corpus. Delta membership is
+# deterministic (doc_id % 5 == 0 stands in for "today's batch").
+# ---------------------------------------------------------------------------
+DELTA_MOD = 5
+
+
+@register(
+    "dedup_incremental_exact",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+      FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+             CAST(COUNT(*) AS BIGINT) AS ni
+      FROM sh d JOIN sh c
+        ON d.shingle = c.shingle
+       AND d.doc_id % {DELTA_MOD} = 0
+       AND c.doc_id % {DELTA_MOD} <> 0
+      GROUP BY 1, 2
+    )
+    SELECT delta_id, corpus_id,
+           ROUND(ni * 1.0 / (zd.n + zc.n - ni), 6) AS jaccard
+    FROM inter
+    JOIN sizes zd ON zd.doc_id = delta_id
+    JOIN sizes zc ON zc.doc_id = corpus_id
+    WHERE ni * {SIMJOIN_TAU_DEN} >= {SIMJOIN_TAU_NUM} * (zd.n + zc.n - ni)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 1/2 matches of a delta batch against the
+    standing corpus, with candidates generated from the DELTA side's
+    prefixes only — candidate volume tracks the batch size, never
+    the corpus size."""
+    from erkg_tutorials_spark.dedup.minhash import shingles
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    t = load_tables(spark, sf_dir)
+    sh = memoized(
+        spark, sf_dir, "containment_doc_shingles",
+        lambda: shingles(t["documents"], k=3),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    delta_prefix = (
+        sh.where(is_delta)
+        .join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(
+                f"(n * {SIMJOIN_TAU_NUM} + {SIMJOIN_TAU_DEN} - 1) "
+                f"div {SIMJOIN_TAU_DEN}"
+            )
+            + 1
+        )
+        .select(F.col("doc_id").alias("delta_id"), F.col("n").alias("nd"), "shingle")
+    )
+    corpus = sh.where(~is_delta).join(sizes, "doc_id").select(
+        F.col("doc_id").alias("corpus_id"), F.col("n").alias("nc"), "shingle"
+    )
+    cand = (
+        delta_prefix.join(corpus, "shingle")
+        .select("delta_id", "corpus_id", "nd", "nc")
+        .distinct()
+    )
+    sd = sh.select(F.col("doc_id").alias("delta_id"), "shingle")
+    sc = sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    return (
+        cand.join(sd, "delta_id")
+        .join(sc, ["corpus_id", "shingle"])
+        .groupBy("delta_id", "corpus_id", "nd", "nc")
+        .agg(F.count("*").cast("long").alias("ni"))
+        .where(
+            F.col("ni") * SIMJOIN_TAU_DEN
+            >= SIMJOIN_TAU_NUM * (F.col("nd") + F.col("nc") - F.col("ni"))
+        )
+        .select(
+            "delta_id",
+            "corpus_id",
+            F.round(
+                F.col("ni") / (F.col("nd") + F.col("nc") - F.col("ni")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew diagnostic: per-key weight distribution of the
+# orders-lineitem join key, reported as the exact top-5 heaviest
+# keys plus distribution-shape scalars (max/avg imbalance factor,
+# p99 weight). At 100 TB this is the report that tells you WHETHER
+# to salt — computed from one partial-aggregated groupBy over the
+# fact table and a bounded top-k, never a sort of all keys.
+# ---------------------------------------------------------------------------
+SKEW_TOPK = 5
+
+
+@register(
+    "skew_report_lineitem",
+    f"""
+    WITH w AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(weight) AS BIGINT) AS n_rows,
+             CAST(MAX(weight) AS BIGINT) AS max_w
+      FROM w
+    ),
+    hist AS (
+      SELECT weight, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1
+    ),
+    cum AS (
+      SELECT weight, c, SUM(c) OVER (ORDER BY weight) AS cum,
+             SUM(c) OVER () AS n
+      FROM hist
+    ),
+    p99 AS (
+      SELECT CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN weight END)
+                  AS BIGINT) AS p99_w
+      FROM cum
+    ),
+    topk AS (
+      SELECT key, weight,
+             ROW_NUMBER() OVER (ORDER BY weight DESC, key) AS rk
+      FROM w QUALIFY rk <= {SKEW_TOPK}
+    )
+    SELECT t.rk, t.key AS heavy_key, t.weight,
+           s.n_keys, s.n_rows,
+           ROUND(s.max_w * 1.0 * s.n_keys / s.n_rows, 6) AS imbalance_factor,
+           p.p99_w
+    FROM topk t CROSS JOIN stats s CROSS JOIN p99 p
+    """,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-key skew report for lineitem.l_orderkey: top-5
+    heaviest keys + imbalance factor (max weight / mean weight) +
+    nearest-rank p99 weight, from one groupBy, a weight histogram,
+    and a TakeOrderedAndProject top-k — all keys are never sorted."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").cast("long").alias("weight")
+    )
+    stats = w.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("weight").cast("long").alias("n_rows"),
+        F.max("weight").cast("long").alias("max_w"),
+    )
+    hist = w.groupBy("weight").agg(F.count("*").cast("long").alias("c"))
+    wcum = Window.orderBy("weight")  # distinct-weight domain: tiny
+    cum = hist.select(
+        "weight", F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    p99 = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 99 + 99) div 100"), F.col("weight")
+            )
+        )
+        .cast("long")
+        .alias("p99_w")
+    )
+    topk = (
+        w.orderBy(F.desc("weight"), "key")
+        .limit(SKEW_TOPK)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("weight"), "key"))
+        )
+    )
+    return (
+        topk.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "rk",
+            F.col("key").alias("heavy_key"),
+            "weight",
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("max_w") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("imbalance_factor"),
+            "p99_w",
+        )
+    )

@@ -345,3 +345,70 @@ class TestWinsorize:
         for r in winsorized_event_stats(spark, SF_DIR).collect():
             assert r.p01_value <= r.p99_value
             assert r.n_clamped < r.n  # p01..p99 keeps the bulk
+
+
+class TestDedupIncremental:
+    def test_matches_bruteforce_cross_pairs(self, spark):
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.dedup.minhash import shingles
+        from erkg_tutorials_spark.plans.analytics3 import (
+            DELTA_MOD,
+            SIMJOIN_TAU_DEN,
+            SIMJOIN_TAU_NUM,
+            dedup_incremental_exact,
+        )
+
+        got = {
+            (r.delta_id, r.corpus_id): r.jaccard
+            for r in dedup_incremental_exact(spark, SF_DIR).collect()
+        }
+        rows = shingles(load_tables(spark, SF_DIR)["documents"], k=3).collect()
+        sets: dict = {}
+        for r in rows:
+            sets.setdefault(r.doc_id, set()).add(r.shingle)
+        want = {}
+        for d, sd in sets.items():
+            if d % DELTA_MOD != 0:
+                continue
+            for c, sc in sets.items():
+                if c % DELTA_MOD == 0:
+                    continue
+                ni, nu = len(sd & sc), len(sd | sc)
+                if ni * SIMJOIN_TAU_DEN >= SIMJOIN_TAU_NUM * nu:
+                    want[(d, c)] = round(ni / nu, 6)
+        assert got == want
+        for d, c in got:
+            assert d % DELTA_MOD == 0 and c % DELTA_MOD != 0
+
+
+class TestSkewReport:
+    def test_matches_pandas(self, spark):
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.analytics3 import (
+            SKEW_TOPK,
+            skew_report_lineitem,
+        )
+
+        rows = sorted(
+            skew_report_lineitem(spark, SF_DIR).collect(), key=lambda r: r.rk
+        )
+        import collections
+
+        weights = collections.Counter(
+            r.l_orderkey
+            for r in load_tables(spark, SF_DIR)["lineitem"]
+            .select("l_orderkey")
+            .collect()
+        )
+        ordered = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_keys, n_rows = len(weights), sum(weights.values())
+        max_w = ordered[0][1]
+        ws = sorted(weights.values())
+        p99 = ws[max((n_keys * 99 + 99) // 100, 1) - 1]
+        assert len(rows) == min(SKEW_TOPK, n_keys)
+        for i, r in enumerate(rows):
+            assert (r.heavy_key, r.weight) == ordered[i]
+            assert r.n_keys == n_keys and r.n_rows == n_rows
+            assert r.p99_w == p99
+            assert r.imbalance_factor == round(max_w * n_keys / n_rows, 6)
+        assert rows[0].imbalance_factor >= 1.0
