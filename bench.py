@@ -148,6 +148,12 @@ HEADLINE = [
     "shard_manifest",
     "dedup_incremental_exact",
     "skew_report_lineitem",
+    # round-6 streaming registry tier: real AvailableNow micro-batch
+    # jobs (file source -> memory sink); times include the streaming
+    # engine's per-batch planning overhead, which is the honest cost
+    "stream_hourly_rollup",
+    "stream_attribution_pairs",
+    "stream_sessionize_closed",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -20,6 +20,7 @@ from erkg_tutorials_spark.plans import (
     relational2,
     relational3,
     scale,
+    streamq,
     temporal,
     textq,
     vectorq,
@@ -38,6 +39,7 @@ _MODULES = (
     textq,
     vectorq,
     eventsq,
+    streamq,
     temporal,
     analytics,
     analytics2,

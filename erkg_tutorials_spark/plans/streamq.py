@@ -1,0 +1,319 @@
+"""Structured Streaming registry tier: REAL streaming jobs inside the
+correctness gate (SURVEY.md §2.13; reference is batch-only — this is
+the declared extension, reference src/ has no streaming surface).
+
+Until this module, the streaming operators (streaming/events.py,
+streaming/joins.py, streaming/sessionize.py, streaming/sink.py) were
+pytest-covered but absent from the ``queries()`` registry, so no
+driver round ever oracle-checked actual micro-batch output. Each
+query here starts a genuine Structured Streaming job — file source →
+``Trigger.AvailableNow`` → in-memory sink — waits for it to drain,
+and returns the sink table as a batch DataFrame, so the DuckDB oracle
+compares true streaming output against plain ANSI SQL.
+
+Why each query is deterministic (and therefore oracle-able):
+
+* ``stream_hourly_rollup`` runs the watermarked tumbling-window
+  aggregation in **complete** output mode: complete mode re-emits the
+  full result table, and aggregation state is never dropped under
+  complete mode, so the final table equals the batch GROUP BY no
+  matter how the input was micro-batched.
+* ``stream_attribution_pairs`` is the watermarked stream-stream
+  interval join in **append** mode. Inner interval joins emit each
+  matched pair exactly once, eagerly, with no watermark gating on
+  match emission; eviction could only lose pairs whose partner
+  arrives *after* the view's state is reclaimed, and the events table
+  is one parquet file → one micro-batch → both sides are co-resident
+  when the join runs. (At production scale the watermark delay is the
+  replay-horizon knob; the semantics stay exactly-once per pair.)
+* ``stream_sliding_rollup`` is the sliding-window twin of the hourly
+  rollup, same complete-mode argument (30 min windows, 15 min slide —
+  the proven parameters of the batch ``events_sliding_window``).
+* ``stream_sessionize_closed`` runs the custom stateful operator
+  (``applyInPandasWithState`` gap sessionization) and exploits its
+  exact emission contract: a session is emitted IFF a later event of
+  the same user closed it, so the drained output equals "every batch
+  session except each user's LAST" — which is plain SQL (gaps-and-
+  islands + QUALIFY session_id < MAX(session_id) per user). This makes
+  even the hand-written stateful operator hash-oracle-able, not just
+  rows-only.
+* ``stream_dedup_union`` feeds TWO file-source streams over the same
+  events file into a union — a doubled, at-least-once feed — then
+  ``dropDuplicatesWithinWatermark`` on the key. Both sources list
+  their file in micro-batch 0, so every duplicate pair is either
+  in-batch or within the watermark horizon and is provably collapsed;
+  the surviving rows are byte-identical whichever copy wins because
+  the copies are identical. The returned per-type counts therefore
+  equal plain COUNT/COUNT(DISTINCT) over the ORIGINAL table — the
+  oracle checks that dedup removed exactly the duplication the union
+  introduced, nothing more, nothing less.
+
+Scale notes (100 TB):
+- hourly rollup: complete mode is the *demo* contract (bounded output
+  domain: hours × event types). A production feed uses the same plan
+  in append mode + watermark (bounded state, late-data drop) — that
+  variant is pinned by tests/test_sources_streaming.py.
+- attribution: state is O(events inside the attribution window) by
+  the join's own time bounds — see streaming/joins.py docstring.
+- dedup: ``dropDuplicatesWithinWatermark`` evicts each key once the
+  watermark passes its first-seen event time; state is O(keys per
+  replay horizon), never O(stream) — the reason the plain
+  ``dropDuplicates`` variant is NOT used (its state never shrinks).
+
+The memory sink holds one in-memory copy of the result on the driver,
+which is exactly what the driver's ``.toPandas()`` gate would
+materialize anyway; production sinks swap in foreachBatch/parquet
+(streaming/sink.py's exactly-once writer) without touching the plan.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.streaming.events import (
+    dedup_stream,
+    hourly_rollup_stream,
+    read_events_stream,
+)
+from erkg_tutorials_spark.streaming.joins import attribution_stream
+from erkg_tutorials_spark.streaming.sessionize import sessionize_stream
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Monotone suffix so repeated invocations in one session never collide
+# on the memory sink's temp-view name (the view outlives the query).
+_SINK_SEQ = itertools.count()
+
+
+def _drain(result: DataFrame, base: str, mode: str) -> DataFrame:
+    """Run ``result`` as a streaming query into a fresh memory sink,
+    drain all available input (AvailableNow), and return the sink
+    table. The extra no-data micro-batch that AvailableNow runs after
+    the last data batch is what lets watermark-gated output flush."""
+    name = f"{base}_{next(_SINK_SEQ)}"
+    (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return result.sparkSession.table(name)
+
+
+@register(
+    "stream_hourly_rollup",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window rollup, complete mode: the streaming
+    twin of ``events_hourly_rollup`` run through an actual micro-batch
+    engine. Window boundaries are epoch-aligned (F.window anchors at
+    the Unix epoch), so ``unix_timestamp(window.start)`` equals
+    DuckDB's ``epoch(date_trunc('hour', ts))``. The value sum rides
+    as exact integer cents (the repo-wide exact-money recipe)."""
+    events = read_events_stream(spark, sf_dir)
+    rolled = (
+        events.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+    )
+    return _drain(rolled, "stream_hourly_rollup", "complete")
+
+
+@register(
+    "stream_attribution_pairs",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    ),
+    v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           v.us AS view_us,
+           p.us AS purchase_us
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.us > v.us
+     AND p.us <= v.us + CAST(3600 AS BIGINT) * 1000000
+    """,
+)
+def stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (views ⋈ purchases
+    within 1 h), append mode — the streaming twin of
+    ``range_join_view_purchase``, at microsecond precision. Every
+    matched pair is emitted exactly once; the oracle is the plain
+    interval join over the same table."""
+    events = read_events_stream(spark, sf_dir)
+    pairs = attribution_stream(events, window_seconds=3600, how="inner")
+    return _drain(pairs, "stream_attribution_pairs", "append").select(
+        "user_id", "view_event_id", "purchase_event_id", "view_us", "purchase_us"
+    )
+
+
+@register(
+    "stream_sliding_rollup",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+    ),
+    expanded AS (
+      SELECT event_type, sec, unnest([
+        (sec // 900) * 900,
+        (sec // 900) * 900 - 900
+      ]) AS w_start
+      FROM e
+    )
+    SELECT event_type, w_start,
+           CAST(w_start + 1800 AS BIGINT) AS w_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM expanded
+    WHERE sec >= w_start AND sec < w_start + 1800
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window rollup (30 min window / 15 min slide),
+    complete mode — every event lands in exactly two overlapping
+    epoch-aligned windows, the same parameters the batch
+    ``events_sliding_window`` oracle already proves."""
+    events = read_events_stream(spark, sf_dir)
+    rolled = (
+        events.withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "30 minutes", "15 minutes"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("window.start")).alias("w_start"),
+            F.unix_timestamp(F.col("window.end")).alias("w_end"),
+            "n_events",
+        )
+    )
+    return _drain(rolled, "stream_sliding_rollup", "complete")
+
+
+@register(
+    "stream_sessionize_closed",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                  AS prev
+      FROM e
+    ),
+    flags AS (
+      SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+                     THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flags
+    ),
+    s AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(sec) AS start_sec, MAX(sec) AS end_sec
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, start_sec, end_sec, n_events
+    FROM s
+    QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+    """,
+)
+def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator
+    (``applyInPandasWithState`` gap-based sessionization,
+    streaming/sessionize.py) under the full hash oracle. Emission
+    contract: a session leaves state only when a LATER event of the
+    same user opens the next one, so the drained output is exactly the
+    batch session set minus each user's final (still-open) session —
+    expressed in the oracle as gaps-and-islands + "all but the last
+    session per user". Session boundaries use whole epoch seconds,
+    identical to the batch ``events_sessionize`` twin."""
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "ts_sec", F.expr("unix_micros(event_time) div 1000000")
+    )
+    closed = sessionize_stream(events, gap_seconds=1800)
+    return _drain(closed, "stream_sessionize_closed", "append").select(
+        "user_id", "start_sec", "end_sec", "n_events"
+    )
+
+
+@register(
+    "stream_dedup_union",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingest simulation: the events file streamed TWICE
+    (two file sources unioned) through
+    ``dropDuplicatesWithinWatermark(event_id)``, drained to a sink,
+    then batch-aggregated per event type. The oracle aggregates the
+    ORIGINAL single-copy table — equality proves the streaming dedup
+    collapsed the doubled feed exactly back to one copy."""
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_stream(doubled, keys=["event_id"])
+    sink = _drain(deduped, "stream_dedup_union", "append")
+    return sink.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
