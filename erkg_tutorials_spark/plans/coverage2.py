@@ -593,3 +593,80 @@ def n2_shape_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("doc_id"), F.expr(case).alias("text"))
     )
     return shape_ner(docs)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup retention policy: after MinHash clustering, keep ONE
+# canonical document per cluster chosen by quality (longest in tokens,
+# ties by doc_id) — the step a training-data pipeline actually ships
+# (dedup_clusters labels the clusters; this decides who survives).
+# Reference scope: the reference has no dedup at all; declared
+# extension tier. Scale: clusters come from the memoized banded pair
+# set (no all-pairs), the argmax is one window partitioned by cluster
+# (bounded groups), and singletons never shuffle twice — the quality
+# join is on doc_id, the same key the scan is already hashed by.
+# ---------------------------------------------------------------------------
+def _dedup_keep_best_oracle() -> str:
+    from erkg_tutorials_spark.plans.oracle_pr import cc_label_prop_sql
+    from erkg_tutorials_spark.plans.textq import MINHASH_PAIRS_CTE
+
+    return (
+        MINHASH_PAIRS_CTE
+        + """,
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+"""
+        + cc_label_prop_sql(rounds=10)
+        + """,
+    asg AS (
+      SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+      FROM documents d LEFT JOIN l10 l ON d.doc_id = l.id
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY n_tok DESC, doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_docs
+      FROM asg
+    )
+    SELECT cluster, doc_id AS kept_doc_id, n_tok AS kept_n_tok,
+           n_docs, CAST(n_docs - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1
+    """
+    )
+
+
+@register("dedup_keep_best", _dedup_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per near-dup cluster: argmax token
+    count (ties: lowest doc_id). One row per cluster — singletons keep
+    themselves with n_dropped = 0."""
+    from erkg_tutorials_spark.dedup.clusters import dedup_assign
+    from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = minhash_pairs_cached(spark, sf_dir)
+    clusters = dedup_assign(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster"
+    )
+    quality = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_tok"), "doc_id")
+    ranked = joined.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("cluster")).cast("long")
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_tok").alias("kept_n_tok"),
+        "n_docs",
+        (F.col("n_docs") - 1).cast("long").alias("n_dropped"),
+    )

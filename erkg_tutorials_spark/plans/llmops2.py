@@ -578,3 +578,70 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("head_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing: the batching-efficiency report a training
+# dataloader uses to pick bucket boundaries. Every doc is padded up to
+# the next multiple of PAD_QUANTUM tokens (the pad-to-multiple pattern
+# that keeps tensor shapes kernel-friendly); the report gives, per
+# bucket, the doc count, real tokens, padding tokens, and the padding
+# fraction of the padded batch. All integer arithmetic until one final
+# division. Scale: one scan, one groupBy on a small bounded key domain
+# (distinct bucket lengths) — map-side combine does almost all the
+# work; no window, no sort.
+# ---------------------------------------------------------------------------
+PAD_QUANTUM = 64
+
+
+@register(
+    "length_bucket_stats",
+    f"""
+    WITH d AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(((n_tok + {PAD_QUANTUM - 1}) // {PAD_QUANTUM}) * {PAD_QUANTUM}
+                AS BIGINT) AS bucket_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(((n_tok + {PAD_QUANTUM - 1}) // {PAD_QUANTUM})
+                    * {PAD_QUANTUM} - n_tok) AS BIGINT) AS total_padding,
+           ROUND(SUM(((n_tok + {PAD_QUANTUM - 1}) // {PAD_QUANTUM})
+                     * {PAD_QUANTUM} - n_tok)
+                 / (1.0 * SUM(((n_tok + {PAD_QUANTUM - 1}) // {PAD_QUANTUM})
+                     * {PAD_QUANTUM})), 6)
+             AS waste_ratio
+    FROM d
+    GROUP BY 1
+    """,
+)
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-multiple-of-{PAD_QUANTUM} sequence-length bucketing with
+    exact padding-waste accounting (whitespace tokenization, the
+    pack_sequences convention)."""
+    q = PAD_QUANTUM
+    d = load_tables(spark, sf_dir)["documents"].select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    ).withColumn(
+        "bucket_len", (F.expr(f"(n_tok + {q - 1}) div {q}") * q).cast("long")
+    )
+    return (
+        d.groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_len") - F.col("n_tok"))
+            .cast("long")
+            .alias("_tp"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "total_tokens",
+            F.col("_tp").alias("total_padding"),
+            F.round(
+                F.col("_tp") / (F.col("total_tokens") + F.col("_tp")), 6
+            ).alias("waste_ratio"),
+        )
+    )
