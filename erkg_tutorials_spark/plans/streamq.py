@@ -48,6 +48,12 @@ Why each query is deterministic (and therefore oracle-able):
   oracle checks that dedup removed exactly the duplication the union
   introduced, nothing more, nothing less.
 
+* ``stream_exactly_once_daily`` backfills the purchase stream through
+  the idempotent foreachBatch parquet sink (streaming/sink.py) and
+  rolls the read-back up per day: oracle equality proves the sink
+  holds every row exactly once, and the fingerprinted
+  sink+checkpoint pair makes re-runs incremental no-ops.
+
 Scale notes (100 TB):
 - hourly rollup: complete mode is the *demo* contract (bounded output
   domain: hours × event types). A production feed uses the same plan
@@ -337,6 +343,72 @@ def stream_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_events"),
         F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@register(
+    "stream_exactly_once_daily",
+    """
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_exactly_once_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once file sink (streaming/sink.py: idempotent
+    foreachBatch, per-epoch dynamic partition overwrite) under the
+    full oracle: the purchase stream is backfilled into a parquet
+    sink, read back, and rolled up per day — equality with plain SQL
+    over the source proves the sink holds every purchase exactly once.
+
+    The sink+checkpoint pair is fingerprinted by the events file
+    (size+mtime, the repo's /tmp layout convention) and REUSED across
+    invocations in and across sessions: a re-run restarts from the
+    checkpoint, finds no new files, and terminates without rewriting —
+    the incremental-backfill behavior a production job relies on.
+    Replays of a torn epoch overwrite only that epoch's partition
+    (tests/test_streaming_sink.py pins torn-write and double-replay)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from erkg_tutorials_spark.streaming.sink import (
+        read_exactly_once_sink,
+        write_stream_exactly_once,
+    )
+
+    safe = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+    name = f"eo_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root = "/tmp/erkg_stream_sink"
+    # Evict superseded fingerprints (stale-disk guard); keep both the
+    # sink dir and its _ckpt sibling for the current fingerprint.
+    try:
+        for entry in _os.listdir(root):
+            if entry.startswith(f"eo_{safe}_") and not entry.startswith(name):
+                _shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    path, ckpt = f"{root}/{name}", f"{root}/{name}_ckpt"
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "event_time", "value")
+    )
+    write_stream_exactly_once(purchases, path, ckpt).awaitTermination()
+    sunk = read_exactly_once_sink(spark, path)
+    return sunk.groupBy(
+        F.expr("(unix_micros(event_time) div 86400000000) * 86400")
+        .cast("long")
+        .alias("day_epoch")
+    ).agg(
+        F.count("*").cast("long").alias("n_purchases"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long"))
         .cast("long")
         .alias("total_cents"),
