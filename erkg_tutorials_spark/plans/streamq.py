@@ -53,6 +53,11 @@ Why each query is deterministic (and therefore oracle-able):
   rolls the read-back up per day: oracle equality proves the sink
   holds every row exactly once, and the fingerprinted
   sink+checkpoint pair makes re-runs incremental no-ops.
+* ``stream_enrich_segments`` is the stream-static broadcast join
+  (stateless — per-batch dim broadcast, no state store): every event
+  enriched with its user's market segment, aggregated after the
+  drain; the oracle's LEFT JOIN puts the join semantics themselves
+  under test.
 
 Scale notes (100 TB):
 - hourly rollup: complete mode is the *demo* contract (bounded output
@@ -409,6 +414,54 @@ def stream_exactly_once_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day_epoch")
     ).agg(
         F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@register(
+    "stream_enrich_segments",
+    """
+    SELECT COALESCE(c.c_mktsegment, 'none') AS segment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment under the oracle: every
+    event enriched with its user's market segment via
+    ``enrich_stream`` (stream ⋈ broadcast dim, stateless — no state
+    store, no watermark needed), drained append-mode, then
+    batch-aggregated per (segment, event_type). Oracle = the plain
+    left join + GROUP BY. Unmatched users land in the 'none' bucket,
+    so the join's LEFT semantics are themselves under test."""
+    import os as _os
+
+    from erkg_tutorials_spark.streaming.joins import enrich_stream
+
+    dim = (
+        spark.read.parquet(_os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = enrich_stream(
+        read_events_stream(spark, sf_dir).select(
+            "user_id", "event_type", "value"
+        ),
+        dim,
+    )
+    sink = _drain(enriched, "stream_enrich_segments", "append")
+    return sink.groupBy(
+        F.coalesce("segment", F.lit("none")).alias("segment"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long"))
         .cast("long")
         .alias("total_cents"),
