@@ -790,3 +790,69 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: Spark's built-in F.session_window (the
+# engine operator behind streaming sessionization) run in BATCH mode,
+# oracled against the same gaps-and-islands SQL the hand-rolled
+# events_sessionize uses. Boundary semantics measured, not assumed:
+# the built-in treats the session end as INCLUSIVE (a new event at
+# exactly last+gap MERGES), i.e. it splits at diff > gap — the same
+# rule as the lag-based sessionize. The sf0.1 events table contains
+# exactly one diff==gap pair, so the hash compare would catch either
+# off-by-one reading (a >= oracle fails there by one row; pinned by
+# this sweep). Scale: one shuffle on user_id; the session merge is
+# within-partition.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_window_native",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e
+    ),
+    flags AS (
+      SELECT *, CASE WHEN prev IS NULL OR sec - prev > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flags
+    )
+    SELECT user_id,
+           MIN(sec) AS start_sec,
+           MAX(sec) + {SESSION_GAP_SECONDS} AS window_end_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` in batch mode. The window end
+    reported by the engine is last_event + gap (the merge bound), so
+    the oracle's twin is MAX(sec) + gap over each gaps-and-islands
+    session with the built-in's split rule (diff > gap, inclusive
+    session end; see the boundary note above) — exact equality pins
+    the engine's merge semantics."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", F.timestamp_seconds(F.col("ts_sec")).alias("etime")
+    )
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("etime", f"{SESSION_GAP_SECONDS} seconds"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("start_sec"),
+            F.unix_timestamp(F.col("session_window.end")).alias(
+                "window_end_sec"
+            ),
+            "n_events",
+        )
+    )
