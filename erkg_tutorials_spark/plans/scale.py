@@ -437,3 +437,52 @@ def partition_pruned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / 100.0).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource scan (Spark 4 pyspark.sql.datasource API):
+# the storage-extension story — a row-group-partitioned Arrow parquet
+# reader with genuine filter pushdown (pushFilters absorbs the
+# o_orderstatus equality and applies it batch-side in pyarrow BEFORE
+# rows reach the JVM; the physical plan shows BatchScan arrow_parquet
+# with NO post-scan Filter). Oracle equality proves the absorbed
+# filter was actually applied — a source that accepts-and-drops a
+# filter returns wrong rows and hash-fails. See sources/pyds.py for
+# the 100 TB partitioning story (one task per file x row-group).
+# ---------------------------------------------------------------------------
+@register(
+    "pyds_scan_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_f_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def pyds_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate finished orders read through the custom
+    ``arrow_parquet`` Python data source (projection via the
+    ``columns`` option, o_orderstatus filter pushed into the source)."""
+    import os as _os
+
+    from erkg_tutorials_spark.sources.pyds import register_arrow_parquet
+
+    register_arrow_parquet(spark)
+    df = (
+        spark.read.format("arrow_parquet")
+        .option("path", _os.path.join(sf_dir, "orders.parquet"))
+        .option("columns", "o_orderpriority,o_orderstatus,o_totalprice")
+        .load()
+    )
+    return (
+        df.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_f_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )

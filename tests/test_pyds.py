@@ -1,0 +1,68 @@
+"""Custom Python DataSource (sources/pyds.py): filter-pushdown
+contract and partition planning. Result correctness vs the oracle is
+covered by test_oracle_parity.py::pyds_scan_orders; these tests pin
+the API semantics the oracle can't see."""
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, StringContains
+
+from erkg_tutorials_spark.sources.pyds import (
+    ArrowParquetReader,
+    register_arrow_parquet,
+)
+from tests.conftest import SF_DIR
+
+ORDERS = os.path.join(SF_DIR, "orders.parquet")
+COLS = ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+
+
+def test_pushfilters_splits_supported_from_residual():
+    r = ArrowParquetReader(COLS, {"path": ORDERS})
+    supported = EqualTo(("o_orderstatus",), "F")
+    unsupported_kind = StringContains(("o_orderpriority",), "URGENT")
+    unprojected = EqualTo(("o_orderkey",), 1)
+    residual = list(r.pushFilters([supported, unsupported_kind, unprojected]))
+    assert r.pushed == [supported]
+    assert residual == [unsupported_kind, unprojected]
+
+
+def test_one_partition_per_row_group():
+    import pyarrow.parquet as pq
+
+    r = ArrowParquetReader(COLS, {"path": ORDERS})
+    parts = r.partitions()
+    assert len(parts) == pq.ParquetFile(ORDERS).metadata.num_row_groups
+    assert all(p.file == ORDERS for p in parts)
+
+
+def test_read_applies_absorbed_filter():
+    r = ArrowParquetReader(COLS, {"path": ORDERS})
+    list(r.pushFilters([EqualTo(("o_orderstatus",), "F")]))
+    rows = [b for p in r.partitions() for b in r.read(p)]
+    statuses = {
+        s for b in rows for s in b.column("o_orderstatus").to_pylist()
+    }
+    assert statuses == {"F"}
+
+
+def test_plan_has_no_post_scan_filter(spark):
+    register_arrow_parquet(spark)
+    df = (
+        spark.read.format("arrow_parquet")
+        .option("path", ORDERS)
+        .option("columns", ",".join(COLS))
+        .load()
+        .where(F.col("o_orderstatus") == "F")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "BatchScan arrow_parquet" in plan
+    # no Filter NODE above the scan (the scan line itself prints a
+    # "RuntimeFilters: []" attribute — that is not a filter node)
+    assert " Filter (" not in plan  # absorbed by pushFilters, not re-checked
