@@ -58,6 +58,11 @@ Why each query is deterministic (and therefore oracle-able):
   enriched with its user's market segment, aggregated after the
   drain; the oracle's LEFT JOIN puts the join semantics themselves
   under test.
+* ``stream_custom_source_rollup`` drains the custom offset-tracked
+  Python streaming source (sources/pyds_stream.py) and aggregates it;
+  the oracle replays the source's pure row function in SQL, so
+  equality proves the source delivered exactly its declared offset
+  range through real micro-batch planning.
 
 Scale notes (100 TB):
 - hourly rollup: complete mode is the *demo* contract (bounded output
@@ -465,4 +470,41 @@ def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100, 0).cast("long"))
         .cast("long")
         .alias("total_cents"),
+    )
+
+
+@register(
+    "stream_custom_source_rollup",
+    f"""
+    WITH r AS (
+      SELECT CAST(i AS BIGINT) AS id FROM generate_series(0, 99999) AS t(i)
+    )
+    SELECT id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM((id * 2654435761) % 10000) AS BIGINT) AS total_cents,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM r GROUP BY 1
+    """,
+)
+def stream_custom_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python DataSource under the oracle: the
+    offset-tracked deterministic range source (sources/pyds_stream.py)
+    drained with AvailableNow into a sink, then batch-aggregated per
+    bucket. The oracle replays the source's pure row function in SQL
+    (generate_series + the same Knuth-hash arithmetic), so equality
+    proves the custom source delivered exactly the declared offset
+    range — no gaps, no replays — through real micro-batch planning
+    (chunked input partitions inside each offset range). sf_dir is
+    unused: the source is synthetic by design."""
+    from erkg_tutorials_spark.sources.pyds_stream import register_range_stream
+
+    register_range_stream(spark)
+    raw = spark.readStream.format("range_stream").load()
+    sink = _drain(raw, "stream_custom_source", "append")
+    return sink.groupBy(F.col("bucket")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
     )

@@ -66,3 +66,30 @@ def test_plan_has_no_post_scan_filter(spark):
     # no Filter NODE above the scan (the scan line itself prints a
     # "RuntimeFilters: []" attribute — that is not a filter node)
     assert " Filter (" not in plan  # absorbed by pushFilters, not re-checked
+
+
+# --- custom streaming source (sources/pyds_stream.py) -----------------
+
+from erkg_tutorials_spark.sources.pyds_stream import (  # noqa: E402
+    KNUTH,
+    RangeStreamReader,
+)
+
+
+def test_stream_source_offsets_and_partitions():
+    r = RangeStreamReader({"rows": 100, "chunk": 30})
+    assert r.initialOffset() == {"row": 0}
+    assert r.latestOffset() == {"row": 100}
+    parts = r.partitions({"row": 0}, {"row": 100})
+    assert [(p.start, p.end) for p in parts] == [
+        (0, 30), (30, 60), (60, 90), (90, 100)
+    ]
+
+
+def test_stream_source_read_is_pure_replay():
+    r = RangeStreamReader({"rows": 100, "chunk": 30})
+    (p,) = r.partitions({"row": 30}, {"row": 60})[:1]
+    first = list(r.read(p))
+    again = list(r.read(p))
+    assert first == again  # replayable: the exactly-once prerequisite
+    assert first[0] == (30, 0, (30 * KNUTH) % 10_000)
