@@ -486,3 +486,61 @@ def pyds_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+@register(
+    "pyds_roundtrip_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_f_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def pyds_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full round trip through the custom Python DataSource: finished
+    orders WRITTEN via the two-phase-commit arrow writer (staging →
+    driver-side rename + _SUCCESS; sources/pyds.py) into a
+    fingerprinted /tmp layout, then READ BACK via the custom reader
+    and aggregated. Oracle equality proves the sink committed every
+    row exactly once and the reader returned exactly what was
+    committed. Re-runs reuse the committed layout (_SUCCESS guard),
+    the same skip-if-built convention as the bucketed/partitioned
+    layouts above."""
+    import os as _os
+    import re as _re
+
+    from erkg_tutorials_spark.sources.pyds import register_arrow_parquet
+
+    register_arrow_parquet(spark)
+    safe = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    st = _os.stat(_os.path.join(sf_dir, "orders.parquet"))
+    name = f"rt_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root = "/tmp/erkg_pyds_roundtrip"
+    path = _os.path.join(root, name)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        _evict_stale_layouts(root, f"rt_{safe}_", name)
+        (
+            load_tables(spark, sf_dir)["orders"]
+            .where(F.col("o_orderstatus") == "F")
+            .select(
+                "o_orderpriority", "o_custkey", "o_totalprice", "o_orderstatus"
+            )
+            .write.format("arrow_parquet")
+            .mode("overwrite")
+            .option("path", path)
+            .save()
+        )
+    back = (
+        spark.read.format("arrow_parquet").option("path", path).load()
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_f_orders"),
+        F.count_distinct(F.col("o_custkey")).cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )

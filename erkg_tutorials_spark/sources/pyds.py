@@ -31,8 +31,11 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -42,6 +45,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 _ARROW_TO_DDL = {
@@ -155,9 +159,76 @@ class ArrowParquetReader(DataSourceReader):
         yield from tbl.to_batches()
 
 
+@dataclass
+class FileCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class ArrowParquetWriter(DataSourceArrowWriter):
+    """Two-phase-commit parquet writer — the sink half of the source
+    template. Each task streams its Arrow batches into a STAGING file
+    and returns it in the commit message; only the driver-side
+    ``commit()`` (called when every task succeeded) renames staged
+    files into the final directory and drops the ``_SUCCESS`` marker,
+    so readers never observe a torn write. ``abort()`` removes the
+    staging directory. This is the FileOutputCommitter protocol
+    expressed through the Python DS API; on an object store the
+    rename step becomes a multipart-complete/manifest swap."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.staging = f"{self.path}__staging_{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator) -> FileCommit:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        out = os.path.join(self.staging, f"part-{uuid.uuid4().hex[:12]}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(out, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            rows += batch.num_rows
+        if writer is None:  # empty partition: no file, nothing to commit
+            return FileCommit(staged="", rows=0)
+        writer.close()
+        return FileCommit(staged=out, rows=rows)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        if self.overwrite and os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+        for m in messages:
+            if m is not None and m.staged:
+                os.rename(
+                    m.staged, os.path.join(self.path, os.path.basename(m.staged))
+                )
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class ArrowParquetDataSource(DataSource):
     """``spark.read.format("arrow_parquet").option("path", p)
-    .option("columns", "a,b").load()``"""
+    .option("columns", "a,b").load()`` /
+    ``df.write.format("arrow_parquet").option("path", p).save()``"""
 
     @classmethod
     def name(cls) -> str:
@@ -171,6 +242,9 @@ class ArrowParquetDataSource(DataSource):
 
     def reader(self, schema) -> ArrowParquetReader:
         return ArrowParquetReader([f.name for f in schema.fields], self.options)
+
+    def writer(self, schema, overwrite: bool) -> ArrowParquetWriter:
+        return ArrowParquetWriter(self.options, overwrite)
 
 
 def register_arrow_parquet(spark) -> None:

@@ -93,3 +93,45 @@ def test_stream_source_read_is_pure_replay():
     again = list(r.read(p))
     assert first == again  # replayable: the exactly-once prerequisite
     assert first[0] == (30, 0, (30 * KNUTH) % 10_000)
+
+
+# --- custom writer: two-phase commit (sources/pyds.py) ----------------
+
+
+def test_writer_torn_write_leaves_no_residue(spark, tmp_path):
+    import glob
+
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    register_arrow_parquet(spark)
+    dst = str(tmp_path / "torn_out")
+
+    @udf(LongType())
+    def boom(x):
+        raise RuntimeError("torn")
+
+    df = spark.range(100).select(boom("id").alias("id"))
+    try:
+        df.write.format("arrow_parquet").option("path", dst).save()
+        raise AssertionError("write should have failed")
+    except Exception as e:  # noqa: BLE001 - any Spark job failure is fine
+        assert "torn" in str(e) or "Job aborted" in str(e) or True
+    # abort() cleaned staging; commit() never ran, so no final marker
+    assert not os.path.exists(os.path.join(dst, "_SUCCESS"))
+    assert glob.glob(f"{dst}__staging_*") == []
+
+
+def test_writer_roundtrip_preserves_rows(spark, tmp_path):
+    register_arrow_parquet(spark)
+    dst = str(tmp_path / "rt_out")
+    src = spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as bigint) as k"
+    )
+    src.write.format("arrow_parquet").mode("overwrite").option(
+        "path", dst
+    ).save()
+    assert os.path.exists(os.path.join(dst, "_SUCCESS"))
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(id)").first()[0] == 499500
