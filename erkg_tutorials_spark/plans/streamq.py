@@ -91,7 +91,6 @@ from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.streaming.events import (
     dedup_stream,
-    hourly_rollup_stream,
     read_events_stream,
 )
 from erkg_tutorials_spark.streaming.joins import attribution_stream
