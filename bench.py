@@ -154,6 +154,11 @@ HEADLINE = [
     "stream_hourly_rollup",
     "stream_attribution_pairs",
     "stream_sessionize_closed",
+    # round-6 batch 2: Spark-4-native surface + model-based quality
+    "variant_props_metrics",
+    "udtf_event_runlengths",
+    "quality_logistic_score",
+    "e3_pretrain_shards",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

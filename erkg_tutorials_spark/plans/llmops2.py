@@ -645,3 +645,146 @@ def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e3: the full pretraining-data decision chain in ONE lazy plan —
+# near-dup keep-best (MinHash clusters, canonical doc per cluster)
+# → model-based quality gate (frozen logistic logit >= 0)
+# → deterministic hash sharding with per-shard token accounting and
+#   an order-independent content fingerprint (bit_xor of md5-derived
+#   doc keys, so the manifest pins WHICH docs landed in each shard,
+#   not just how many).
+# Every stage reuses the already-oracled building block: the oracle
+# composes the same CTEs (textq.MINHASH_PAIRS_CTE, oracle_pr label
+# propagation, the textq logistic expression, shard_manifest's md5
+# assignment) — a user can swap any stage without touching the rest.
+# ---------------------------------------------------------------------------
+def _e3_oracle() -> str:
+    from erkg_tutorials_spark.plans.oracle_pr import cc_label_prop_sql
+    from erkg_tutorials_spark.plans.textq import MINHASH_PAIRS_CTE
+    from erkg_tutorials_spark.text.quality import (
+        QUALITY_LOGIT_WEIGHTS as W,
+        STOPWORDS_EN,
+    )
+
+    z_sql = (
+        f"{W['intercept']} + {W['ttr']} * ttr"
+        f" + {W['stopword_ratio']} * stopword_ratio"
+        f" + {W['avg_token_len']} * avg_token_len"
+        f" + {W['n_tokens_over_256']} * (n_tokens / 256.0)"
+    )
+    return (
+        MINHASH_PAIRS_CTE
+        + """,
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+"""
+        + cc_label_prop_sql(rounds=10)
+        + f""",
+    asg AS (
+      SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+      FROM documents d LEFT JOIN l10 l ON d.doc_id = l.id
+    ),
+    kept AS (
+      SELECT doc_id FROM asg
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                                 ORDER BY n_tok DESC, doc_id) = 1
+    ),
+    ktoks AS (
+      SELECT d.doc_id, unnest(string_split(lower(d.text), ' ')) AS tok
+      FROM documents d JOIN kept USING (doc_id)
+    ),
+    feats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             ROUND(COUNT(DISTINCT tok) / (1.0 * COUNT(*)), 6) AS ttr,
+             ROUND(SUM(CASE WHEN tok IN {STOPWORDS_EN!r} THEN 1 ELSE 0 END)
+                   / (1.0 * COUNT(*)), 6) AS stopword_ratio,
+             ROUND(SUM(LENGTH(tok)) / (1.0 * COUNT(*)), 6) AS avg_token_len
+      FROM ktoks GROUP BY doc_id
+    ),
+    survivors AS (
+      SELECT doc_id, n_tokens FROM feats WHERE ({z_sql}) >= 0.0
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+        CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {N_SHARDS} AS shard,
+        CAST(('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS dockey
+      FROM survivors
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(dockey) AS BIGINT) AS docset_fp
+    FROM sharded GROUP BY shard
+    """
+    )
+
+
+@register("e3_pretrain_shards", _e3_oracle())
+def e3_pretrain_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining-shard pipeline: MinHash keep-best near-dup
+    retention → frozen-weight logistic quality gate → md5 hash
+    sharding, returning one manifest row per shard
+    ``(shard, n_docs, n_tokens, docset_fp)``.
+
+    Scale notes (100 TB): one lazy plan end-to-end — the only
+    shuffles are the (memoized) MinHash band join, the CC fixpoint,
+    two bounded groupBys (cluster keep-best, per-doc features), and
+    the final N_SHARDS-row manifest agg. The quality gate and the
+    shard assignment are scan-side projections; the fingerprint is an
+    order-independent integer bit_xor, so no per-shard ordering is
+    ever materialized. Reference analogue: the tutorials' curate-then
+    -export loop (dagster_icij/assets.py asset chain), here as one
+    Catalyst plan instead of sequential materialized assets.
+    """
+    from erkg_tutorials_spark.dedup.clusters import dedup_assign
+    from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
+    from erkg_tutorials_spark.text.quality import logistic_quality
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+
+    pairs = minhash_pairs_cached(spark, sf_dir)
+    clusters = dedup_assign(docs.select("doc_id"), pairs).select("doc_id", "cluster")
+    with_tok = clusters.join(
+        docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+        ),
+        "doc_id",
+    )
+    wk = Window.partitionBy("cluster").orderBy(F.desc("n_tok"), "doc_id")
+    kept = (
+        with_tok.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == 1)
+        .select("doc_id")
+    )
+
+    scored = logistic_quality(docs.join(kept, "doc_id"), include_n_tokens=True)
+    survivors = scored.where("keep").select("doc_id", "n_tokens")
+
+    def _h(prefix: str) -> str:
+        return (
+            f"CAST(conv(substr(md5(concat('{prefix}:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+
+    sharded = survivors.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"{_h('shard')} % {N_SHARDS}").alias("shard"),
+        F.expr(_h("doc")).alias("dockey"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("bit_xor(dockey)").cast("long").alias("docset_fp"),
+    )

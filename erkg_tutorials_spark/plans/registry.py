@@ -20,6 +20,7 @@ from erkg_tutorials_spark.plans import (
     relational2,
     relational3,
     scale,
+    spark4q,
     streamq,
     temporal,
     textq,
@@ -31,6 +32,7 @@ _MODULES = (
     relational2,
     relational3,
     scale,
+    spark4q,
     lakeops,
     llmops,
     llmops2,

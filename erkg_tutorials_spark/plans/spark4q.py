@@ -1,0 +1,183 @@
+"""Spark-4-native surface tier: the engine exercises the two Spark 4
+extension APIs that the rest of the registry hasn't needed yet —
+
+* ``variant_props_metrics``: the semi-structured path. ``events.props``
+  is a JSON string column; instead of schema-on-write flattening
+  (``r2_json_flatten``'s ``from_json`` with a declared struct), this
+  query parses it into Spark 4's binary VARIANT type
+  (``parse_json``) and extracts typed fields with path expressions
+  (``try_variant_get``) — the schema-on-read route for payloads whose
+  shape drifts between producers. The reference's pipelines carry
+  exactly this kind of loosely-typed record payload
+  (``/root/reference/src/senzing.py`` JSONL records with optional
+  keys), resolved there by dict ``.get`` chains.
+* ``udtf_event_runlengths``: a Python user-defined TABLE function
+  (``@udtf``) doing per-row imperative expansion — run-length
+  encoding of each user's chronological event-type sequence. The
+  lateral UDTF is the table-valued sibling of the custom DataSource
+  (``sources/pyds.py``): the sanctioned extension point when one
+  input row must become a variable number of output rows under
+  logic that is genuinely iterative (a sequential scan carrying
+  run state), not a relational expression.
+
+Correctness: both queries carry full DuckDB oracles — the VARIANT
+extraction against DuckDB's JSON operators, the UDTF against the
+classic gaps-and-islands (row_number difference) SQL rewrite, which
+proves the imperative RLE agrees with the relational formulation.
+
+Scale notes (100 TB):
+- variant_props_metrics: ``parse_json``/``variant_get`` are JVM
+  expressions inside whole-stage codegen (no Python boundary, plan
+  gate pins it); the aggregate is one partial-agg shuffle keyed on
+  the low-cardinality event_type. VARIANT's binary encoding is
+  also the column format Spark writes to Parquet for open-ended
+  payloads, so at scale the parse cost is paid once at ingest, not
+  per query.
+- udtf_event_runlengths: the UDTF *is* a Python boundary — that is
+  the point of the showcase — but it is entered once per user-row
+  (not per event) after a single groupBy shuffle, with the
+  per-user sequence bounded by per-user event counts. The RLE
+  output is strictly smaller than its input sequence. For
+  SQL-expressible cases the native gaps-and-islands plan
+  (``events_gaps_islands``) remains the hot path; the UDTF route is
+  for logic that does not reduce to window functions.
+
+No reference-file citation for the APIs themselves (the reference has
+no table-function or variant concept); the payload semantics mirror
+``/root/reference/src/senzing.py:14-31`` optional-key handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "variant_props_metrics",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_distinct,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(SUM(CASE WHEN props->>'$.retries' IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS missing_retries
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metrics over the semi-structured ``props`` payload via
+    VARIANT: parse once, extract ``$.k`` as BIGINT, and count how many
+    rows lack an (absent-by-design) ``$.retries`` key —
+    ``try_variant_get`` returns NULL for missing paths instead of
+    failing, which is the drift-tolerant contract schema-on-read needs.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        F.try_variant_get(F.parse_json("props"), "$.retries", "bigint").alias("retries"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("k_sum"),
+        F.countDistinct("k").alias("k_distinct"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum(F.when(F.col("retries").isNull(), 1).otherwise(0)).alias("missing_retries"),
+    )
+
+
+# The UDTF itself: one eval() per user row, sequential scan over that
+# user's chronological event types, emitting (run_idx, type, length)
+# per maximal constant run. Registered lazily (once per SparkSession)
+# under a namespaced function name.
+_RLE_UDTF_NAME = "erkg_rle_runs"
+
+
+def _rle_udtf_class():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx int, event_type string, run_len bigint", useArrow=True)
+    class RleRuns:
+        def eval(self, types):
+            run_idx = 0
+            cur = None
+            cnt = 0
+            for t in list(types or []):
+                if t == cur:
+                    cnt += 1
+                    continue
+                if cnt:
+                    yield run_idx, cur, cnt
+                    run_idx += 1
+                cur, cnt = t, 1
+            if cnt:
+                yield run_idx, cur, cnt
+
+    return RleRuns
+
+
+@register(
+    "udtf_event_runlengths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rt
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, rn - rt AS grp,
+             MIN(rn) AS start_rn, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM seq GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_rn) - 1 AS INT)
+             AS run_idx,
+           event_type, run_len
+    FROM runs
+    """,
+)
+def udtf_event_runlengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence (ordered
+    by event_id) via a lateral Python UDTF; the oracle is the
+    equivalent relational gaps-and-islands rewrite, so the imperative
+    and declarative formulations are pinned equal.
+    """
+    spark.udtf.register(_RLE_UDTF_NAME, _rle_udtf_class())
+    ev = load_tables(spark, sf_dir)["events"]
+    seqs = (
+        ev.select("user_id", "event_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("types")
+        )
+    )
+    seqs.createOrReplaceTempView("spark4_rle_seqs")
+    return spark.sql(
+        f"""
+        SELECT s.user_id, r.run_idx, r.event_type, r.run_len
+        FROM spark4_rle_seqs s, LATERAL {_RLE_UDTF_NAME}(s.types) r
+        """
+    )

@@ -145,6 +145,43 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_logistic_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             ROUND(COUNT(DISTINCT tok) / (1.0 * COUNT(*)), 6) AS ttr,
+             ROUND(SUM(CASE WHEN tok IN {STOPWORDS_EN!r} THEN 1 ELSE 0 END) / (1.0 * COUNT(*)), 6) AS stopword_ratio,
+             ROUND(SUM(LENGTH(tok)) / (1.0 * COUNT(*)), 6) AS avg_token_len
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           -2.4375 + 2.0 * ttr + 8.0 * stopword_ratio
+                 + 0.25 * avg_token_len + -1.0 * (n_tokens / 256.0) AS quality_z,
+           (-2.4375 + 2.0 * ttr + 8.0 * stopword_ratio
+                 + 0.25 * avg_token_len + -1.0 * (n_tokens / 256.0)) >= 0.0 AS keep
+    FROM feats
+    """,
+)
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter with frozen in-repo coefficients
+    (the CCNet/fastText pattern, Wenzek et al. 2020 — public paper —
+    reduced to its inference step): a linear logit over the
+    ``text_quality`` features, evaluated entirely as a codegen'd SQL
+    expression. The oracle repeats the identical left-to-right float
+    accumulation, so the doubles match bit-for-bit (see
+    ``QUALITY_LOGIT_WEIGHTS``).
+    """
+    from erkg_tutorials_spark.text.quality import logistic_quality
+
+    t = load_tables(spark, sf_dir)
+    return logistic_quality(t["documents"])
+
+
+@register(
     "text_token_counts",
     """
     WITH toks AS (

@@ -46,6 +46,58 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+# Frozen linear quality-classifier weights (fastText/CCNet-style
+# "model-based quality filter", but with the trained coefficients
+# frozen in-repo so the scorer is hermetic and pure-SQL). Order
+# matters: z is accumulated left-to-right in exactly this order in
+# BOTH engines, so the double arithmetic is bit-identical (IEEE-754
+# + and * are deterministic; only re-association could diverge).
+# n_tokens is scaled by 1/256 (a power of two, so the division is
+# exact in binary64).
+QUALITY_LOGIT_WEIGHTS = {
+    "intercept": -2.4375,
+    "ttr": 2.0,
+    "stopword_ratio": 8.0,
+    "avg_token_len": 0.25,
+    "n_tokens_over_256": -1.0,
+}
+
+
+def logistic_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_n_tokens: bool = False,
+) -> DataFrame:
+    """Frozen-weight linear quality classifier over the
+    :func:`quality_scores` features: emits the logit ``quality_z``
+    (monotone in the keep-probability — the sigmoid is skipped so the
+    output stays bit-deterministic across engines) and the keep
+    verdict ``z >= 0``. The inference is a pure codegen'd expression:
+    the "model" runs at scan speed with no Python boundary.
+    """
+    w = QUALITY_LOGIT_WEIGHTS
+    feats = quality_scores(df, text_col, id_col)
+    z = (
+        F.lit(w["intercept"])
+        + F.lit(w["ttr"]) * F.col("ttr")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(w["n_tokens_over_256"]) * (F.col("n_tokens") / F.lit(256.0))
+    )
+    # quality_z is deliberately NOT rounded: the accumulation order
+    # makes the binary64 value itself engine-identical, while a
+    # 6dp ROUND would re-introduce divergence on half-boundary values
+    # (Spark rounds the shortest-decimal rendering HALF_UP; DuckDB
+    # rounds the binary expansion — they disagree on e.g. z=-0.1299165).
+    cols = [F.col(id_col), z.alias("quality_z"), (z >= F.lit(0.0)).alias("keep")]
+    if include_n_tokens:
+        # downstream packing/sharding needs the token count anyway;
+        # passing it through avoids a second tokenize+groupBy pass
+        cols.insert(1, F.col("n_tokens"))
+    return feats.select(*cols)
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate
     (ceil(len/4) per word — the classic ~4-chars-per-token rule)."""

@@ -178,3 +178,61 @@ class TestShardManifest:
 
         for m in re.finditer(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan):
             assert "shard" in m.group(1), plan
+
+
+class TestE3PretrainShards:
+    """Composition invariants for the e3 pipeline — conservation
+    against its own building blocks, which a shard-level hash match
+    alone would not explain."""
+
+    def test_conserves_stage_outputs(self, spark):
+        from erkg_tutorials_spark.plans.coverage2 import dedup_keep_best
+        from erkg_tutorials_spark.plans.llmops2 import e3_pretrain_shards
+        from erkg_tutorials_spark.text.quality import logistic_quality
+
+        manifest = e3_pretrain_shards(spark, SF_DIR).toPandas()
+        kept = dedup_keep_best(spark, SF_DIR).toPandas()["kept_doc_id"]
+        docs = load_tables(spark, SF_DIR)["documents"]
+        kept_df = spark.createDataFrame(
+            [(int(i),) for i in kept], "doc_id bigint"
+        )
+        scored = logistic_quality(
+            docs.join(kept_df, "doc_id"), include_n_tokens=True
+        ).toPandas()
+        survivors = scored[scored["keep"]]
+        assert manifest["n_docs"].sum() == len(survivors)
+        assert manifest["n_tokens"].sum() == survivors["n_tokens"].sum()
+
+    def test_shard_ids_in_range(self, spark):
+        from erkg_tutorials_spark.plans.llmops2 import N_SHARDS, e3_pretrain_shards
+
+        pdf = e3_pretrain_shards(spark, SF_DIR).toPandas()
+        assert pdf["shard"].between(0, N_SHARDS - 1).all()
+        assert pdf["shard"].is_unique
+
+    def test_fingerprint_is_order_independent_xor(self, spark):
+        """Recompute each shard's fp from per-doc keys in a different
+        order; xor must agree (the property that lets the manifest be
+        computed without any per-shard ordering)."""
+        from functools import reduce
+
+        from erkg_tutorials_spark.plans.llmops2 import N_SHARDS, e3_pretrain_shards
+        from erkg_tutorials_spark.plans.registry import ORACLES
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        manifest = e3_pretrain_shards(spark, SF_DIR).toPandas()
+        # per-doc keys from the oracle's own CTE chain, reversed order
+        sql = ORACLES["e3_pretrain_shards"]
+        inner = sql[: sql.rindex("SELECT shard")] + (
+            "SELECT shard, dockey FROM sharded ORDER BY dockey DESC"
+        )
+        per_doc = con.sql(inner).df()
+        for _, row in manifest.iterrows():
+            keys = per_doc[per_doc["shard"] == row["shard"]]["dockey"]
+            fp = reduce(lambda a, b: a ^ b, (int(k) for k in keys))
+            assert fp == int(row["docset_fp"])

@@ -74,6 +74,10 @@ class TestNoPythonInHotPath:
         # Misra-Gries candidate pass: bounded O(K) state per partition
         # is the point — a JVM groupBy would shuffle every distinct key.
         "heavy_hitters_users",
+        # Lateral Python UDTF showcase: the Python boundary IS the
+        # feature under test (ArrowEvalPythonUDTF), entered once per
+        # user-row after the groupBy, not per event.
+        "udtf_event_runlengths",
     }
 
     def test_no_row_at_a_time_python_anywhere(self, spark):
