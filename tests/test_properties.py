@@ -93,3 +93,36 @@ class TestMisraGriesProperty:
         for key, f in Counter(stream).items():
             if f * (k + 1) > n:
                 assert key in cands, (key, f, n, k)
+
+
+class TestRleUdtfProperties:
+    """The UDTF's eval is a pure function — property-test it directly
+    (no Spark session) against first-principles invariants and an
+    independent itertools.groupby reference."""
+
+    @staticmethod
+    def _rle(seq):
+        from erkg_tutorials_spark.plans.spark4q import _rle_udtf_class
+
+        cls = _rle_udtf_class().func  # unwrap the @udtf decorator
+        return list(cls().eval(seq))
+
+    @given(st.lists(st.sampled_from("abc"), max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_matches_groupby_reference(self, seq):
+        import itertools
+
+        expect = [
+            (i, k, len(list(g)))
+            for i, (k, g) in enumerate(itertools.groupby(seq))
+        ]
+        assert self._rle(seq) == expect
+
+    @given(st.lists(st.sampled_from("ab"), max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_reconstruction_roundtrip(self, seq):
+        out = self._rle(seq)
+        assert [t for _, t, n in out for _ in range(n)] == seq
+        # maximality: adjacent runs never share a type
+        types = [t for _, t, _ in out]
+        assert all(a != b for a, b in zip(types, types[1:]))

@@ -98,6 +98,28 @@ SHOWCASE = [
         "join touches surviving candidate pairs — no cartesian product "
         "anywhere in the plan.",
     ),
+    (
+        "variant_props_metrics",
+        "Spark 4 VARIANT path (r6): parse_json/try_variant_get are plain "
+        "Catalyst expressions — the whole extraction runs inside "
+        "WholeStageCodegen with no Python boundary; one partial-aggregated "
+        "exchange on the low-cardinality event_type key.",
+    ),
+    (
+        "udtf_event_runlengths",
+        "Lateral Python UDTF (r6): exactly one ArrowEvalPythonUDTF node, "
+        "entered once per user-row AFTER the collect_list groupBy — the "
+        "Python boundary sits above the single exchange, never on the "
+        "per-event path.",
+    ),
+    (
+        "e3_pretrain_shards",
+        "Composed pretraining pipeline (r6): keep-best near-dup, logistic "
+        "quality gate, and hash sharding fuse into ONE lazy plan — the "
+        "quality logit and shard keys are scan-side projections; the only "
+        "exchanges are the memoized MinHash band join, the cluster/feature "
+        "groupBys, and the 16-row manifest aggregation.",
+    ),
 ]
 
 
