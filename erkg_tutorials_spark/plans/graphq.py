@@ -1272,21 +1272,51 @@ def g_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             rawp.select(F.col("s").alias("src"), F.col("c").alias("dst"), "wcents")
         )
 
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
     wedges = memoized(spark, sf_dir, "trade_edges_weighted", build_edges)
     dist = spark.createDataFrame([(SSSP_SOURCE, 0)], "id string, cost long")
+    # Delta (frontier) relaxation: only vertices whose cost IMPROVED
+    # last round can propagate a new improvement, so each round
+    # relaxes the frontier's incident edges instead of every edge
+    # touching every settled vertex. Round-h distances are identical
+    # to full Bellman-Ford's (an unimproved u already pushed
+    # dist(u)+w at the round it last improved, and the min keeps it),
+    # so the unrolled oracle is unchanged. The win is the shuffle
+    # volume of the min-groupBy: |edges(frontier)| rows instead of
+    # |edges(settled)| — on this bipartite trade graph the frontier
+    # collapses after the reachable set saturates, and at 100 TB the
+    # late-round saving is the difference between touching the whole
+    # edge table H times and touching it ~twice.
+    chain_f, chain_d = CheckpointChain(), CheckpointChain()
+    frontier = dist
     for _ in range(SSSP_HOPS):
-        # broadcast the (<= |V|-row) distance table into the relax
-        # join so the edge table never shuffles; the min-groupBy is
-        # the round's only exchange. At a scale where dist outgrows
-        # broadcast, drop the hint and both sides co-shuffle on the
-        # vertex key — the plan stays one exchange per round per side.
-        relaxed = F.broadcast(dist).join(wedges, dist.id == wedges.src).select(
-            F.col("dst").alias("id"), (F.col("cost") + F.col("wcents")).alias("cost")
+        # broadcast the (<= |V|-row) frontier into the relax join so
+        # the edge table never shuffles; the min-groupBy is the
+        # round's only exchange. At a scale where the frontier
+        # outgrows broadcast, drop the hint and both sides co-shuffle
+        # on the vertex key — still one exchange per round per side.
+        relaxed = F.broadcast(frontier).join(
+            wedges, frontier.id == wedges.src
+        ).select(
+            F.col("dst").alias("id"),
+            (frontier.cost + F.col("wcents")).alias("cand_cost"),
         )
-        dist = (
-            dist.select("id", "cost")
-            .unionByName(relaxed)
-            .groupBy("id")
-            .agg(F.min("cost").alias("cost"))
+        cand = relaxed.groupBy("id").agg(F.min("cand_cost").alias("cand_cost"))
+        improved = (
+            cand.join(F.broadcast(dist), "id", "left_outer")
+            .where(F.col("cost").isNull() | (F.col("cand_cost") < F.col("cost")))
+            .select("id", F.col("cand_cost").alias("cost"))
         )
+        # eager tiny materializations: improved feeds BOTH the new
+        # dist and the next frontier — checkpointing stops Catalyst
+        # re-deriving the relax join per consumer, and the chains
+        # free round h-1's blocks as round h lands (pagerank pattern)
+        improved = chain_f(improved)
+        if improved.isEmpty():
+            break  # frontier drained — further rounds are no-ops
+        dist = chain_d(
+            dist.unionByName(improved).groupBy("id").agg(F.min("cost").alias("cost"))
+        )
+        frontier = improved
     return dist.select("id", (F.col("cost") / 100.0).alias("min_cost"))
