@@ -159,6 +159,7 @@ HEADLINE = [
     "udtf_event_runlengths",
     "quality_logistic_score",
     "e3_pretrain_shards",
+    "observe_query_metrics",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

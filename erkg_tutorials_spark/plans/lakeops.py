@@ -450,3 +450,70 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rule("lineitem_pk_unique", "n_dup", "n_all", dup))
         .unionByName(rule("lineitem_fk_orders", "n_orphan", "li_n", orphan_w))
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass pipeline observability: df.observe() / CollectMetrics.
+# Production DQ monitoring at 100 TB cannot afford dq_checks-style
+# dedicated scans per metric refresh; observe() piggybacks the metric
+# aggregates on the SAME pass that computes the query result (one
+# CollectMetrics node above the scan, zero extra jobs). The query
+# returns the per-flag rollup rows from the groupBy AND the 'ALL'
+# row from the OBSERVATION — so the oracle's GROUP BY ROLLUP hash
+# match proves the observed metrics equal the true totals, not just
+# that the API ran.
+# ---------------------------------------------------------------------------
+def _observed_pricing(spark: SparkSession, sf_dir: str):
+    """(per-flag aggregate DataFrame with an attached observation,
+    the Observation) — split out so plan tests can assert the
+    CollectMetrics node sits on the single scan."""
+    from pyspark.sql import Observation
+
+    li = load_tables(spark, sf_dir)["lineitem"].where(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    obs = Observation()
+    qty = F.sum(F.round("l_quantity", 0).cast("long"))
+    cents = F.sum(money_cents(F.col("l_extendedprice"), 100))
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        qty.alias("qty_sum"),
+        cents.alias("price_cents"),
+    )
+    per_flag = observed.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        qty.alias("qty_sum"),
+        cents.alias("price_cents"),
+    )
+    return per_flag, obs
+
+
+@register(
+    "observe_query_metrics",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty_sum,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY ROLLUP(l_returnflag)
+    """,
+)
+def observe_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag pricing rollup where the grand-total row comes
+    from the observation attached to the same single pass (exact
+    integer metrics: row count, integral quantity sum, price cents).
+    """
+    per_flag, obs = _observed_pricing(spark, sf_dir)
+    rows = per_flag.collect()  # the one pass: result rows + metrics
+    m = obs.get
+    data = [
+        (r["l_returnflag"], r["n_rows"], r["qty_sum"], r["price_cents"])
+        for r in rows
+    ]
+    data.append(("ALL", m["n_rows"], m["qty_sum"], m["price_cents"]))
+    return spark.createDataFrame(
+        data, "flag string, n_rows bigint, qty_sum bigint, price_cents bigint"
+    )

@@ -148,3 +148,20 @@ class TestTransformWithStateGate:
             pytest.skip("protobuf present — gate does not apply here")
         except ImportError:
             pass  # expected in this container; the gate is real
+
+
+class TestObserveMetrics:
+    def test_collect_metrics_on_single_scan(self, spark):
+        from erkg_tutorials_spark.plans.lakeops import _observed_pricing
+
+        per_flag, _ = _observed_pricing(spark, SF_DIR)
+        plan = plan_of(per_flag)
+        assert "CollectMetrics" in plan, plan
+        assert plan.count("Scan parquet") == 1, plan
+
+    def test_observed_total_equals_group_sums(self, spark):
+        pdf = QUERIES["observe_query_metrics"](spark, SF_DIR).toPandas()
+        all_row = pdf[pdf["flag"] == "ALL"].iloc[0]
+        groups = pdf[pdf["flag"] != "ALL"]
+        for c in ("n_rows", "qty_sum", "price_cents"):
+            assert all_row[c] == groups[c].sum()
