@@ -778,3 +778,66 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cost_cents") / 100.0).alias("supply_cost"),
         )
     )
+
+
+@register(
+    "setop_repeat_customers",
+    """
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def setop_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI set operations as first-class plan nodes: customers active
+    in BOTH 1996 and 1997 (INTERSECT, distinct semantics) minus those
+    with any finalized-'F' 1997 order (EXCEPT, distinct semantics).
+    (This testdata's orders span 1995..2001.)
+
+    Reference parity: the reference's id-set membership filters
+    (src/eda.py-style set intersections over Python sets) are the
+    driver for F4/F5; this query lifts the same set algebra to the
+    engine level where it survives data that no longer fits a driver
+    set.
+
+    Scale notes (100 TB):
+    - Year predicates are range filters on ``o_orderdate`` (not
+      ``year()`` calls), so they push to the parquet scan and prune
+      date-partitioned layouts.
+    - ``intersect``/``subtract`` compile to a distinct-aggregate plus
+      left-semi/left-anti hash joins on the lone ``c_custkey`` column:
+      map-side partial DISTINCT collapses each branch to unique
+      custkeys per partition BEFORE the single key shuffle, so the
+      shuffled volume is bounded by |customers|, not |orders|.
+    - All three branches scan only (o_custkey, o_orderdate,
+      o_orderstatus) — column pruning keeps the fact scan narrow.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= f"{year}-01-01")
+                & (F.col("o_orderdate") < f"{year + 1}-01-01")
+            )
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+
+    finalized_1997 = (
+        orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return active(1996).intersect(active(1997)).subtract(finalized_1997)

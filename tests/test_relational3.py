@@ -112,3 +112,36 @@ class TestPlanQuality:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSetOps:
+    def test_setop_plan_shape(self, spark):
+        """INTERSECT/EXCEPT must compile to semi/anti hash joins with the
+        date predicates pushed to the parquet scan — never a distinct
+        materialization of the fact followed by wide joins."""
+        from erkg_tutorials_spark.plans.relational3 import setop_repeat_customers
+
+        plan = (
+            setop_repeat_customers(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed range filter
+        assert "CartesianProduct" not in plan
+
+    def test_setop_distinct_semantics(self, spark):
+        """Result custkeys are unique (INTERSECT/EXCEPT are set ops, not
+        multiset), and every one has orders in both years."""
+        from erkg_tutorials_spark.plans.relational3 import setop_repeat_customers
+
+        df = setop_repeat_customers(spark, SF_DIR)
+        n = df.count()
+        assert df.distinct().count() == n
+        orders = load_tables(spark, SF_DIR)["orders"]
+        y96 = orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        ).select(F.col("o_custkey").alias("c_custkey"))
+        assert df.join(y96, "c_custkey", "left_anti").count() == 0
