@@ -160,6 +160,21 @@ HEADLINE = [
     "quality_logistic_score",
     "e3_pretrain_shards",
     "observe_query_metrics",
+    # round-7: the registry's three heaviest queries (39/21/7 s
+    # sweep-side at sf0.1 in r6) — tracked per-round with spreads so
+    # a regression in the peel loops / triangle join shows up here,
+    # not only in the end-of-round sweep (r6 VERDICT item 1)
+    "g_triangle_count",
+    "g_kcore",
+    "g_ktruss",
+    # round-7: the rest of the streaming tier (r6 VERDICT item 6 —
+    # the state-store partitioning fix is measured in SCALING.md but
+    # was only sweep-tracked; drain times now recorded per-round)
+    "stream_sliding_rollup",
+    "stream_dedup_union",
+    "stream_exactly_once_daily",
+    "stream_enrich_segments",
+    "stream_custom_source_rollup",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -180,6 +195,9 @@ GRAPH_QUERIES = (
     "g_clustering_coeff",
     "g_scc_nations",
     "g_weighted_sssp",
+    "g_triangle_count",
+    "g_kcore",
+    "g_ktruss",
 )
 
 

@@ -141,10 +141,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.query not in QUERIES:
         print(f"unknown query {args.query!r} (try: list)", file=sys.stderr)
         return 1
-    df = QUERIES[args.query](spark, args.sf_dir)
     if args.cmd == "explain":
-        df.explain("formatted")
+        # Plan-only: data-derived plan choices (the clustering hub
+        # probe) use their scale-safe default instead of launching a
+        # probe job, so `explain` is job-free on a cold session.
+        from erkg_tutorials_spark.plans.memo import plan_only
+
+        with plan_only():
+            df = QUERIES[args.query](spark, args.sf_dir)
+            df.explain("formatted")
     else:
+        df = QUERIES[args.query](spark, args.sf_dir)
         df.show(args.limit, truncate=False)
     return 0
 

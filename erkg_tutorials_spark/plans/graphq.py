@@ -901,10 +901,11 @@ def coorder_has_hubs_cached(
     most once per (session, sf_dir, cap); repeated
     ``g_clustering_coeff`` calls construct their plan job-free (r5
     VERDICT item 3 / ADVICE on eager actions during plan
-    construction). Note the FIRST invocation still runs one tiny Spark
-    job during plan construction — ``explain g_clustering_coeff`` on a
-    cold session is not job-free; this is the documented tradeoff for
-    picking the branch at plan time."""
+    construction). Under ``memo.plan_only()`` (the `explain` CLI
+    path), a COLD lookup skips the probe entirely and assumes hubs
+    (the branch that stays safe at 100× scale), so explain launches
+    zero jobs on a cold session (r6 VERDICT item 7); the first
+    EXECUTION still probes and memoizes the measured verdict."""
     from erkg_tutorials_spark.plans.memo import memoized_scalar
 
     return bool(
@@ -917,6 +918,7 @@ def coorder_has_hubs_cached(
             .limit(1)
             .count()
             > 0,
+            plan_only_default=True,
         )
     )
 

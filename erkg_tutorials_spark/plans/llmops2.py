@@ -664,16 +664,11 @@ def _e3_oracle() -> str:
     from erkg_tutorials_spark.plans.oracle_pr import cc_label_prop_sql
     from erkg_tutorials_spark.plans.textq import MINHASH_PAIRS_CTE
     from erkg_tutorials_spark.text.quality import (
-        QUALITY_LOGIT_WEIGHTS as W,
         STOPWORDS_EN,
+        quality_z_sql,
     )
 
-    z_sql = (
-        f"{W['intercept']} + {W['ttr']} * ttr"
-        f" + {W['stopword_ratio']} * stopword_ratio"
-        f" + {W['avg_token_len']} * avg_token_len"
-        f" + {W['n_tokens_over_256']} * (n_tokens / 256.0)"
-    )
+    z_sql = quality_z_sql()
     return (
         MINHASH_PAIRS_CTE
         + """,

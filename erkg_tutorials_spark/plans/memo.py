@@ -28,6 +28,7 @@ materialized view).
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,11 +103,44 @@ def install(
         return cached
 
 
+# Plan-only mode: under ``with plan_only():`` a cold memoized_scalar
+# lookup returns the caller's declared scale-safe default instead of
+# running its probe job, and does NOT memoize it — so `explain` on a
+# cold session launches zero jobs (r6 VERDICT item 7) while the next
+# actual execution still probes and picks the measured branch.
+# Thread-local so a concurrent bench thread is never affected.
+_PLAN_ONLY = threading.local()
+
+# Sentinel: "no plan-only default declared — always compute".
+_MUST_COMPUTE = object()
+
+
+@contextmanager
+def plan_only():
+    """Mark plan CONSTRUCTION (explain / dry-run): data-derived plan
+    choices whose verdict is not already memoized fall back to their
+    declared scale-safe default rather than probing. The explained
+    plan can therefore differ from the executed one on a cold session
+    (documented: explain shows the conservative branch); a session
+    that has run or loaded the index explains the measured branch."""
+    prev = getattr(_PLAN_ONLY, "active", False)
+    _PLAN_ONLY.active = True
+    try:
+        yield
+    finally:
+        _PLAN_ONLY.active = prev
+
+
+def is_plan_only() -> bool:
+    return bool(getattr(_PLAN_ONLY, "active", False))
+
+
 def memoized_scalar(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     compute: Callable[[], object],
+    plan_only_default: object = _MUST_COMPUTE,
 ) -> object:
     """Cached-per-(application, sf_dir) Python value, computed once.
 
@@ -118,12 +152,18 @@ def memoized_scalar(
     trigger the full adjacency build), so it runs OUTSIDE the global
     lock: holding _LOCK across a multi-second job would stall every
     concurrent memoized()/install() caller. Double-checked locking —
-    a racing duplicate wastes one probe job, never corrupts state."""
+    a racing duplicate wastes one probe job, never corrupts state.
+
+    ``plan_only_default``: the value to return (NOT memoize) when the
+    key is cold inside a ``plan_only()`` block — callers declare the
+    branch that stays safe at 100× scale."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     with _LOCK:
         _sweep(spark)
         if key in _SCALAR_MEMO:
             return _SCALAR_MEMO[key]
+    if plan_only_default is not _MUST_COMPUTE and is_plan_only():
+        return plan_only_default
     value = compute()
     with _LOCK:
         # first writer wins so every caller sees one consistent verdict

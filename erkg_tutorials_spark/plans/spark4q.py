@@ -9,8 +9,8 @@ extension APIs that the rest of the registry hasn't needed yet —
   (``try_variant_get``) — the schema-on-read route for payloads whose
   shape drifts between producers. The reference's pipelines carry
   exactly this kind of loosely-typed record payload
-  (``/root/reference/src/senzing.py`` JSONL records with optional
-  keys), resolved there by dict ``.get`` chains.
+  (``/root/reference/src/senzing_pipeline.py`` JSONL records with
+  optional keys), resolved there by dict ``.get`` chains.
 * ``udtf_event_runlengths``: a Python user-defined TABLE function
   (``@udtf``) doing per-row imperative expansion — run-length
   encoding of each user's chronological event-type sequence. The
@@ -44,7 +44,8 @@ Scale notes (100 TB):
 
 No reference-file citation for the APIs themselves (the reference has
 no table-function or variant concept); the payload semantics mirror
-``/root/reference/src/senzing.py:14-31`` optional-key handling.
+``/root/reference/src/senzing_pipeline.py:152-179`` optional-key
+handling.
 """
 
 from __future__ import annotations

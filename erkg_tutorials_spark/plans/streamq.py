@@ -112,7 +112,11 @@ def register(name: str, oracle: str | None):
 
 # Monotone suffix so repeated invocations in one session never collide
 # on the memory sink's temp-view name (the view outlives the query).
+# _LIVE_SINKS tracks the current view per base name so a re-drain can
+# evict the previous one — otherwise repeated bench/correctness runs
+# accumulate every drained result table on the driver indefinitely.
 _SINK_SEQ = itertools.count()
+_LIVE_SINKS: dict[str, str] = {}
 
 # Stateful operators create one state-store instance PER shuffle
 # partition per operator; each instance pays checkpoint/commit
@@ -153,6 +157,13 @@ def _drain(result: DataFrame, base: str, mode: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # Evict the PREVIOUS drain's sink for this base: the caller has
+    # already consumed it, and the memory sink pins its rows on the
+    # driver until the temp view is dropped.
+    stale = _LIVE_SINKS.get(base)
+    if stale is not None:
+        spark.catalog.dropTempView(stale)
+    _LIVE_SINKS[base] = name
     return spark.table(name)
 
 

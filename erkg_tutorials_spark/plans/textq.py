@@ -17,6 +17,7 @@ from erkg_tutorials_spark.text.quality import (
     fingerprints,
     language_id,
     quality_scores,
+    quality_z_sql,
     token_counts,
 )
 
@@ -159,10 +160,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks GROUP BY doc_id
     )
     SELECT doc_id,
-           -2.4375 + 2.0 * ttr + 8.0 * stopword_ratio
-                 + 0.25 * avg_token_len + -1.0 * (n_tokens / 256.0) AS quality_z,
-           (-2.4375 + 2.0 * ttr + 8.0 * stopword_ratio
-                 + 0.25 * avg_token_len + -1.0 * (n_tokens / 256.0)) >= 0.0 AS keep
+           {quality_z_sql()} AS quality_z,
+           ({quality_z_sql()}) >= 0.0 AS keep
     FROM feats
     """,
 )

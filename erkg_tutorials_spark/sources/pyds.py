@@ -61,9 +61,19 @@ _ARROW_TO_DDL = {
 
 
 def _ddl_for(path: str, columns: list[str] | None) -> str:
+    """Infer the DDL from the FIRST file — the uniform-schema
+    assumption every directory-of-parquet reader makes (files written
+    by one job share a schema). A mixed-schema directory surfaces as a
+    per-row-group read error, same as Spark's native reader without
+    ``mergeSchema``."""
     import pyarrow.parquet as pq
 
-    schema = pq.ParquetFile(_files(path)[0]).schema_arrow
+    files = _files(path)
+    if not files:
+        raise FileNotFoundError(
+            f"arrow_parquet: no *.parquet files under {path!r}"
+        )
+    schema = pq.ParquetFile(files[0]).schema_arrow
     names = columns or schema.names
     parts = []
     for n in names:
@@ -171,7 +181,11 @@ class ArrowParquetWriter(DataSourceArrowWriter):
     and returns it in the commit message; only the driver-side
     ``commit()`` (called when every task succeeded) renames staged
     files into the final directory and drops the ``_SUCCESS`` marker,
-    so readers never observe a torn write. ``abort()`` removes the
+    so readers never observe a torn write. Overwrite of a live table
+    commits as a full directory swap (old renamed aside → staging
+    renamed in → old deleted): a concurrent reader sees the old
+    complete table or the new one, at worst a transient ENOENT between
+    the two renames — never partial data. ``abort()`` removes the
     staging directory. This is the FileOutputCommitter protocol
     expressed through the Python DS API; on an object store the
     rename step becomes a multipart-complete/manifest swap."""
@@ -207,9 +221,23 @@ class ArrowParquetWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         import os
         import shutil
+        import uuid
 
         if self.overwrite and os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+            # Overwrite of a live table: assemble the COMPLETE new
+            # table (files + _SUCCESS) inside staging, then swap via
+            # two directory renames — old aside, staging in — and only
+            # then delete the old data. Each rename is atomic, so a
+            # concurrent reader sees the old complete table or the new
+            # one; the worst case between the renames is a transient
+            # ENOENT, never partial data with the old table destroyed.
+            os.makedirs(self.staging, exist_ok=True)  # all-empty write
+            open(os.path.join(self.staging, "_SUCCESS"), "w").close()
+            aside = f"{self.path}__old_{uuid.uuid4().hex[:12]}"
+            os.rename(self.path, aside)
+            os.rename(self.staging, self.path)
+            shutil.rmtree(aside)
+            return
         os.makedirs(self.path, exist_ok=True)
         for m in messages:
             if m is not None and m.staged:

@@ -20,7 +20,10 @@ API contract demonstrated:
 The emitted row is integer-deterministic so a SQL oracle can replay
 it exactly: ``id``, ``bucket = id % 10``, and
 ``cents = (id * 2654435761) % 10000`` (Knuth's multiplicative hash —
-BIGINT-exact in both engines; id < 2^32 keeps the product < 2^63).
+BIGINT-exact in both engines; id <= (2^63 - 1) // 2654435761
+≈ 3.47e9 keeps the product inside int64, and ``RangeStreamReader``
+validates the ``rows`` option against that bound so an ANSI-mode
+BIGINT replay of the cents formula can never overflow).
 """
 
 from __future__ import annotations
@@ -34,6 +37,9 @@ from pyspark.sql.datasource import (
 KNUTH = 2654435761
 DEFAULT_ROWS = 100_000
 DEFAULT_CHUNK = 12_500
+# Largest id whose cents product stays BIGINT-exact: beyond this,
+# id * KNUTH overflows int64 and any ANSI-mode SQL replay errors.
+MAX_ROWS = ((1 << 63) - 1) // KNUTH  # 3_473_400_270
 
 
 class RangePartition(InputPartition):
@@ -45,6 +51,11 @@ class RangePartition(InputPartition):
 class RangeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", DEFAULT_ROWS))
+        if self.rows > MAX_ROWS:
+            raise ValueError(
+                f"range_stream: rows={self.rows} exceeds {MAX_ROWS}; "
+                "larger ids overflow int64 in the cents formula"
+            )
         self.chunk = int(options.get("chunk", DEFAULT_CHUNK))
 
     def initialOffset(self) -> dict:

@@ -63,6 +63,29 @@ QUALITY_LOGIT_WEIGHTS = {
 }
 
 
+def quality_z_sql(
+    ttr: str = "ttr",
+    stopword_ratio: str = "stopword_ratio",
+    avg_token_len: str = "avg_token_len",
+    n_tokens: str = "n_tokens",
+) -> str:
+    """The logit expression as ANSI SQL, built from
+    ``QUALITY_LOGIT_WEIGHTS`` — the single source of truth shared by
+    every oracle that replays the scorer (``quality_logistic_score``
+    and the composed e3 pipeline), so a weight change can never
+    silently desync one replay from the plan. Term order matches
+    :func:`logistic_quality` exactly: binary64 ``+``/``*`` are
+    deterministic, so identical association ⇒ bit-identical doubles.
+    """
+    w = QUALITY_LOGIT_WEIGHTS
+    return (
+        f"{w['intercept']} + {w['ttr']} * {ttr}"
+        f" + {w['stopword_ratio']} * {stopword_ratio}"
+        f" + {w['avg_token_len']} * {avg_token_len}"
+        f" + {w['n_tokens_over_256']} * ({n_tokens} / 256.0)"
+    )
+
+
 def logistic_quality(
     df: DataFrame,
     text_col: str = "text",

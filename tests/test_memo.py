@@ -191,3 +191,87 @@ class TestScalarMemo:
 
         assert coorder_has_hubs_cached(spark, SF_DIR, deg_cap=1) is True
         memo.release(spark, sf_dir=SF_DIR, name="coorder_has_hubs_cap1")
+
+
+def test_plan_only_explain_is_job_free(spark):
+    """r6 VERDICT item 7: `explain g_clustering_coeff` on a COLD
+    session must launch zero Spark jobs — the hub probe's verdict
+    falls back to its scale-safe default (hybrid) under plan_only()
+    instead of probing. Verified via a job group: any job launched
+    from this thread during plan construction + explain would be
+    tagged and show up in the status tracker."""
+    import contextlib
+    import io
+
+    from erkg_tutorials_spark.plans.graphq import (
+        CLUSTERING_DEG_CAP,
+        g_clustering_coeff,
+    )
+
+    sc = spark.sparkContext
+    # Re-create the cold state: evict the memos this query consults.
+    for name in (
+        "part_coorder_edges",
+        "coorder_nbrs",
+        f"coorder_has_hubs_cap{CLUSTERING_DEG_CAP}",
+    ):
+        memo.release(spark, name=name)
+
+    sc.setJobGroup("plan_only_probe", "explain must be job-free")
+    try:
+        with memo.plan_only():
+            df = g_clustering_coeff(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+        jobs = sc.statusTracker().getJobIdsForGroup("plan_only_probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"explain launched jobs: {list(jobs)}"
+    # the conservative default picked the HYBRID branch: it unions
+    # per_edge_small with the routed wedge count before the halves
+    # union, so the plan carries one more Union than the lean branch
+    assert buf.getvalue().count("Union") >= 2
+    # the default was NOT memoized: the next non-plan-only call probes
+    # and lands the measured verdict (sf0.001 co-order graph: hubless)
+    from erkg_tutorials_spark.plans.graphq import coorder_has_hubs_cached
+
+    assert coorder_has_hubs_cached(spark, SF_DIR) is False
+
+
+def test_plan_only_uses_memoized_verdict_when_warm(spark):
+    """A session that already probed (or loaded the index) explains
+    the MEASURED branch, not the conservative default."""
+    from erkg_tutorials_spark.plans.graphq import (
+        CLUSTERING_DEG_CAP,
+        coorder_has_hubs_cached,
+    )
+
+    memo.install_scalar(
+        spark, SF_DIR, f"coorder_has_hubs_cap{CLUSTERING_DEG_CAP}", True
+    )
+    try:
+        with memo.plan_only():
+            assert coorder_has_hubs_cached(spark, SF_DIR) is True
+    finally:
+        memo.release(spark, name=f"coorder_has_hubs_cap{CLUSTERING_DEG_CAP}")
+
+
+def test_catalog_declared_schema_matches_inference(spark):
+    """The catalog declares each stable table's schema from a
+    driver-side pyarrow footer read (so no per-read inference job);
+    this pins that the declared schema is EXACTLY what Spark's own
+    inference would produce — any driver-side data regeneration that
+    drifts a schema fails here, loudly, not at 100 TB."""
+    import os
+
+    from erkg_tutorials_spark.catalog import TABLES, _local_footer_schema
+
+    for t in TABLES:
+        if t == "events":  # dual-encoded across rounds; stays inferred
+            continue
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        declared = _local_footer_schema(spark, path)
+        assert declared is not None, t
+        inferred = spark.read.parquet(path).schema
+        assert declared == inferred, f"{t}: {declared} != {inferred}"
