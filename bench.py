@@ -160,6 +160,11 @@ HEADLINE = [
     "quality_logistic_score",
     "e3_pretrain_shards",
     "observe_query_metrics",
+    # round-7: the composed E3 entity-linking lifecycle (one lazy
+    # plan: ruler mentions -> fuzzy candidates -> cosine
+    # disambiguation -> top-30 phrase review), benched alongside the
+    # composed E1 pipeline (r6 VERDICT item 2)
+    "e3_entity_linking",
     # round-7: the registry's three heaviest queries (39/21/7 s
     # sweep-side at sf0.1 in r6) — tracked per-round with spreads so
     # a regression in the peel loops / triangle join shows up here,

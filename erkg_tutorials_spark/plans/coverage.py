@@ -622,7 +622,11 @@ def v3_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank on both sides so a last-ulp summation difference can never
 # flip the cut.
 # ---------------------------------------------------------------------------
-def _textrank_oracle() -> str:
+def textrank_top30_cte() -> str:
+    """The full textrank WITH-chain through ``top30`` (doc_id, phrase,
+    rank, count — top 30 per doc) — shared verbatim by the standalone
+    ``g5_textrank_phrases`` oracle and the composed E3 entity-linking
+    oracle (plans/linkingq.py), so the two can never drift."""
     from erkg_tutorials_spark.plans.oracle_pr import pagerank_iterations_sql
 
     return (
@@ -662,14 +666,22 @@ def _textrank_oracle() -> str:
                ORDER BY ROUND(p.rank, 6) DESC, p.id ASC
              ) AS rn
       FROM pr6 p JOIN counts c ON p.doc_id = c.doc_id AND p.id = c.phrase
-    )
-    SELECT doc_id, phrase, rank, count FROM joined WHERE rn <= 30
-    """
+    ),
+    top30 AS (SELECT doc_id, phrase, rank, count FROM joined WHERE rn <= 30)"""
     )
 
 
-@register("g5_textrank_phrases", _textrank_oracle())
-def g5_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _textrank_oracle() -> str:
+    return (
+        textrank_top30_cte()
+        + "\n    SELECT doc_id, phrase, rank, count FROM top30\n    "
+    )
+
+
+def textrank_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 textrank phrases per doc (doc_id < 30) — the Spark twin
+    of :func:`textrank_top30_cte`, shared by ``g5_textrank_phrases``
+    and the composed E3 lifecycle (plans/linkingq.py)."""
     from erkg_tutorials_spark.text.textrank import textrank_phrases
 
     t = load_tables(spark, sf_dir)
@@ -685,6 +697,11 @@ def g5_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= 30)
         .select("doc_id", "phrase", "rank", "count")
     )
+
+
+@register("g5_textrank_phrases", _textrank_oracle())
+def g5_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textrank_top30(spark, sf_dir)
 
 
 EMB_DUP_THRESHOLD = 0.3

@@ -1,0 +1,288 @@
+"""E3 — the reference's composed entity-linking lifecycle as ONE lazy
+plan, oracle-gated end-to-end (r6 VERDICT item 2).
+
+Reference pipeline (``/root/reference/dagster_icij/assets.py:111-137``
++ ``/root/reference/src/analysis.py:7-37``): load KB entities/aliases →
+``nlp = NER ∘ ann_linker ∘ textrank`` over the doc corpus →
+``analyse_el_docs``: top-30 phrases per doc, the distinct
+(mention text, kb_id) pairs inside each phrase, and the review filter
+on unlinked mentions (``kb_id == ""``).
+
+Spark composition — every stage is an ALREADY-ORACLED registry
+operator, chained lazily with no intermediate action:
+
+1. **N3 mentions** — dictionary matches with dominance overlap
+   resolution (``phrase_ruler_match`` semantics, same RULER_PATTERNS)
+   over the same ``doc_id < 30`` corpus slice the textrank stage uses.
+2. **V2 candidates** — distinct mention surface forms fuzzy-matched
+   against the KB alias table by char-3-gram Jaccard ≥ V2_THRESHOLD
+   (``v2_alias_candidates`` semantics). Surface forms with zero
+   candidates are the UNLINKED mentions.
+3. **V4 prior + V3/W4 disambiguation** — uniform prior over each
+   surface form's candidate set; score = cosine(document context
+   embedding, entity embedding) with the same JVM fold
+   ``v3_disambiguate`` pinned against ``list_dot_product``; argmax
+   per (doc, mention) ordered (score DESC, prior DESC, kb_id).
+4. **G5/W1 phrases** — top-30 textrank phrases per doc, byte-shared
+   with ``g5_textrank_phrases`` (``coverage.textrank_top30`` /
+   ``textrank_top30_cte``).
+5. **A3/R1/F6 review** — phrases joined to the mentions they contain
+   (phrase token ∈ mention tokens), distinct rows, ``kb_id = ''`` for
+   unlinked and ``to_review`` flagging them. The reference's
+   ``entities_to_review`` is exactly ``WHERE to_review``; keeping the
+   linked rows too puts the WHOLE chain (candidates + disambiguation,
+   not just the linked/unlinked verdict) under the value-hash oracle.
+
+Scale notes (100 TB): the dictionary match and n-gram candidate join
+shuffle on gram keys (selective, bounded by pattern/KB size — the KB
+side broadcasts); disambiguation joins shuffle on doc_id/kb_id longs;
+the phrase join's per-doc fan-in is ≤ 30 × mentions-per-doc. The one
+iterative stage (textrank's 6 PageRank rounds) checkpoint-chains like
+``g5_pagerank_top20``. No stage collects; the composed plan is a
+single DAG so Spark reuses the mention scan across the candidate and
+review branches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+from erkg_tutorials_spark.linking.candidates import char_ngrams
+from erkg_tutorials_spark.linking.embed import cosine
+from erkg_tutorials_spark.text.phrase_match import match_phrases
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+E3_DOC_BOUND = 30  # same corpus slice as g5_textrank_phrases
+
+# Inline KB (the lifecycle's entities.jsonl/aliases.jsonl stand-in —
+# the reference loads these as an external input, assets.py:119-124):
+# (kb_id, kb_alias, vec_ref). vec_ref points each entity at its
+# embedding row; 100+ keeps them disjoint from the doc context ids.
+E3_KB = (
+    ("k1", "table scan", 100),
+    ("k2", "table scans", 101),
+    ("k3", "hash joins", 102),
+    ("k4", "sort merge", 103),
+    ("k5", "merge sort", 104),
+    ("k6", "scan table merge", 105),
+)
+
+
+def _e3_linking_oracle() -> str:
+    from erkg_tutorials_spark.plans.coverage import (
+        V2_THRESHOLD,
+        textrank_top30_cte,
+    )
+    from erkg_tutorials_spark.plans.textq import RULER_PATTERNS
+
+    pat_vals = ", ".join(f"('{l}', '{p}', '{i}')" for l, p, i in RULER_PATTERNS)
+    kb_vals = ", ".join(f"('{k}', '{a}', {v})" for k, a, v in E3_KB)
+    # 1/2/3-token grams with positions, over the textrank chain's
+    # already-lowered-and-split `docs` CTE (same corpus, zero drift)
+    grams = "\nUNION ALL\n".join(
+        f"""
+        SELECT doc_id, i AS start, {n} AS len,
+               concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(n))}) AS gram
+        FROM docs CROSS JOIN unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t{n}(i)
+        """
+        for n in (1, 2, 3)
+    )
+    return (
+        textrank_top30_cte()
+        + f""",
+    rpat(label, pattern, id) AS (VALUES {pat_vals}),
+    rgrams AS ({grams}),
+    rm AS MATERIALIZED (
+      SELECT g.doc_id, g.start, g.len, g.gram
+      FROM rgrams g JOIN rpat p ON g.gram = lower(p.pattern)
+    ),
+    ments AS MATERIALIZED (
+      SELECT doc_id, start, len, gram AS alias FROM rm m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rm b
+        WHERE b.doc_id = m.doc_id
+          AND b.start < m.start + m.len AND m.start < b.start + b.len
+          AND (b.len > m.len OR (b.len = m.len AND b.start < m.start))
+      )
+    ),
+    surf AS (SELECT DISTINCT alias FROM ments),
+    kb(kb_id, kb_alias, vec_ref) AS (VALUES {kb_vals}),
+    mgr AS (
+      SELECT DISTINCT alias, substring(p, i, 3) AS gram
+      FROM (SELECT alias, '^' || lower(trim(alias)) || '$' AS p FROM surf)
+      CROSS JOIN unnest(generate_series(1, greatest(length(p) - 2, 1))) AS tm(i)
+      WHERE length(substring(p, i, 3)) > 0
+    ),
+    agr AS (
+      SELECT DISTINCT kb_id, substring(p, i, 3) AS gram
+      FROM (SELECT kb_id, '^' || lower(trim(kb_alias)) || '$' AS p FROM kb)
+      CROSS JOIN unnest(generate_series(1, greatest(length(p) - 2, 1))) AS ta(i)
+      WHERE length(substring(p, i, 3)) > 0
+    ),
+    szm AS (SELECT alias, COUNT(*) AS n_m FROM mgr GROUP BY alias),
+    sza AS (SELECT kb_id, COUNT(*) AS n_a FROM agr GROUP BY kb_id),
+    inter AS (
+      SELECT mgr.alias, agr.kb_id, COUNT(*) AS n_i
+      FROM mgr JOIN agr ON mgr.gram = agr.gram
+      GROUP BY mgr.alias, agr.kb_id
+    ),
+    cand0 AS (
+      SELECT i.alias, i.kb_id,
+             ROUND(n_i / (1.0 * (n_m + n_a - n_i)), 6) AS jaccard
+      FROM inter i JOIN szm USING (alias) JOIN sza USING (kb_id)
+      WHERE ROUND(n_i / (1.0 * (n_m + n_a - n_i)), 6) >= {V2_THRESHOLD}
+    ),
+    cand AS (
+      SELECT *, ROUND(1.0 / COUNT(*) OVER (PARTITION BY alias), 6) AS prior
+      FROM cand0
+    ),
+    occ AS (SELECT DISTINCT doc_id, alias FROM ments),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+      SELECT o.doc_id, o.alias, c.kb_id, c.prior,
+             list_dot_product(mv.emb, ev.emb)
+               / (sqrt(list_dot_product(mv.emb, mv.emb))
+                  * sqrt(list_dot_product(ev.emb, ev.emb))) AS score
+      FROM occ o
+      JOIN cand c USING (alias)
+      JOIN kb k ON c.kb_id = k.kb_id
+      JOIN v mv ON mv.vec_id = o.doc_id
+      JOIN v ev ON ev.vec_id = k.vec_ref
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id, alias ORDER BY score DESC, prior DESC, kb_id
+      ) AS rn FROM scored
+    ),
+    links AS (SELECT doc_id, alias, kb_id, score FROM ranked WHERE rn = 1),
+    resolved AS (
+      SELECT o.doc_id, o.alias,
+             COALESCE(l.kb_id, '') AS kb_id,
+             ROUND(l.score, 6) AS score
+      FROM occ o LEFT JOIN links l ON o.doc_id = l.doc_id AND o.alias = l.alias
+    )
+    SELECT DISTINCT t.doc_id, t.phrase, t.rank, t.count,
+           r.alias AS mention, r.kb_id, r.score,
+           (r.kb_id = '') AS to_review
+    FROM top30 t JOIN resolved r ON t.doc_id = r.doc_id
+      AND list_contains(string_split(r.alias, ' '), t.phrase)
+    """
+    )
+
+
+@register("e3_entity_linking", _e3_linking_oracle())
+def e3_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed E3 entity-linking lifecycle in one lazy plan: ruler
+    mentions → fuzzy KB candidates → cosine disambiguation → top-30
+    phrase review with unlinked-mention flags (see module docstring).
+    """
+    from erkg_tutorials_spark.plans.coverage import (
+        V2_THRESHOLD,
+        textrank_top30,
+    )
+    from erkg_tutorials_spark.plans.textq import RULER_PATTERNS
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < E3_DOC_BOUND).select(
+        "doc_id", "text"
+    )
+
+    # 1) N3 — ruler mentions with dominance overlap resolution
+    patterns = spark.createDataFrame(
+        list(RULER_PATTERNS), ["label", "pattern", "id"]
+    )
+    mentions = match_phrases(docs, patterns)
+
+    # 2) V2 — fuzzy candidates for each distinct surface form
+    surfaces = mentions.select("alias").distinct()
+    kb = spark.createDataFrame(list(E3_KB), ["kb_id", "kb_alias", "vec_ref"])
+    mg = char_ngrams(surfaces, "alias", "alias")
+    ag = char_ngrams(kb.select("kb_id", "kb_alias"), "kb_alias", "kb_id")
+    szm = mg.groupBy("id").agg(F.count("*").alias("n_m"))
+    sza = ag.groupBy("id").agg(F.count("*").alias("n_a"))
+    inter = (
+        mg.select(F.col("id").alias("alias"), "gram")
+        .join(F.broadcast(ag.select(F.col("id").alias("kb_id"), "gram")), "gram")
+        .groupBy("alias", "kb_id")
+        .agg(F.count("*").alias("n_i"))
+    )
+    jac = F.round(
+        F.col("n_i") / (F.col("n_m") + F.col("n_a") - F.col("n_i")), 6
+    )
+    cand = (
+        inter.join(szm.withColumnRenamed("id", "alias"), "alias")
+        .join(F.broadcast(sza.withColumnRenamed("id", "kb_id")), "kb_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= V2_THRESHOLD)
+        .select("alias", "kb_id", "jaccard")
+    )
+    # 3) V4 prior (uniform over the surface form's candidate set)
+    cand = cand.withColumn(
+        "prior",
+        F.round(F.lit(1.0) / F.count("*").over(Window.partitionBy("alias")), 6),
+    )
+
+    # V3/W4 — cosine(context, entity) scoring + argmax per mention
+    occ = mentions.select("doc_id", "alias").distinct()
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scored = (
+        occ.join(cand, "alias")
+        .join(F.broadcast(kb.select("kb_id", "vec_ref")), "kb_id")
+        .join(emb.select(F.col("vec_id").alias("doc_id"), F.col("emb").alias("mvec")), "doc_id")
+        .join(
+            F.broadcast(
+                emb.select(F.col("vec_id").alias("vec_ref"), F.col("emb").alias("evec"))
+            ),
+            "vec_ref",
+        )
+        .withColumn("score", cosine("mvec", "evec"))
+    )
+    wA = Window.partitionBy("doc_id", "alias").orderBy(
+        F.desc("score"), F.desc("prior"), F.asc("kb_id")
+    )
+    links = (
+        scored.withColumn("_rn", F.row_number().over(wA))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "alias", "kb_id", "score")
+    )
+    resolved = occ.join(links, ["doc_id", "alias"], "left").select(
+        "doc_id",
+        "alias",
+        F.coalesce("kb_id", F.lit("")).alias("kb_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+    # 4+5) W1 top-30 phrases ⋈ the mentions they contain → review rows
+    phrases = textrank_top30(spark, sf_dir)
+    return (
+        phrases.join(resolved, "doc_id")
+        .where(F.array_contains(F.split(F.col("alias"), " "), F.col("phrase")))
+        .select(
+            "doc_id",
+            "phrase",
+            "rank",
+            "count",
+            F.col("alias").alias("mention"),
+            "kb_id",
+            "score",
+            (F.col("kb_id") == "").alias("to_review"),
+        )
+        .distinct()
+    )

@@ -13,6 +13,7 @@ from erkg_tutorials_spark.plans import (
     eventsq,
     graphq,
     lakeops,
+    linkingq,
     llmops,
     llmops2,
     ragops,
@@ -38,6 +39,7 @@ _MODULES = (
     llmops2,
     ragops,
     graphq,
+    linkingq,
     textq,
     vectorq,
     eventsq,
