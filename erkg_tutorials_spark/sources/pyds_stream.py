@@ -15,7 +15,14 @@ API contract demonstrated:
 * ``read(partition)`` — rows are a pure function of the row index, so
   any replay of any partition yields identical data (the property
   exactly-once delivery needs from a source).
-* ``commit(end)`` — no-op here; a real queue source would ack/trim.
+* ``commit(end)`` — no-op by default; with ``ack_dir`` set the
+  committed high-water mark is persisted (atomic tmp+rename), the
+  ack/trim a real queue source performs. Combined with
+  ``max_batch_rows`` (per-micro-batch cap on ``latestOffset``) this
+  gives genuinely multi-batch drains whose progress survives a
+  kill-mid-drain: a restarted query replays at most the one planned-
+  but-uncommitted batch from Spark's offset log, then resumes from
+  the acked floor — see tests/test_pyds.py restart tests.
 
 The emitted row is integer-deterministic so a SQL oracle can replay
 it exactly: ``id``, ``bucket = id % 10``, and
@@ -57,17 +64,68 @@ class RangeStreamReader(DataSourceStreamReader):
                 "larger ids overflow int64 in the cents formula"
             )
         self.chunk = int(options.get("chunk", DEFAULT_CHUNK))
+        # Rate-capped + ack-persisted mode (restart-safe multi-batch):
+        # max_batch_rows caps how far latestOffset advances past the
+        # last COMMITTED offset; ack_dir persists that committed
+        # floor so a fresh reader instance (query restart) resumes
+        # ratcheting from durable state instead of 0. The pairing is
+        # mandatory: a capped ratchet that restarts from 0 would hand
+        # Spark a latestOffset BELOW the checkpointed start offset.
+        self.max_batch_rows = int(options.get("max_batch_rows", 0))
+        self.ack_dir = options.get("ack_dir")
+        if self.max_batch_rows and not self.ack_dir:
+            raise ValueError(
+                "range_stream: max_batch_rows requires ack_dir — "
+                "without a persisted ack floor a restarted reader "
+                "would regress latestOffset below the checkpoint"
+            )
+        # Highest offset this reader INSTANCE has planned a batch up
+        # to (partitions() ratchets it). Spark defers commit() until
+        # the next batch is constructed, so the committed floor alone
+        # would deadlock a rate-capped drain at one batch; planning
+        # progress is what latestOffset must advance from within a
+        # run, with the durable ack as the cross-restart floor.
+        self._planned = 0
+
+    def _ack_path(self) -> str:
+        import os
+
+        return os.path.join(self.ack_dir, "ack")
+
+    def _acked(self) -> int:
+        """The durably committed high-water mark (0 if never acked).
+        Read fresh on every call — the value must be visible to a
+        reader instance created after a crash/restart."""
+        import os
+
+        if not self.ack_dir or not os.path.exists(self._ack_path()):
+            return 0
+        with open(self._ack_path()) as fh:
+            return int(fh.read().strip() or 0)
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
     def latestOffset(self) -> dict:
-        # A fixed backlog: AvailableNow drains [0, rows) and stops. A
-        # live source would return its current high-water mark here.
+        # Default: a fixed backlog — AvailableNow drains [0, rows) in
+        # one batch and stops. With max_batch_rows, advance at most
+        # one cap past the durable ack floor; Spark replays any
+        # planned-but-uncommitted batch from its own offset log
+        # FIRST (via partitions(start, end), not this method), then
+        # commit() raises the floor, so this never regresses below
+        # the checkpointed start.
+        if self.max_batch_rows:
+            floor = max(self._planned, self._acked())
+            return {"row": min(self.rows, floor + self.max_batch_rows)}
         return {"row": self.rows}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["row"]), int(end["row"])
+        # Ratchet planning progress — on restart, the replay of the
+        # planned-but-uncommitted batch from Spark's offset log lands
+        # here BEFORE any latestOffset call, re-seeding the in-memory
+        # floor past the checkpointed frontier.
+        self._planned = max(self._planned, hi)
         return [
             RangePartition(i, min(i + self.chunk, hi))
             for i in range(lo, hi, self.chunk)
@@ -78,7 +136,19 @@ class RangeStreamReader(DataSourceStreamReader):
             yield (i, i % 10, (i * KNUTH) % 10_000)
 
     def commit(self, end: dict) -> None:
-        pass
+        # Ack/trim: persist the committed high-water mark atomically
+        # (tmp + rename) so a post-crash reader resumes ratcheting
+        # from durable state. Floors monotone: a replayed commit of
+        # an already-acked batch never moves the mark backwards.
+        if self.ack_dir:
+            import os
+
+            os.makedirs(self.ack_dir, exist_ok=True)
+            mark = max(int(end["row"]), self._acked())
+            tmp = self._ack_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(mark))
+            os.rename(tmp, self._ack_path())
 
 
 class RangeStreamDataSource(DataSource):

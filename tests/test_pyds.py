@@ -135,3 +135,100 @@ def test_writer_roundtrip_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 1000
     assert back.selectExpr("sum(id)").first()[0] == 499500
+
+
+# --- restart-from-checkpoint (r6 VERDICT item 5) ----------------------
+#
+# The property a real feed needs: Spark's checkpoint carries the
+# committed offset across query restarts, so a second run of the same
+# query (new reader INSTANCE) resumes at the old run's high-water mark
+# instead of re-emitting from initialOffset. Verified end-to-end
+# through a parquet file sink: duplicates from a broken handoff would
+# arrive as NEW batch ids and land in the sink, breaking the
+# exactly-one-of-each-id assertions.
+
+
+def _drain_range_stream(spark, rows, ckpt, out, **opts):
+    from erkg_tutorials_spark.sources.pyds_stream import register_range_stream
+
+    register_range_stream(spark)
+    reader = spark.readStream.format("range_stream").option("rows", rows)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def test_stream_restart_resumes_after_source_growth(spark, tmp_path):
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _drain_range_stream(spark, 500, ckpt, out)
+    first = spark.read.parquet(out)
+    assert first.count() == 500
+    # Source grows between runs; restart from the SAME checkpoint must
+    # hand initialOffset/latestOffset off so only [500, 1000) is read.
+    _drain_range_stream(spark, 1000, ckpt, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("id").distinct().count() == 1000
+    assert back.selectExpr("cast(sum(id) as bigint)").first()[0] == 499_500
+
+
+def test_stream_kill_mid_drain_restart_is_exactly_once(spark, tmp_path):
+    import time
+
+    from erkg_tutorials_spark.sources.pyds_stream import (
+        register_range_stream,
+    )
+
+    register_range_stream(spark)
+    ckpt, out = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    ack_dir = str(tmp_path / "ack")
+    # Run 1: rate-capped multi-batch drain (100 rows/batch of 1000),
+    # killed as soon as at least one batch has COMMITTED — mid-drain
+    # by construction, with a planned-but-uncommitted batch likely in
+    # the offset log.
+    q = (
+        spark.readStream.format("range_stream")
+        .option("rows", 1000)
+        .option("chunk", 50)
+        .option("max_batch_rows", 100)
+        .option("ack_dir", ack_dir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    ack = os.path.join(ack_dir, "ack")
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if os.path.exists(ack) and int(open(ack).read() or 0) >= 100:
+            break
+        time.sleep(0.05)
+    q.stop()
+    acked_at_kill = int(open(ack).read())
+    assert 100 <= acked_at_kill  # at least one committed batch
+    # Restart uncapped from the same checkpoint. Observed Spark 4.1
+    # behavior: an AvailableNow restart that finds a planned-but-
+    # uncommitted batch in the offset log REPLAYS that batch, commits
+    # it, and terminates without constructing new ones; the next
+    # clean-state run drains everything remaining in one batch. Loop
+    # until drained — the end state is what exactly-once promises:
+    # one of each id, committed prefix not re-emitted, the replayed
+    # batch deduped by the file sink's batch-id log.
+    for _ in range(5):
+        _drain_range_stream(spark, 1000, ckpt, out)
+        if spark.read.parquet(out).count() >= 1000:
+            break
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("id").distinct().count() == 1000
+    assert back.selectExpr("cast(sum(id) as bigint)").first()[0] == 499_500
