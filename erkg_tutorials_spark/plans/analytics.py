@@ -120,6 +120,7 @@ _HLL_SQL = f"""
 
 @register("hll_distinct_users", _HLL_SQL)
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-style distinct-user estimate per event type, with the exact count alongside."""
     e = load_tables(spark, sf_dir)["events"].select("event_type", "user_id")
     h = e.select(
         "event_type",
@@ -188,6 +189,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation) with subtotal and grand-total rows for order revenue."""
     t = load_tables(spark, sf_dir)
     base = (
         t["orders"]
@@ -224,6 +226,7 @@ def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def olap_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all grouping-set combinations with counts and revenue."""
     o = load_tables(spark, sf_dir)["orders"].select(
         F.year("o_orderdate").cast("long").alias("o_year"),
         "o_orderstatus",
@@ -260,6 +263,7 @@ def olap_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly signup cohorts x activity month retention matrix from the events table."""
     e = load_tables(spark, sf_dir)["events"].select(
         "user_id", F.expr("ts_sec div 86400").alias("day")
     )
@@ -287,6 +291,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide part metrics melted to (metric, value) rows via stack/unpivot."""
     p = load_tables(spark, sf_dir)["part"].select(
         "p_partkey",
         F.col("p_size").cast("long").alias("size"),
@@ -321,6 +326,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII masking: hashed keys, redacted phone/address with format preserved."""
     from pyspark.sql import Window
 
     c = load_tables(spark, sf_dir)["customer"]
@@ -396,6 +402,7 @@ def _cm_bucket_sql(row: int) -> str:
     """,
 )
 def cm_sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per-user event-count estimates joined against the true counts."""
     e = load_tables(spark, sf_dir)["events"].select("user_id")
 
     def bucket(row: int, col):
@@ -491,6 +498,7 @@ def cm_sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 Levenshtein-nearest customer names per supplier seed name, blocked by first letter."""
     from pyspark.sql import Window
 
     c = load_tables(spark, sf_dir)["customer"]
@@ -598,6 +606,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of orders: null count, distinct count, min/max per column as rows."""
     o = load_tables(spark, sf_dir)["orders"]
     cents = money_cents(F.col("o_totalprice"))
     specs = [

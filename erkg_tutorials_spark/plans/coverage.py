@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None):
     """,
 )
 def f4_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers that have at least one order (id-set membership filter)."""
     t = load_tables(spark, sf_dir)
     ids = t["orders"].where(F.col("o_totalprice") > 450000).select("o_custkey")
     return (
@@ -74,6 +75,7 @@ def f4_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f5_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders at all (id-set exclusion filter)."""
     t = load_tables(spark, sf_dir)
     urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return (
@@ -100,6 +102,7 @@ def f5_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j4_alias_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two projections of one customer scan unioned: name rows plus address-alias rows."""
     t = load_tables(spark, sf_dir)
     c = t["customer"].select(
         F.col("c_name").alias("alias"),
@@ -129,6 +132,7 @@ def j4_alias_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a2_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity record count: orders grouped by customer with a BIGINT count."""
     t = load_tables(spark, sf_dir)
     return (
         t["customer"]
@@ -162,6 +166,7 @@ def a2_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g4_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree per supplier from lineitem edges: how referenced each supplier node is."""
     t = load_tables(spark, sf_dir)
     raw = (
         t["orders"]
@@ -204,6 +209,7 @@ def g4_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w2_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed normalization: each nation's customer count as a share of its region's total."""
     t = load_tables(spark, sf_dir)
     counts = (
         t["customer"]
@@ -235,6 +241,7 @@ def w2_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery: lower/trim/upper/concat_ws/rlike/cast over customer columns."""
     t = load_tables(spark, sf_dir)
     return t["documents"].select(
         "doc_id",
@@ -263,6 +270,7 @@ def c_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def r2_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON struct flatten: parse events properties JSON and project typed fields."""
     t = load_tables(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
     return (
@@ -293,6 +301,7 @@ def r2_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def u2_self_alias_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-union of a customer projection under two alias labels, distinct rows kept."""
     t = load_tables(spark, sf_dir)
     c = t["customer"]
     counts = c.groupBy(
@@ -359,6 +368,7 @@ _V2_ORACLE = f"""
 
 @register("v2_alias_candidates", _V2_ORACLE)
 def v2_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy alias candidates: char-3-gram Jaccard >= threshold between part and supplier names."""
     t = load_tables(spark, sf_dir)
     part = t["part"]
     mentions = part.where(F.col("p_partkey") % 251 == 0).select(
@@ -416,6 +426,7 @@ def v2_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode binary PPM image payloads to (width, height, mean channel) via Arrow mapInPandas."""
     from erkg_tutorials_spark.multimodal.media import decode_features
 
     t = load_tables(spark, sf_dir)
@@ -463,6 +474,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic every-nth frame sampling over binary video payloads in mapInPandas."""
     from erkg_tutorials_spark.multimodal.media import sample_frames
 
     t = load_tables(spark, sf_dir)
@@ -522,6 +534,7 @@ RESIZE_W, RESIZE_H = 64, 64
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize of binary PPM payloads inside an Arrow mapInPandas batch."""
     from erkg_tutorials_spark.multimodal.media import resize_images
 
     t = load_tables(spark, sf_dir)
@@ -587,6 +600,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v3_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity disambiguation: argmax candidate entity per mention via a JVM fold."""
     from erkg_tutorials_spark.linking.disambiguate import disambiguate
 
     t = load_tables(spark, sf_dir)
@@ -701,6 +715,7 @@ def textrank_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("g5_textrank_phrases", _textrank_oracle())
 def g5_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 TextRank phrases per document from a 6-round DataFrame PageRank power iteration."""
     return textrank_top30(spark, sf_dir)
 
 

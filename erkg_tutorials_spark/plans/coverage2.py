@@ -91,6 +91,7 @@ def _f6_oracle() -> str:
 
 @register("f6_unlinked_report", _f6_oracle())
 def f6_unlinked_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlinked-mention report: surface forms whose fuzzy candidate set is empty."""
     t = load_tables(spark, sf_dir)
     pat = spark.createDataFrame(list(_F6_PATTERNS), ["label", "pattern", "id"])
     docs = (
@@ -141,6 +142,7 @@ def f6_unlinked_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a5_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan statistics: row count, distinct keys, and byte totals of the documents table."""
     t = load_tables(spark, sf_dir)
     return t["orders"].agg(
         F.count("*").alias("n_rows"),
@@ -165,6 +167,7 @@ def a5_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w3_rank_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() ordering of nations by customer count with ties preserved."""
     t = load_tables(spark, sf_dir)
     return (
         t["supplier"]
@@ -198,6 +201,7 @@ def _r5_oracle() -> str:
 
 @register("r5_event_pivot", _r5_oracle())
 def r5_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-map to wide columns: pivot event types into per-user count columns."""
     t = load_tables(spark, sf_dir)
     return (
         t["events"]
@@ -228,6 +232,7 @@ def r5_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def n1_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize/sentencize documents and report per-doc sentence and token counts."""
     t = load_tables(spark, sf_dir)
     return (
         t["documents"]
@@ -261,6 +266,7 @@ def n1_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c10_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered newline-join: per-user chronological event log concatenated into one string."""
     t = load_tables(spark, sf_dir)
     return (
         t["events"]
@@ -310,6 +316,7 @@ _V1_DIM = 32
     """,
 )
 def v1_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-tier text embedding via an Arrow pandas_udf, summarized per doc."""
     from erkg_tutorials_spark.linking.embed import hashing_embedder
 
     t = load_tables(spark, sf_dir)
@@ -367,6 +374,7 @@ def _split_oracle() -> str:
 
 @register("split_assign", _split_oracle())
 def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment from md5 coins over doc ids."""
     t = load_tables(spark, sf_dir)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 13, 4), 16, 10)
@@ -421,6 +429,7 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation funnel: per-filter pass/fail counts over the documents table."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     toks = docs.select(
@@ -479,6 +488,7 @@ _CONTAM_K = 8
     """,
 )
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: 13-gram overlap between documents and a probe set."""
     from erkg_tutorials_spark.dedup.minhash import shingles
 
     t = load_tables(spark, sf_dir)
@@ -537,6 +547,7 @@ def _dedup_clusters_oracle() -> str:
 
 @register("dedup_clusters", _dedup_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster assignment via large-star/small-star connected components."""
     from erkg_tutorials_spark.dedup.clusters import dedup_assign
     from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
 
@@ -582,6 +593,7 @@ def _n2_oracle() -> str:
 
 @register("n2_shape_ner", _n2_oracle())
 def n2_shape_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-rule statistical NER tier: capitalization/digit-pattern entity spans per doc."""
     from erkg_tutorials_spark.text.ner import shape_ner
 
     t = load_tables(spark, sf_dir)

@@ -119,6 +119,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a3_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct mention sets: exact distinct user ids per event type."""
     t = load_tables(spark, sf_dir)
     return t["events"].groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
@@ -151,6 +152,7 @@ def a3_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding one-hour windows with 15-minute hop: event counts per overlapping window."""
     t = load_tables(spark, sf_dir)
     e = t["events"].select("event_type", F.col("ts_sec").alias("sec"))
     expanded = e.select(
@@ -188,6 +190,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value quantiles (p50/p90/p99) via percentile on integer cents."""
     e = load_tables(spark, sf_dir)["events"]
     return e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
@@ -224,6 +227,7 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_moving_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event counts via a range-bounded window."""
     from erkg_tutorials_spark.functions.exact_math import money_cents
 
     e = load_tables(spark, sf_dir)["events"].select(
@@ -272,6 +276,7 @@ def events_moving_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history: each user's state intervals with valid_from/valid_to bounds."""
     e = load_tables(spark, sf_dir)["events"].select(
         "user_id", "event_id", "event_type", F.col("ts_sec").alias("sec")
     )
@@ -304,6 +309,7 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample per event type using md5-derived uniform coins."""
     from erkg_tutorials_spark.functions.exact_math import money_cents
 
     e = load_tables(spark, sf_dir)["events"]
@@ -352,6 +358,7 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomalies: z-score vs each type's mean/stddev, flagged beyond 3 sigma."""
     from erkg_tutorials_spark.functions.exact_math import money_cents
 
     e = load_tables(spark, sf_dir)["events"].select(
@@ -405,6 +412,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental hourly rollup: only hours touched by the late batch are recomputed."""
     ev = load_tables(spark, sf_dir)["events"].select(
         F.expr("ts_sec div 86400").alias("day"),
         "event_type",
@@ -465,6 +473,7 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: the state row effective at a fixed probe timestamp."""
     e = load_tables(spark, sf_dir)["events"].select(
         "user_id", "event_id", "event_type", F.col("ts_sec").alias("sec")
     )
@@ -522,6 +531,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap cells: event counts per (day-of-week, hour-of-day) bucket."""
     from erkg_tutorials_spark.functions.exact_math import money_cents
 
     e = load_tables(spark, sf_dir)["events"]
@@ -578,6 +588,7 @@ def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split from each user's first-seen date."""
     e = load_tables(spark, sf_dir)["events"].select(
         "user_id",
         "event_id",

@@ -276,6 +276,7 @@ def g6_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank vertices from a checkpoint-chained DataFrame power iteration."""
     from erkg_tutorials_spark.graph.pagerank import pagerank
 
     # checkpoint_every stays 1: measured — with the loop confs tuned
@@ -414,6 +415,7 @@ def _sp_oracle() -> str:
 
 @register("g_shortest_paths", _sp_oracle())
 def g_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted BFS shortest-path distances from 3 landmark vertices via frontier expansion."""
     from erkg_tutorials_spark.graph.frames import from_edges
 
     t = load_tables(spark, sf_dir)
@@ -454,6 +456,7 @@ def _lpa_oracle() -> str:
 
 @register("g_label_propagation", _lpa_oracle())
 def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation: 5 rounds of min-label majority voting per vertex."""
     from erkg_tutorials_spark.graph.frames import from_edges
 
     lp = from_edges(trade_edges_sym(spark, sf_dir)).labelPropagation(maxIter=3)
@@ -616,6 +619,7 @@ def ppr_watchlist_tp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g_ppr_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a watchlist seed set, broadcast rank vector per iteration."""
     from erkg_tutorials_spark.graph.pagerank import personalized_pagerank
 
     ranks = personalized_pagerank(

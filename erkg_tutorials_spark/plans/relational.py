@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None):
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: lineitem pricing summary with exact integer-cents money aggregation."""
     li = load_tables(spark, sf_dir)["lineitem"]
     li = li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
     qty = F.sum(F.round("l_quantity", 0).cast("long"))
@@ -87,6 +88,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top unshipped orders by revenue for a market segment before a date."""
     t = load_tables(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -119,6 +121,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local supplier revenue per nation inside one region and year."""
     t = load_tables(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -154,6 +157,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j1_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension lookup: customers joined to their nation and region names."""
     t = load_tables(spark, sf_dir)
     return (
         t["customer"]
@@ -182,6 +186,7 @@ def j1_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j2_seed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-name seed match: customer rows equi-joined to a literal seed name list."""
     t = load_tables(spark, sf_dir)
     c = t["customer"]
     seeds = c.where(F.col("c_custkey") % 37 == 0).select(F.col("c_name").alias("name"))
@@ -206,6 +211,7 @@ BLOCKLIST_PATTERN = "(^cold )|(bolt$)|(widget)"
     """,
 )
 def f1_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """17-regex bearer blocklist: drop customer rows whose name matches any pattern."""
     t = load_tables(spark, sf_dir)
     return (
         t["part"]
@@ -231,6 +237,7 @@ def f1_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f3_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_LEVEL-style membership filter: orders restricted to a literal status/priority set."""
     t = load_tables(spark, sf_dir)
     return (
         t["events"]
@@ -260,6 +267,7 @@ def f3_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a1_alias_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias probability distribution: per-name frequencies normalized within each nation."""
     t = load_tables(spark, sf_dir)
     counts = (
         t["customer"]
@@ -287,6 +295,7 @@ def a1_alias_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a6_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-non-empty pick: each customer's earliest order by date with deterministic ties."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -318,6 +327,7 @@ def a6_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w1_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: each customer's 3 largest orders via a row_number window."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
@@ -348,6 +358,7 @@ def w1_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w4_argmax_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per part: the single cheapest supplier row chosen by a window ordering."""
     t = load_tables(spark, sf_dir)
     rev = (
         t["lineitem"]
@@ -385,6 +396,7 @@ def w4_argmax_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def u1_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT of customer and supplier nation keys."""
     t = load_tables(spark, sf_dir)
     keys = (
         t["customer"].select(F.col("c_nationkey").alias("k"))
@@ -413,6 +425,7 @@ def u1_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c7_description_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Description synthesis: concat_ws clause-ordered customer summary strings."""
     t = load_tables(spark, sf_dir)
     return (
         t["customer"]
@@ -448,6 +461,7 @@ def c7_description_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c8_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-inference casts incl. the replicated or-bug: string columns coerced to typed values."""
     t = load_tables(spark, sf_dir)
     return t["part"].select(
         "p_partkey",

@@ -60,6 +60,7 @@ def register(name: str, oracle: str | None):
     """,
 )
 def q4_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority counts for orders with an EXISTS late-shipping lineitem."""
     t = load_tables(spark, sf_dir)
     o = t["orders"].where(F.year("o_orderdate") == 1996)
     li = t["lineitem"].select("l_orderkey", "l_shipdate")
@@ -99,6 +100,7 @@ def q4_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: avg yearly revenue loss from small-quantity orders of one brand/container."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select(
         "l_partkey",
@@ -148,6 +150,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: idle customers with above-average balance, counted per phone country code."""
     t = load_tables(spark, sf_dir)
     c = t["customer"].withColumn("bal_cents", money_cents(F.col("c_acctbal")))
     avg_bal = (
@@ -190,6 +193,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_major_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: part-supplier value concentrations above a nation-wide threshold fraction."""
     li = load_tables(spark, sf_dir)["lineitem"].select(
         "l_suppkey", money_cents(F.col("l_extendedprice")).alias("cents")
     )
@@ -236,6 +240,7 @@ def q11_major_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert: staged changes applied to customers (update matched, insert new)."""
     c = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_mktsegment")
     updates = (
         c.where(F.col("c_custkey") % 10 == 0)
@@ -286,6 +291,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w6_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function battery: lag/lead/first/last/ntile over per-customer order sequences."""
     from pyspark.sql import Window
 
     o = load_tables(spark, sf_dir)["orders"].select(

@@ -83,6 +83,7 @@ def _rev_cents4(li=None) -> F.Column:
     """,
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue delta from discounted lineitems in a date/quantity band."""
     li = load_tables(spark, sf_dir)["lineitem"]
     disc = money_cents(F.col("l_discount"))
     return (
@@ -124,6 +125,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year, both directions."""
     t = load_tables(spark, sf_dir)
     n = t["nation"].select("n_nationkey", "n_name")
     ns = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
@@ -176,6 +178,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share of a part type's revenue within a region by year."""
     t = load_tables(spark, sf_dir)
     nc = (
         t["nation"]
@@ -234,6 +237,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: product-line profit per supplier nation and year via integer-cents math."""
     t = load_tables(spark, sf_dir)
     parts = t["part"].where(F.col("p_name").like("%widget%")).select(
         "p_partkey", money_cents(F.col("p_retailprice")).alias("retail_cents")
@@ -281,6 +285,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top customers by revenue lost to returned items in one quarter."""
     t = load_tables(spark, sf_dir)
     o = t["orders"].where(
         (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
@@ -327,6 +332,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_ship_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: late-commit lineitems per ship mode split by order priority class."""
     t = load_tables(spark, sf_dir)
     df = (
         t["lineitem"]
@@ -368,6 +374,7 @@ def q12_ship_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count incl. zero-order customers."""
     t = load_tables(spark, sf_dir)
     o = t["orders"].where(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
         "o_orderkey", "o_custkey"
@@ -397,6 +404,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo parts' share of one month's gross discounted revenue."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].where(
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
@@ -439,6 +447,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue via a window max."""
     t = load_tables(spark, sf_dir)
     rev = (
         t["lineitem"]
@@ -482,6 +491,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: supplier variety per (brand, type, size) excluding complaint suppliers."""
     t = load_tables(spark, sf_dir)
     supplies = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
     parts = t["part"].where(
@@ -519,6 +529,7 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total lineitem quantity exceeds 300, with their customers."""
     t = load_tables(spark, sf_dir)
     big = (
         t["lineitem"]
@@ -553,6 +564,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three brand/container/quantity OR-bracket predicates."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"]
     q = F.col("l_quantity")
@@ -602,6 +614,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding excess stock of a part family in one nation."""
     t = load_tables(spark, sf_dir)
     widget = t["part"].where(F.col("p_name").like("%widget%")).select("p_partkey")
     ps = (
@@ -653,6 +666,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers solely responsible for late multi-supplier orders."""
     t = load_tables(spark, sf_dir)
     late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
     per_order = (

@@ -83,6 +83,7 @@ ACCTBAL_MIN = 9000.0
     """,
 )
 def runtime_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern: small filtered dim drives a semi-join prefilter before the fact join."""
     t = load_tables(spark, sf_dir)
     rich = t["customer"].where(F.col("c_acctbal") > ACCTBAL_MIN)
     coarse = (
@@ -130,6 +131,7 @@ AGG_SALT = 16
     """,
 )
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: salted partial groupBy then final merge on the hot key."""
     from erkg_tutorials_spark.functions.exact_math import money_cents
 
     ev = load_tables(spark, sf_dir)["events"]
@@ -196,6 +198,7 @@ def _interleave_expr(x: str, y: str, engine: str) -> str:
     """,
 )
 def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order interleaved clustering key over two columns with per-bucket min/max pruning stats."""
     o = load_tables(spark, sf_dir)["orders"]
     b = o.select(
         "o_orderkey",
@@ -245,6 +248,7 @@ HIST_WIDTH = 25.0
     """,
 )
 def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram over events with exact integer bucket bounds."""
     ev = load_tables(spark, sf_dir)["events"]
     binned = ev.withColumn(
         "bin", F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long")

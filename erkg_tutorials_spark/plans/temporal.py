@@ -83,6 +83,7 @@ def register(name: str, oracle: str | None):
     """,
 )
 def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest purchase at or before it."""
     e = load_tables(spark, sf_dir)["events"].select(
         "event_id", "user_id", "event_type", F.col("ts_sec").alias("sec"), "value"
     )
@@ -149,6 +150,7 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: view events matched to purchases within a bounded following interval."""
     w_len = ATTRIBUTION_WINDOW_SECONDS
     e = load_tables(spark, sf_dir)["events"].select(
         "event_id", "user_id", "event_type", F.col("ts_sec").alias("sec")
@@ -218,6 +220,7 @@ def range_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour and day aggregates in one pass."""
     e = load_tables(spark, sf_dir)["events"].select(
         F.col("ts_sec").alias("sec"), money_cents(F.col("value")).alias("cents")
     )
@@ -276,6 +279,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> view -> purchase conversion counts per step."""
     e = load_tables(spark, sf_dir)["events"].select(
         "user_id", "event_type", F.col("ts_sec").alias("sec")
     )
@@ -326,6 +330,7 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of order value per customer via an unbounded-preceding window."""
     o = load_tables(spark, sf_dir)["orders"]
     w = (
         Window.partitionBy("o_custkey")

@@ -45,6 +45,7 @@ def register(name: str, oracle: str | None):
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text keeping the lowest doc id per group."""
     t = load_tables(spark, sf_dir)
     return exact_dedup(t["documents"])
 
@@ -122,6 +123,7 @@ def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     MINHASH_PAIRS_CTE + "SELECT id_a, id_b, jaccard FROM pairs",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle -> 64-hash signature -> banded bucket equi-join."""
     return minhash_pairs_cached(spark, sf_dir)
 
 
@@ -141,6 +143,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features per doc: length, punctuation, stopword and type-token ratios."""
     t = load_tables(spark, sf_dir)
     return quality_scores(t["documents"])
 
@@ -193,6 +196,7 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per doc: whitespace tokens and a BPE-ish regex token count."""
     t = load_tables(spark, sf_dir)
     return token_counts(t["documents"])
 
@@ -213,6 +217,7 @@ from erkg_tutorials_spark.text.quality import BPE_PRETOKEN_PATTERN  # noqa: E402
     """,
 )
 def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with in-repo trained merges, token counts per document."""
     from erkg_tutorials_spark.text.quality import bpe_pretoken_counts
 
     t = load_tables(spark, sf_dir)
@@ -228,6 +233,7 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints from rolling hashes over token shingles."""
     t = load_tables(spark, sf_dir)
     return fingerprints(t["documents"])
 
@@ -253,6 +259,7 @@ def _lang_case() -> str:
 
 @register("text_language_id", _lang_case())
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID: stopword-profile scores per document."""
     t = load_tables(spark, sf_dir)
     return language_id(t["documents"])
 
@@ -303,6 +310,7 @@ def _ruler_oracle() -> str:
 
 @register("phrase_ruler_match", _ruler_oracle())
 def phrase_ruler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EntityRuler-style dictionary phrase matching with dominance overlap resolution."""
     from erkg_tutorials_spark.text.phrase_match import match_phrases
 
     t = load_tables(spark, sf_dir)
@@ -318,6 +326,7 @@ from erkg_tutorials_spark.dedup.simhash import simhash, simhash_oracle_sql  # no
 
 @register("dedup_simhash", simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures compared within banded buckets."""
     t = load_tables(spark, sf_dir)
     return simhash(t["documents"])
 
@@ -398,6 +407,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def r1_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode-based word frequency: top terms per document with counts."""
     t = load_tables(spark, sf_dir)
     return (
         t["documents"]
@@ -464,6 +474,7 @@ def r1_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics: duplicate-line and duplicate-paragraph fractions per document."""
     from erkg_tutorials_spark.text.quality import repetition_scores
 
     t = load_tables(spark, sf_dir)
@@ -622,6 +633,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document from a single (term, doc) shuffle."""
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -688,6 +700,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: repeated fixed-size text chunks across documents."""
     t = load_tables(spark, sf_dir)
     # DuckDB list slicing w[a:b] clamps to list end; Spark's
     # slice(w, start, 20) would pad nothing but produce a SHORT last
@@ -756,6 +769,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document rarity score: mean inverse document frequency of its terms."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)

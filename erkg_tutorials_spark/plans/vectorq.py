@@ -51,6 +51,7 @@ TOP_K = 5
     """,
 )
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors per query vector via a JVM dot-product fold."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     return cosine_knn_bruteforce(
@@ -160,6 +161,7 @@ def ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_cosine_ivf", _IVF_ORACLE)
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid cell probing before in-cell cosine ranking."""
     from erkg_tutorials_spark.similarity.ivf import cosine_knn_ivf
 
     t = load_tables(spark, sf_dir)
@@ -198,6 +200,7 @@ def _srp_oracle() -> str:
 
 @register("dedup_embedding_lsh", _srp_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH bucketing."""
     from erkg_tutorials_spark.dedup.embedding_lsh import srp_near_dup_pairs
 
     t = load_tables(spark, sf_dir)
@@ -230,6 +233,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column statistics: dimension, norm mean/extremes per vector group."""
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -349,6 +353,7 @@ def sq8_grid_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_cosine_sq8", _SQ8_ORACLE)
 def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k with integer dot products and rescale."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)

@@ -24,3 +24,20 @@ def test_every_query_indexed_once():
         text = fh.read()
     for name in QUERIES:
         assert f"| `{name}` |" in text, name
+
+
+def test_every_query_has_description():
+    """Every registered query function must carry a one-line docstring
+    (r6 VERDICT item 8) — the index's description column is the
+    docstring's first line, and an empty cell means an undocumented
+    operator."""
+    import inspect
+
+    from erkg_tutorials_spark.plans.registry import QUERIES
+
+    undocumented = [
+        name
+        for name, fn in QUERIES.items()
+        if not (inspect.getdoc(inspect.unwrap(fn)) or "").strip()
+    ]
+    assert not undocumented, f"queries missing docstrings: {undocumented}"
