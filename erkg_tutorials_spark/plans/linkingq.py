@@ -286,3 +286,157 @@ def e3_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage — the scoring model
+# behind the reference's Senzing entity-resolution surface
+# (/root/reference/src/senzing_pipeline.py loads Senzing match
+# results; FS is the published model that produces such MATCH_LEVEL
+# verdicts: Fellegi & Sunter 1969, "A Theory for Record Linkage").
+#
+# Pipeline shape at 100 TB: blocking keys bound the candidate pair
+# space (never an all-pairs join); each comparison vector γ is a cheap
+# JVM-side expression; the match weight is a SUM OF LITERAL
+# log-likelihood ratios ln(m/u), picked per field by agree/disagree —
+# a scan-side projection after one blocked equi-join. Classification
+# is a threshold cut, so the whole scorer is one shuffle.
+# ---------------------------------------------------------------------------
+
+# Frozen ln(m/u) / ln((1-m)/(1-u)) weights per field (m = P(agree |
+# match), u = P(agree | non-match)). Literal doubles shared verbatim
+# by the Spark plan and the DuckDB oracle so the 3-term sum is
+# bit-identical in both engines.
+FS_WEIGHTS = {
+    # field: (agreement weight, disagreement weight)
+    "ent_num": (4.5, -2.2),  # entity-number edit distance <= 1
+    "acctbal": (2.8, -1.1),  # balance within $100
+    "balsign": (0.7, -0.9),  # balance sign agreement
+}
+FS_LINK_T = 5.0  # score >= -> 'link'
+FS_POSSIBLE_T = 1.0  # score >= -> 'possible' (else 'nonlink')
+FS_BLOCK_MOD = 20  # blocking: (nationkey, ent_num % FS_BLOCK_MOD)
+
+
+def _fs_oracle() -> str:
+    (w1a, w1d), (w2a, w2d), (w3a, w3d) = (
+        FS_WEIGHTS["ent_num"],
+        FS_WEIGHTS["acctbal"],
+        FS_WEIGHTS["balsign"],
+    )
+    return f"""
+    WITH a AS (
+      SELECT c_custkey,
+             substring(c_name, position('#' IN c_name) + 1, 9) AS num,
+             c_nationkey AS nk,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer
+    ),
+    b AS (
+      SELECT s_suppkey,
+             substring(s_name, position('#' IN s_name) + 1, 9) AS num,
+             s_nationkey AS nk,
+             CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM supplier
+    ),
+    pairs AS (
+      SELECT a.c_custkey, b.s_suppkey,
+             CASE WHEN levenshtein(a.num, b.num) <= 1 THEN 1 ELSE 0 END AS g_ent,
+             CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 1 ELSE 0 END AS g_bal,
+             CASE WHEN (a.cents >= 0) = (b.cents >= 0) THEN 1 ELSE 0 END AS g_sign
+      FROM a JOIN b
+        ON a.nk = b.nk
+       AND CAST(a.num AS BIGINT) % {FS_BLOCK_MOD} = CAST(b.num AS BIGINT) % {FS_BLOCK_MOD}
+    ),
+    scored AS (
+      SELECT c_custkey, s_suppkey, g_ent, g_bal, g_sign,
+             ROUND((CASE WHEN g_ent = 1 THEN {w1a!r} ELSE {w1d!r} END)
+                 + (CASE WHEN g_bal = 1 THEN {w2a!r} ELSE {w2d!r} END)
+                 + (CASE WHEN g_sign = 1 THEN {w3a!r} ELSE {w3d!r} END), 6) AS score
+      FROM pairs
+    )
+    SELECT c_custkey, s_suppkey,
+           CAST(g_ent AS BIGINT) AS g_ent,
+           CAST(g_bal AS BIGINT) AS g_bal,
+           CAST(g_sign AS BIGINT) AS g_sign,
+           score,
+           CASE WHEN score >= {FS_LINK_T!r} THEN 'link'
+                WHEN score >= {FS_POSSIBLE_T!r} THEN 'possible'
+                ELSE 'nonlink' END AS match_class
+    FROM scored
+    """
+
+
+@register("fs_record_linkage", _fs_oracle())
+def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage: blocked customer-supplier pairs scored by literal ln(m/u) field weights and threshold-classified."""
+    t = load_tables(spark, sf_dir)
+    (w1a, w1d), (w2a, w2d), (w3a, w3d) = (
+        FS_WEIGHTS["ent_num"],
+        FS_WEIGHTS["acctbal"],
+        FS_WEIGHTS["balsign"],
+    )
+
+    def side(df, key, name, nk, bal, out_key):
+        num = F.substring(
+            F.substring_index(F.col(name), "#", -1), 1, 9
+        ).alias("num")
+        return df.select(
+            F.col(key).alias(out_key),
+            num,
+            F.col(nk).alias("nk"),
+            F.round(F.col(bal) * 100, 0).cast("bigint").alias("cents"),
+        )
+
+    a = side(t["customer"], "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_custkey")
+    b = side(t["supplier"], "s_suppkey", "s_name", "s_nationkey", "s_acctbal", "s_suppkey")
+    blk = lambda d: d.withColumn(  # noqa: E731
+        "blk", F.col("num").cast("bigint") % FS_BLOCK_MOD
+    )
+    # supplier side is dim-sized: broadcast the blocked build side
+    pairs = (
+        blk(a)
+        .withColumnRenamed("blk", "ablk")
+        .join(
+            F.broadcast(
+                blk(b).select(
+                    "s_suppkey",
+                    F.col("num").alias("bnum"),
+                    F.col("nk").alias("bnk"),
+                    F.col("cents").alias("bcents"),
+                    F.col("blk").alias("bblk"),
+                )
+            ),
+            on=[F.col("nk") == F.col("bnk"), F.col("ablk") == F.col("bblk")],
+        )
+    )
+    g_ent = (F.levenshtein("num", "bnum") <= 1).cast("int")
+    g_bal = (F.abs(F.col("cents") - F.col("bcents")) <= 10000).cast("int")
+    g_sign = ((F.col("cents") >= 0) == (F.col("bcents") >= 0)).cast("int")
+    scored = pairs.select(
+        "c_custkey",
+        "s_suppkey",
+        g_ent.alias("g_ent"),
+        g_bal.alias("g_bal"),
+        g_sign.alias("g_sign"),
+    ).withColumn(
+        "score",
+        F.round(
+            F.when(F.col("g_ent") == 1, F.lit(w1a)).otherwise(F.lit(w1d))
+            + F.when(F.col("g_bal") == 1, F.lit(w2a)).otherwise(F.lit(w2d))
+            + F.when(F.col("g_sign") == 1, F.lit(w3a)).otherwise(F.lit(w3d)),
+            6,
+        ),
+    )
+    return scored.select(
+        "c_custkey",
+        "s_suppkey",
+        F.col("g_ent").cast("bigint").alias("g_ent"),
+        F.col("g_bal").cast("bigint").alias("g_bal"),
+        F.col("g_sign").cast("bigint").alias("g_sign"),
+        "score",
+        F.when(F.col("score") >= FS_LINK_T, "link")
+        .when(F.col("score") >= FS_POSSIBLE_T, "possible")
+        .otherwise("nonlink")
+        .alias("match_class"),
+    )

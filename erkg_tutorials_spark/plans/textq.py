@@ -883,3 +883,82 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_inter") / F.col("n"), 6).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters: Misra–Gries candidate generation in
+# bounded memory (one Arrow mapInPandas pass keeping at most K
+# counters per partition) followed by an EXACT count of the candidate
+# set only. The classic 100 TB pattern for "which tokens exceed a
+# frequency share" when token cardinality dwarfs executor memory:
+# MG(K) on a partition retains every item whose partition frequency
+# exceeds n_p/K, and any global heavy hitter (freq > n/K) must clear
+# that bar in at least one partition (averaging argument), so the
+# candidate union is a SUPERSET of the true hitters no matter how
+# rows are partitioned. The second pass semi-joins the candidate set
+# (broadcast, ≤ K × partitions rows) before the exact groupBy, so the
+# expensive count touches only candidate keys. The final exact filter
+# makes the output independent of partitioning — fully oracled.
+#
+# Misra & Gries 1982, "Finding repeated elements" (public paper).
+# ---------------------------------------------------------------------------
+HH_K = 500  # report tokens with count * HH_K > total token count
+
+
+def _heavy_hitters_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    nz AS (SELECT tok FROM toks WHERE tok <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM nz)
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(COUNT(*) / (1.0 * tot.n), 6) AS share
+    FROM nz, tot
+    GROUP BY tok, tot.n
+    HAVING COUNT(*) * {HH_K} > tot.n
+    """
+
+
+@register("heavy_hitters_tokens", _heavy_hitters_oracle())
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens via bounded-memory Misra-Gries candidates plus an exact verification count of the candidate set."""
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+    def mg_candidates(batches):
+        # one bounded dict per PARTITION (state survives across the
+        # partition's Arrow batches); standard Misra-Gries decrement
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < HH_K:
+                    counters[tok] = 1
+                else:
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        yield pd.DataFrame({"tok": list(counters)})
+
+    cand = toks.mapInPandas(mg_candidates, "tok string").distinct()
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_tok") * HH_K > F.col("n"))
+        .select(
+            "tok",
+            "n_tok",
+            F.round(F.col("n_tok") / (1.0 * F.col("n")), 6).alias("share"),
+        )
+    )
