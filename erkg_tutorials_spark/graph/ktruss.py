@@ -4,13 +4,15 @@ community primitive one level stronger than k-core (every k-truss is
 a (k-1)-core, not vice versa).
 
 Algorithm: iterated support peel. Each round enumerates triangles
-over the canonical (u < v) edge set with the same three-equi-join
-shape as triangleCount (graph/frames.py), counts per-edge support,
-and drops edges below k-2; removing an edge can destroy other edges'
-triangles, so the peel repeats until a round removes nothing.
+over the canonical (u < v) edge set with the same edge-iterator
+adjacency-intersection shape as triangleCount (graph/triangles.py),
+counts per-edge support, and drops edges below k-2; removing an edge
+can destroy other edges' triangles, so the peel repeats until a
+round removes nothing.
 
-Scale shape: each round is three equi-joins plus one (u, v) count —
-all shuffle-partitioned by edge endpoints, no driver state. The peel
+Scale shape: each round is one adjacency groupBy + two edge-set
+joins plus one (u, v) count — shuffle volume is edges + actual
+triangles, never wedges, and there is no driver state. The peel
 is monotone (edge sets only shrink), so round cost falls sharply:
 on the co-order part graph the first peel removes ~99% of edges and
 subsequent rounds run on the dense remnant. The edge set is
@@ -32,26 +34,13 @@ from pyspark.sql import functions as F
 
 def edge_support(e: DataFrame) -> DataFrame:
     """(u, v, s): triangle count per canonical edge of ``e(u, v)``
-    with u < v. Edges in no triangle are absent."""
-    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
-    tri = (
-        ab.join(bc, F.col("ab.v") == F.col("bc.u"))
-        .join(
-            ac,
-            (F.col("ac.u") == F.col("ab.u")) & (F.col("ac.v") == F.col("bc.v")),
-        )
-        .select(
-            F.col("ab.u").alias("a"),
-            F.col("ab.v").alias("b"),
-            F.col("bc.v").alias("c"),
-        )
-    )
-    sides = (
-        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
-        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
-    )
-    return sides.groupBy("u", "v").agg(F.count("*").alias("s"))
+    with u < v. Edges in no triangle are absent. Edge-iterator
+    enumeration over adjacency intersections (graph/triangles.py) —
+    the wedge shuffle of the former three-equi-join shape is gone,
+    which is where the dominant first peel round spent its time."""
+    from erkg_tutorials_spark.graph.triangles import edge_support as _es
+
+    return _es(e)
 
 
 def k_truss(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:

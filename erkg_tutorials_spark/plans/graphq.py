@@ -324,24 +324,17 @@ def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vertices with >=1 triangle and their triangle counts."""
-    from erkg_tutorials_spark.graph.frames import from_edges
+    """Vertices with >=1 triangle and their triangle counts.
 
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "ok")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return (
-        from_edges(edges)
-        .triangleCount()
-        .where(F.col("count") > 0)
-        .select("id", "count")
+    Shares the memoized canonical co-order edge set with g_ktruss /
+    g_link_prediction (``part_coorder_edges``) and counts via the
+    edge-iterator adjacency-intersection plan (graph/triangles.py);
+    the facade verb path (from_edges().triangleCount()) runs the same
+    algorithm and stays covered by the fixture goldens."""
+    from erkg_tutorials_spark.graph.triangles import vertex_triangle_counts
+
+    return vertex_triangle_counts(part_coorder_edges(spark, sf_dir)).select(
+        "id", "count"
     )
 
 
