@@ -313,12 +313,15 @@ FS_WEIGHTS = {
     "acctbal": (2.8, -1.1),  # balance within $100
     "balsign": (0.7, -0.9),  # balance sign agreement
 }
-FS_LINK_T = 5.0  # score >= -> 'link'
+FS_LINK_T = 4.0  # score >= -> 'link' (entity-number agreement + one corroborating field clears it; all-three = 8.0)
 FS_POSSIBLE_T = 1.0  # score >= -> 'possible' (else 'nonlink')
 FS_BLOCK_MOD = 20  # blocking: (nationkey, ent_num % FS_BLOCK_MOD)
 
 
-def _fs_oracle() -> str:
+def _fs_cte() -> str:
+    """WITH-chain through ``scored`` (c_custkey, s_suppkey, g_*,
+    score) — shared verbatim by the standalone FS oracle and the
+    composed ER-merge oracle so the two can never drift."""
     (w1a, w1d), (w2a, w2d), (w3a, w3d) = (
         FS_WEIGHTS["ent_num"],
         FS_WEIGHTS["acctbal"],
@@ -354,7 +357,13 @@ def _fs_oracle() -> str:
                  + (CASE WHEN g_bal = 1 THEN {w2a!r} ELSE {w2d!r} END)
                  + (CASE WHEN g_sign = 1 THEN {w3a!r} ELSE {w3d!r} END), 6) AS score
       FROM pairs
-    )
+    )"""
+
+
+def _fs_oracle() -> str:
+    return (
+        _fs_cte()
+        + f"""
     SELECT c_custkey, s_suppkey,
            CAST(g_ent AS BIGINT) AS g_ent,
            CAST(g_bal AS BIGINT) AS g_bal,
@@ -365,6 +374,7 @@ def _fs_oracle() -> str:
                 ELSE 'nonlink' END AS match_class
     FROM scored
     """
+    )
 
 
 @register("fs_record_linkage", _fs_oracle())
@@ -439,4 +449,82 @@ def fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("score") >= FS_POSSIBLE_T, "possible")
         .otherwise("nonlink")
         .alias("match_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER lifecycle composition: FS 'link' pairs → transitive closure
+# (large-star/small-star connected components) → one GOLDEN RECORD
+# per resolved entity cluster. This is the "resolve" step the
+# reference consumes pre-computed from Senzing (RES_ENT ids in
+# /root/reference/src/senzing_pipeline.py — Senzing's resolved-entity
+# id IS this transitive merge); here the whole lifecycle runs inside
+# the engine. The oracle chains the FS CTE into ER_CC_ROUNDS unrolled
+# min-label-propagation rounds (oracle_pr.cc_label_prop_sql) — the
+# Spark side's star fixpoint raises on non-convergence, and an
+# insufficient oracle bound surfaces as a hash mismatch.
+#
+# Scale shape: the link pair set is blocking-bounded (far smaller
+# than either input table); CC runs on it, not the raw records; the
+# golden-record aggregation is one groupBy over cluster-sized data.
+# ---------------------------------------------------------------------------
+ER_CC_ROUNDS = 12
+
+
+def _er_merge_oracle() -> str:
+    from erkg_tutorials_spark.plans.oracle_pr import cc_label_prop_sql
+
+    return (
+        _fs_cte()
+        + f""",
+    links AS (
+      SELECT c_custkey, s_suppkey FROM scored WHERE score >= {FS_LINK_T!r}
+    ),
+    cedges AS (
+      SELECT 'c:' || c_custkey AS src, 's:' || s_suppkey AS dst FROM links
+    ),
+    edges AS (
+      SELECT src, dst FROM cedges
+      UNION ALL SELECT dst AS src, src AS dst FROM cedges
+    ),
+    verts AS (
+      SELECT DISTINCT src AS id FROM edges
+    ),
+    """
+        + cc_label_prop_sql(rounds=ER_CC_ROUNDS)
+        + f"""
+    SELECT lbl AS entity_id,
+           CAST(SUM(CASE WHEN id LIKE 'c:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN id LIKE 's:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+           CAST(MIN(CASE WHEN id LIKE 'c:%' THEN CAST(substring(id, 3) AS BIGINT) END) AS BIGINT) AS golden_custkey,
+           CAST(MIN(CASE WHEN id LIKE 's:%' THEN CAST(substring(id, 3) AS BIGINT) END) AS BIGINT) AS golden_suppkey
+    FROM l{ER_CC_ROUNDS}
+    GROUP BY lbl
+    """
+    )
+
+
+@register("er_resolve_merge", _er_merge_oracle())
+def er_resolve_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved-entity golden records: FS link pairs transitively merged by connected components with per-cluster membership stats."""
+    from erkg_tutorials_spark.graph.connected_components import (
+        connected_components,
+    )
+
+    links = fs_record_linkage(spark, sf_dir).where(
+        F.col("match_class") == "link"
+    )
+    # bipartite and canonical by construction: every 'c:…' < 's:…'
+    edges = links.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("dst"),
+    ).distinct()
+    cc = connected_components(edges, input_canonical=True)
+    is_c = F.col("id").startswith("c:")
+    key = F.substring(F.col("id"), 3, 18).cast("bigint")
+    return cc.groupBy(F.col("component").alias("entity_id")).agg(
+        F.sum(is_c.cast("long")).alias("n_customers"),
+        F.sum((~is_c).cast("long")).alias("n_suppliers"),
+        F.min(F.when(is_c, key)).alias("golden_custkey"),
+        F.min(F.when(~is_c, key)).alias("golden_suppkey"),
     )
