@@ -1,0 +1,112 @@
+"""Versioned-manifest table with snapshot-isolation reads (time
+travel) — a minimal Delta/Iceberg-style transaction log over plain
+parquet directories.
+
+Layout under a table root:
+
+    <root>/data/v<N>/part-*.parquet   one immutable data dir per commit
+    <root>/_manifests/<N>.json        {"version", "parent", "mode",
+                                       "files": [relative paths]}
+
+Commit protocol: write the new version's data dir, then write the
+manifest to ``<N>.json.tmp`` and ``os.rename`` it into place — the
+rename is the atomic commit point, exactly the Delta log's
+"manifest-last" rule. A reader resolves a version (latest committed,
+or AS OF ``n``) to its manifest's FILE LIST and reads only those
+files, so:
+
+* snapshot isolation — a concurrent writer never changes any
+  committed manifest's file list, so an in-flight read of version n
+  is unaffected by version n+1 landing mid-read;
+* torn writes are invisible — a crash before the rename leaves a
+  ``.tmp`` the reader never considers, and the orphaned data dir is
+  unreferenced;
+* time travel — every committed version stays readable until
+  explicitly vacuumed.
+
+``mode='append'`` manifests carry the parent's files plus the new
+dir's; ``mode='overwrite'`` carry only the new dir's.
+
+Scale notes (100 TB): the manifest is O(files) driver-side metadata,
+like a Delta checkpoint; data files are immutable so reads prune to
+the listed files with no directory listing of the table root; commit
+cost is one rename regardless of table size. The reference has no
+lakehouse layer (its pipeline rereads JSONL inputs, e.g.
+/root/reference/dagster_icij/assets.py); this is engine
+parity-plus for the batch-ingest lifecycle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
+
+
+def committed_versions(root: str) -> list[int]:
+    """Sorted committed version numbers (readers never see .tmp)."""
+    try:
+        names = os.listdir(_manifest_dir(root))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+    )
+
+
+def write_version(df: DataFrame, root: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new version of the table at ``root``;
+    returns the committed version number. ``mode='overwrite'``
+    replaces the logical content, ``'append'`` adds to it. The
+    manifest rename is the atomic commit point."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"versioned table: unknown mode {mode!r}")
+    versions = committed_versions(root)
+    n = (versions[-1] + 1) if versions else 0
+    parent = versions[-1] if versions else None
+    data_dir = os.path.join(root, "data", f"v{n}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    files = sorted(
+        os.path.join("data", f"v{n}", f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    if mode == "append" and parent is not None:
+        files = read_manifest(root, parent)["files"] + files
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    manifest = {"version": n, "parent": parent, "mode": mode, "files": files}
+    tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(root), f"{n}.json"))
+    return n
+
+
+def read_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(root), f"{version}.json")) as fh:
+        return json.load(fh)
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of the table at ``root`` AS OF ``version``
+    (default: latest committed). Reads exactly the manifest's file
+    list — later commits cannot perturb the returned snapshot."""
+    versions = committed_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"versioned table {root}: no committed version")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"versioned table {root}: version {version} not committed "
+            f"(have {versions})"
+        )
+    files = [os.path.join(root, f) for f in read_manifest(root, version)["files"]]
+    return spark.read.parquet(*files)

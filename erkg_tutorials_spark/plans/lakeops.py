@@ -517,3 +517,82 @@ def observe_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         data, "flag string, n_rows bigint, qty_sum bigint, price_cents bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel over a versioned-manifest table (lakehouse/versioned.py
+# — the Delta/Iceberg transaction-log pattern reduced to its atomic
+# core). The query commits three deterministic versions of an orders
+# slice into a fingerprinted /tmp table (v0 overwrite 'F' rows, v1
+# append 'O' rows, v2 overwrite URGENT-priority rows), then reads
+# every version AS OF its number THROUGH the manifest layer and
+# returns per-version exact aggregates. Reading v0's numbers after
+# v2 has overwritten the table IS the snapshot-isolation property; a
+# resolver that followed "latest" would return v2's rows for every
+# version and hash-mismatch. Oracle recomputes each version's
+# expected content straight from the orders view.
+# ---------------------------------------------------------------------------
+@register(
+    "timetravel_orders_snapshot",
+    """
+    WITH v0 AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+    v1 AS (SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    v2 AS (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM v0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM v2
+    """,
+)
+def timetravel_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated AS-OF reads over a versioned-manifest orders table: per-version exact aggregates after overwrite/append/overwrite commits."""
+    import os
+
+    from erkg_tutorials_spark.lakehouse.versioned import (
+        committed_versions,
+        read_version,
+        write_version,
+    )
+    from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    safe = sf_dir.strip("/").replace("/", "_")
+    name = f"orders_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root = f"/tmp/erkg_versioned/{name}"
+    if len(committed_versions(root)) < 3:
+        _evict_stale_layouts("/tmp/erkg_versioned", f"orders_{safe}_", name)
+        orders = load_tables(spark, sf_dir)["orders"]
+        write_version(
+            orders.where(F.col("o_orderstatus") == "F"), root, "overwrite"
+        )
+        write_version(
+            orders.where(F.col("o_orderstatus") == "O"), root, "append"
+        )
+        write_version(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            root,
+            "overwrite",
+        )
+
+    def agg(version: int) -> DataFrame:
+        return read_version(spark, root, version).agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(money_cents(F.col("o_totalprice"))).cast("bigint").alias(
+                "total_cents"
+            ),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+
+    return agg(0).unionByName(agg(1)).unionByName(agg(2))
