@@ -180,6 +180,13 @@ HEADLINE = [
     "stream_exactly_once_daily",
     "stream_enrich_segments",
     "stream_custom_source_rollup",
+    # round-7 additions: the ER lifecycle (FS scoring + transitive
+    # merge), the two-pass exact heavy hitters, and the lakehouse
+    # time-travel read path
+    "fs_record_linkage",
+    "er_resolve_merge",
+    "heavy_hitters_tokens",
+    "timetravel_orders_snapshot",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

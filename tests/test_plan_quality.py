@@ -74,6 +74,10 @@ class TestNoPythonInHotPath:
         # Misra-Gries candidate pass: bounded O(K) state per partition
         # is the point — a JVM groupBy would shuffle every distinct key.
         "heavy_hitters_users",
+        # same MG pattern, token-granular two-pass variant: the Python
+        # boundary is the bounded-memory candidate scan only; the
+        # exact verification count is JVM-side
+        "heavy_hitters_tokens",
         # Lateral Python UDTF showcase: the Python boundary IS the
         # feature under test (ArrowEvalPythonUDTF), entered once per
         # user-row after the groupBy, not per event.
@@ -131,6 +135,21 @@ class TestScalePatternPlans:
         assert "SortMergeJoin" not in plan, plan
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         assert any("c_acctbal" in p for p in pushed), plan
+
+    def test_fs_linkage_blocked_join_broadcasts(self, spark):
+        """The FS candidate join must broadcast the dim-sized supplier
+        build side and never degrade to a cartesian product — blocking
+        is only real if the join keys carry it."""
+        plan = plan_of(QUERIES["fs_record_linkage"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_heavy_hitters_verify_is_broadcast_semi(self, spark):
+        """Pass 2's exact count must semi-join the bounded candidate
+        set via broadcast — shuffling the full token stream against
+        ≤K×partitions candidates would waste the MG pass."""
+        plan = plan_of(QUERIES["heavy_hitters_tokens"](spark, SF_DIR))
+        assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
 
     def test_salted_agg_is_two_exchanges_max(self, spark):
         """Partial (type, salt) agg + final (type) agg: the plan must
