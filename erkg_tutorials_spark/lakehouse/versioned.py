@@ -110,3 +110,39 @@ def read_version(
         )
     files = [os.path.join(root, f) for f in read_manifest(root, version)["files"]]
     return spark.read.parquet(*files)
+
+
+def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Rewrite the LATEST snapshot's content into ``target_files``
+    files and commit it as a new overwrite version. Old versions stay
+    readable (compaction is just another commit — the Delta OPTIMIZE
+    rule); returns the new version number."""
+    latest = read_version(spark, root)
+    return write_version(latest.coalesce(target_files), root, "overwrite")
+
+
+def vacuum(root: str, keep_versions: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_versions`` manifests and delete
+    every data dir no surviving manifest references. Returns the
+    removed version numbers. This is the one operation that breaks
+    time travel for the dropped versions — by contract, never by
+    accident (``keep_versions`` < 1 is rejected)."""
+    import shutil
+
+    if keep_versions < 1:
+        raise ValueError("vacuum: keep_versions must be >= 1")
+    versions = committed_versions(root)
+    drop = versions[:-keep_versions]
+    survivors = versions[len(drop):]
+    referenced = {
+        f.split("/")[1]  # data/<vdir>/<file>
+        for v in survivors
+        for f in read_manifest(root, v)["files"]
+    }
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(root), f"{v}.json"))
+    data_root = os.path.join(root, "data")
+    for d in os.listdir(data_root):
+        if d not in referenced:
+            shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+    return drop

@@ -59,3 +59,46 @@ def test_unknown_version_and_empty_table_raise(spark, tmp_path):
         read_version(spark, root, 9)
     with pytest.raises(ValueError, match="unknown mode"):
         write_version(spark.range(1), root, "upsert")
+
+
+def test_compact_rewrites_latest_only(spark, tmp_path):
+    from erkg_tutorials_spark.lakehouse.versioned import compact
+
+    root = str(tmp_path / "t")
+    write_version(spark.range(50).repartition(8), root, "overwrite")
+    assert len(read_manifest(root, 0)["files"]) > 1
+    v = compact(spark, root, target_files=1)
+    assert v == 1
+    assert len(read_manifest(root, 1)["files"]) == 1
+    # content identical, old version untouched
+    assert read_version(spark, root, 1).count() == 50
+    assert read_version(spark, root, 0).count() == 50
+
+
+def test_vacuum_drops_old_versions_but_keeps_shared_files(spark, tmp_path):
+    from erkg_tutorials_spark.lakehouse.versioned import vacuum
+
+    root = str(tmp_path / "t")
+    write_version(spark.range(10), root, "overwrite")   # v0
+    write_version(spark.range(10, 20), root, "append")  # v1 references v0 files
+    write_version(spark.range(20, 25), root, "append")  # v2 references v0+v1
+    assert vacuum(root, keep_versions=1) == [0, 1]
+    assert committed_versions(root) == [2]
+    # v2's append chain still reads all 15 appended rows: vacuum must
+    # keep v0/v1 DATA dirs because the surviving manifest lists them
+    assert read_version(spark, root).count() == 25
+    with pytest.raises(ValueError):
+        read_version(spark, root, 0)
+    with pytest.raises(ValueError):
+        vacuum(root, keep_versions=0)
+
+
+def test_vacuum_after_overwrite_frees_unreferenced_dirs(spark, tmp_path):
+    from erkg_tutorials_spark.lakehouse.versioned import vacuum
+
+    root = str(tmp_path / "t")
+    write_version(spark.range(10), root, "overwrite")
+    write_version(spark.range(3), root, "overwrite")
+    vacuum(root, keep_versions=1)
+    assert sorted(os.listdir(os.path.join(root, "data"))) == ["v1"]
+    assert read_version(spark, root).count() == 3
