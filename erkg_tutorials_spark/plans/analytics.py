@@ -1097,3 +1097,51 @@ def hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hll_union_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over a quasi-identifier tuple (Sweeney 2002,
+# "k-Anonymity: a model for protecting privacy" — public paper): the
+# privacy gate a dataset must pass before the pii_mask_customers
+# release step. A (nation, segment, balance-band) equivalence class
+# smaller than K re-identifies its members; the audit reports every
+# violating class plus its size — one groupBy, scan-side banding,
+# scale-trivial.
+# ---------------------------------------------------------------------------
+KANON_K = 5
+KANON_BAND_CENTS = 200_000  # $2000 balance bands
+
+
+@register(
+    "kanonymity_violations",
+    f"""
+    WITH classes AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) // {KANON_BAND_CENTS} AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT nationkey, segment, bal_band, class_size
+    FROM classes WHERE class_size < {KANON_K}
+    """,
+)
+def kanonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: quasi-identifier equivalence classes (nation, segment, balance band) smaller than K, i.e. re-identifiable groups."""
+    c = load_tables(spark, sf_dir)["customer"]
+    classes = (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            # truncation toward zero on BOTH sides: DuckDB's integer
+            # `//` truncates (−150000 // 200000 = 0, not −1), and
+            # cast(double) truncates the same way, so negative
+            # balances land in band 0/−1/… identically
+            (money_cents(F.col("c_acctbal")) / F.lit(KANON_BAND_CENTS))
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .groupBy("nationkey", "segment", "bal_band")
+        .agg(F.count("*").alias("class_size"))
+    )
+    return classes.where(F.col("class_size") < KANON_K)

@@ -867,3 +867,113 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based multi-touch attribution (the "U-shaped" model every
+# marketing warehouse runs): each purchase distributes its value over
+# the user's click/view touchpoints in the preceding 7 days — first
+# touch 40%, last touch 40%, middles split the remaining 20% evenly
+# (1 touch → 100%, 2 touches → 50/50). Per-touch credit is rounded to
+# integer MILLI-CENTS before aggregation, so the channel totals are
+# exact integer sums — no cross-engine float-accumulation-order risk
+# (the weight itself is at most two IEEE ops, bit-identical per row).
+#
+# Scale shape: the touch join is an equi-join on user_id with a range
+# predicate — per-user fan-in is bounded by the user's 7-day activity,
+# so no unbounded range-join blowup; ranking runs per purchase window.
+# ---------------------------------------------------------------------------
+ATTR_WINDOW_SEC = 7 * 86400
+
+
+@register(
+    "events_multitouch_attribution",
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    purchases AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    touches AS (SELECT * FROM ev WHERE event_type IN ('click', 'view')),
+    paired AS (
+      SELECT p.event_id AS pid, p.cents,
+             t.event_type AS channel, t.ts_sec AS tts, t.event_id AS tid
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.ts_sec < p.ts_sec
+       AND t.ts_sec >= p.ts_sec - {ATTR_WINDOW_SEC}
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rk_asc,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rk_desc,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM paired
+    ),
+    credited AS (
+      SELECT channel,
+             CAST(ROUND(cents * 1000 * (
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN rk_asc = 1 OR rk_desc = 1 THEN 0.4
+                    ELSE 0.2 / (n - 2) END), 0) AS BIGINT) AS millicents
+      FROM ranked
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(millicents) AS BIGINT) AS credit_millicents
+    FROM credited GROUP BY channel
+    """,
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: purchase value credited 40/20/40 over the prior 7-day click/view touchpoints, exact integer channel totals."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_sec",
+        money_cents(F.col("value")).alias("cents"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("uid"),
+        F.col("ts_sec").alias("pts"),
+        "cents",
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("channel"),
+        F.col("ts_sec").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    paired = p.join(t, "uid").where(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - ATTR_WINDOW_SEC)
+    )
+    w_asc = Window.partitionBy("pid").orderBy(F.asc("tts"), F.asc("tid"))
+    w_desc = Window.partitionBy("pid").orderBy(F.desc("tts"), F.desc("tid"))
+    w_n = Window.partitionBy("pid")
+    ranked = (
+        paired.withColumn("rk_asc", F.row_number().over(w_asc))
+        .withColumn("rk_desc", F.row_number().over(w_desc))
+        .withColumn("n", F.count("*").over(w_n))
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rk_asc") == 1) | (F.col("rk_desc") == 1), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.withColumn(
+            "millicents",
+            F.round(F.col("cents") * 1000 * weight, 0).cast("bigint"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("millicents").alias("credit_millicents"),
+        )
+    )
