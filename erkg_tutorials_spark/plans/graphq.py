@@ -1319,3 +1319,63 @@ def g_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = improved
     return dist.select("id", (F.col("cost") / 100.0).alias("min_cost"))
+
+
+# ---------------------------------------------------------------------------
+# Harmonic closeness centrality from landmarks (the GDS closeness
+# family, landmark-approximated the way large graphs actually compute
+# it): closeness(v) = Σ_lm 1/d(v, lm) over reachable landmarks.
+# Reuses the shortestPaths frontier machinery and its unrolled oracle;
+# reciprocals are scaled to exact integers (1e9 // d) so the per-
+# vertex sum is associative — bit-identical under any aggregation
+# order, the same trick as g_link_prediction's RA index.
+# ---------------------------------------------------------------------------
+_HC_SCALE = 1_000_000_000
+
+
+def _harmonic_oracle() -> str:
+    from erkg_tutorials_spark.plans.oracle_pr import shortest_paths_sql
+
+    return (
+        _SYM_EDGES_CTE
+        + """,
+    lms AS (
+      SELECT 'c:' || c_custkey AS lm FROM customer
+      WHERE c_custkey % 500 = 0 AND c_custkey <= 1500
+    ),
+"""
+        + shortest_paths_sql(rounds=20)
+        + f"""
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM({_HC_SCALE} // dist) AS BIGINT) AS closeness_scaled
+    FROM d20 WHERE dist > 0
+    GROUP BY id
+    """
+    )
+
+
+@register("g_harmonic_closeness", _harmonic_oracle())
+def g_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic closeness: per vertex, the exact-integer sum of reciprocal distances to reachable landmarks."""
+    from erkg_tutorials_spark.graph.frames import from_edges
+
+    t = load_tables(spark, sf_dir)
+    lms = [
+        r["lm"]
+        for r in t["customer"]
+        .where((F.col("c_custkey") % 500 == 0) & (F.col("c_custkey") <= 1500))
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("lm"))
+        .collect()
+    ]
+    sp = from_edges(trade_edges_sym(spark, sf_dir)).shortestPaths(lms)
+    return (
+        sp.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.sum(
+                (F.lit(_HC_SCALE) / F.col("dist")).cast("bigint")
+            ).alias("closeness_scaled"),
+        )
+    )

@@ -596,3 +596,93 @@ def timetravel_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(0).unionByName(agg(1)).unionByName(agg(2))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (IVM) over the same synthetic CDC
+# stream cdc_apply_changes replays: maintain a per-status rollup
+# (count + exact cents total) WITHOUT recomputing from the final
+# snapshot — base aggregate of the insert images plus one pass of
+# per-change deltas (U: new minus previous image; D: minus the last
+# live image; tombstones for never-inserted keys are no-ops). The
+# oracle recomputes the rollup FROM the applied snapshot, so any
+# error in the delta algebra (the part IVM systems get wrong) is a
+# hash mismatch, not a silent drift. At scale this is the
+# Materialize/Delta-live pattern: the maintained view costs one
+# shuffle over the CHANGE set, never a rescan of the base table.
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_status_rollup",
+    f"""
+    WITH changes AS (
+      SELECT o_orderkey AS key,
+             CAST(s.seq AS BIGINT) AS seq,
+             CASE
+               WHEN s.seq = o_orderkey % 3
+                    AND o_orderkey % 5 = 0 THEN 'D'
+               WHEN s.seq = 0 THEN 'I'
+               ELSE 'U'
+             END AS op,
+             {sql_money_cents('o_totalprice')} + s.seq * 7 AS price_cents,
+             o_orderstatus AS status
+      FROM orders, UNNEST(generate_series(0, o_orderkey % 3)) AS s(seq)
+    ),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM changes
+    ),
+    snapshot AS (
+      SELECT key, price_cents, status FROM latest WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents
+    FROM snapshot GROUP BY status
+    """,
+)
+def ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained per-status rollup: base insert-image aggregate plus per-change deltas, equal to the snapshot recompute by construction."""
+    o = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey") % 3
+    changes = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.explode(F.sequence(F.lit(0), k.cast("int"))).alias("seq"),
+        k.alias("kmax"),
+        money_cents(F.col("o_totalprice")).alias("base_cents"),
+        F.col("o_orderstatus").alias("status"),
+    ).select(
+        "key",
+        F.col("seq").cast("long").alias("seq"),
+        "kmax",
+        F.when((F.col("seq") == F.col("kmax")) & (F.col("key") % 5 == 0), "D")
+        .when(F.col("seq") == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        (F.col("base_cents") + F.col("seq") * 7).alias("price_cents"),
+        "status",
+    )
+    # previous live image per key (lag in sequence order) — the value
+    # a U replaces and a D removes
+    w = Window.partitionBy("key").orderBy("seq")
+    d = changes.withColumn("prev_cents", F.lag("price_cents").over(w))
+    delta = d.select(
+        "status",
+        F.when(F.col("op") == "I", F.lit(1))
+        .when(F.col("op") == "D", F.when(F.col("prev_cents").isNotNull(), -1).otherwise(0))
+        .otherwise(0)
+        .cast("long")
+        .alias("d_count"),
+        F.when(F.col("op") == "I", F.col("price_cents"))
+        .when(F.col("op") == "U", F.col("price_cents") - F.col("prev_cents"))
+        .when(F.col("op") == "D", -F.coalesce("prev_cents", F.lit(0)))
+        .cast("long")
+        .alias("d_cents"),
+    )
+    return (
+        delta.groupBy("status")
+        .agg(
+            F.sum("d_count").alias("n_orders"),
+            F.sum("d_cents").alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
