@@ -187,6 +187,7 @@ HEADLINE = [
     "er_resolve_merge",
     "heavy_hitters_tokens",
     "timetravel_orders_snapshot",
+    "stream_versioned_ingest",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

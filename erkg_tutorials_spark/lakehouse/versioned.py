@@ -59,14 +59,27 @@ def committed_versions(root: str) -> list[int]:
     )
 
 
-def write_version(df: DataFrame, root: str, mode: str = "append") -> int:
+def write_version(
+    df: DataFrame, root: str, mode: str = "append", batch_id: int | None = None
+) -> int:
     """Commit ``df`` as a new version of the table at ``root``;
     returns the committed version number. ``mode='overwrite'``
     replaces the logical content, ``'append'`` adds to it. The
-    manifest rename is the atomic commit point."""
+    manifest rename is the atomic commit point.
+
+    ``batch_id`` makes the commit IDEMPOTENT per id — the streaming
+    foreachBatch contract: a replayed micro-batch (same id) returns
+    the already-committed version without writing, so a sink restart
+    can never double-append. Exactly the Delta ``txn`` app-id/version
+    dedupe, reduced to one integer."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"versioned table: unknown mode {mode!r}")
     versions = committed_versions(root)
+    if batch_id is not None:
+        for v in versions:
+            m = read_manifest(root, v)
+            if m.get("batch_id") == batch_id:
+                return v
     n = (versions[-1] + 1) if versions else 0
     parent = versions[-1] if versions else None
     data_dir = os.path.join(root, "data", f"v{n}")
@@ -80,6 +93,8 @@ def write_version(df: DataFrame, root: str, mode: str = "append") -> int:
         files = read_manifest(root, parent)["files"] + files
     os.makedirs(_manifest_dir(root), exist_ok=True)
     manifest = {"version": n, "parent": parent, "mode": mode, "files": files}
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)

@@ -518,3 +518,80 @@ def stream_custom_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("long").alias("min_id"),
         F.max("id").cast("long").alias("max_id"),
     )
+
+
+@register(
+    "stream_versioned_ingest",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingest INTO the versioned-manifest
+    lakehouse table (lakehouse/versioned.py): each micro-batch commits
+    as an append version via foreachBatch, carrying its batch id into
+    the manifest so a REPLAYED batch returns the already-committed
+    version instead of double-appending (the Delta txn-dedupe rule).
+    The query then reads the LATEST snapshot through the manifest
+    layer and aggregates; oracle equality over the whole event stream
+    proves every event landed exactly once across the
+    stream -> commit-log -> snapshot-read path.
+
+    The table+checkpoint pair is fingerprinted by the events file and
+    reused across invocations (the incremental-backfill convention of
+    stream_exactly_once_daily): a re-run restarts from the checkpoint,
+    finds no new input, commits nothing, and serves the same snapshot.
+    """
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from erkg_tutorials_spark.lakehouse.versioned import (
+        read_version,
+        write_version,
+    )
+
+    safe = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+    name = f"vt_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root_dir = "/tmp/erkg_stream_versioned"
+    try:
+        for entry in _os.listdir(root_dir):
+            if entry.startswith(f"vt_{safe}_") and not entry.startswith(name):
+                _shutil.rmtree(_os.path.join(root_dir, entry), ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    table, ckpt = f"{root_dir}/{name}", f"{root_dir}/{name}_ckpt"
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        (
+            ev.writeStream.foreachBatch(
+                lambda batch, bid: write_version(
+                    batch, table, "append", batch_id=bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    snapshot = read_version(spark, table)  # latest committed version
+    return snapshot.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -102,3 +102,15 @@ def test_vacuum_after_overwrite_frees_unreferenced_dirs(spark, tmp_path):
     vacuum(root, keep_versions=1)
     assert sorted(os.listdir(os.path.join(root, "data"))) == ["v1"]
     assert read_version(spark, root).count() == 3
+
+
+def test_batch_id_commit_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v0 = write_version(spark.range(10), root, "append", batch_id=0)
+    v1 = write_version(spark.range(10, 20), root, "append", batch_id=1)
+    # a replayed micro-batch (same id, possibly different partitioning)
+    # must return the committed version without writing
+    again = write_version(spark.range(10, 20).repartition(4), root, "append", batch_id=1)
+    assert (v0, v1, again) == (0, 1, 1)
+    assert committed_versions(root) == [0, 1]
+    assert read_version(spark, root).count() == 20
