@@ -114,3 +114,49 @@ def test_batch_id_commit_is_idempotent(spark, tmp_path):
     assert (v0, v1, again) == (0, 1, 1)
     assert committed_versions(root) == [0, 1]
     assert read_version(spark, root).count() == 20
+
+
+# --- model-based property test -----------------------------------------
+#
+# Random command sequences (append/overwrite/replayed-batch commits)
+# against a pure-Python model of the log: after any sequence, every
+# committed version's content and the batch-id dedupe behavior must
+# match the model exactly. Spark executes once per generated sequence
+# (per-example Spark latency rule of test_properties.py).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cmd = st.tuples(
+    st.sampled_from(["append", "overwrite"]),
+    st.integers(min_value=1, max_value=5),   # row count
+    st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # batch_id
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_cmd, min_size=1, max_size=5))
+def test_versioned_log_matches_model(spark, tmp_path_factory, cmds):
+    import itertools
+
+    root = str(tmp_path_factory.mktemp("vlog") / "t")
+    model: list[set[int]] = []  # expected id set per version
+    seen_batches: dict[int, int] = {}
+    base = itertools.count(0)
+    for mode, n, bid in cmds:
+        lo = next(base) * 100
+        ids = set(range(lo, lo + n))
+        v = write_version(
+            spark.range(lo, lo + n), root, mode, batch_id=bid
+        )
+        if bid is not None and bid in seen_batches:
+            assert v == seen_batches[bid]  # replay: no new version
+            continue
+        if bid is not None:
+            seen_batches[bid] = v
+        model.append(ids if mode == "overwrite" or not model else model[-1] | ids)
+        assert v == len(model) - 1
+    assert committed_versions(root) == list(range(len(model)))
+    for v, expect in enumerate(model):
+        got = {r[0] for r in read_version(spark, root, v).collect()}
+        assert got == expect, (v, cmds)
