@@ -182,3 +182,93 @@ def udtf_event_runlengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spark4_rle_seqs s, LATERAL {_RLE_UDTF_NAME}(s.types) r
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF (Spark 4 `analyze()` API): the OUTPUT SCHEMA is
+# computed at plan time from the literal n argument — w1..wn columns
+# for word n-grams — the table-function polymorphism Spark exposes
+# only through the static analyze hook (AnalyzeArgument.value carries
+# the foldable literal; non-literal n is rejected at analysis time,
+# not at runtime). The registry query pins n=3; the unit tests pin
+# that n=2 and n=4 yield different schemas from the SAME function and
+# that a non-literal n raises during analysis.
+# ---------------------------------------------------------------------------
+_NGRAM_UDTF_NAME = "erkg_ngram_cols"
+NGRAM_UDTF_N = 3
+NGRAM_TOP = 20
+
+
+def _ngram_udtf_class():
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NgramCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None or not isinstance(n.value, int):
+                raise ValueError(
+                    "erkg_ngram_cols: n must be an integer literal "
+                    "(the output schema depends on it)"
+                )
+            schema = StructType()
+            for i in range(1, n.value + 1):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    return udtf(NgramCols, useArrow=True)
+
+
+@register(
+    "udtf_dynamic_ngrams",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+      FROM documents WHERE doc_id < 50
+    ),
+    grams AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+      FROM docs CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+    ),
+    counted AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n_occ FROM grams GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_occ DESC, w1, w2, w3) AS rk
+      FROM counted
+    )
+    SELECT w1, w2, w3, n_occ FROM ranked WHERE rk <= {NGRAM_TOP}
+    """,
+)
+def udtf_dynamic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word trigrams via a polymorphic UDTF whose w1..wn output schema is computed by analyze() from the literal n."""
+    from pyspark.sql import Window
+
+    spark.udtf.register(_NGRAM_UDTF_NAME, _ngram_udtf_class())
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", F.lower("text").alias("text"))
+    )
+    docs.createOrReplaceTempView("spark4_ngram_docs")
+    grams = spark.sql(
+        f"""
+        SELECT g.* FROM spark4_ngram_docs d,
+        LATERAL {_NGRAM_UDTF_NAME}(d.text, {NGRAM_UDTF_N}) g
+        """
+    )
+    counted = grams.groupBy("w1", "w2", "w3").agg(
+        F.count("*").alias("n_occ")
+    )
+    w = Window.orderBy(F.desc("n_occ"), "w1", "w2", "w3")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NGRAM_TOP)
+        .select("w1", "w2", "w3", "n_occ")
+    )

@@ -165,3 +165,29 @@ class TestObserveMetrics:
         groups = pdf[pdf["flag"] != "ALL"]
         for c in ("n_rows", "qty_sum", "price_cents"):
             assert all_row[c] == groups[c].sum()
+
+
+class TestPolymorphicUdtf:
+    """analyze()-driven schema polymorphism (udtf_dynamic_ngrams)."""
+
+    def test_schema_tracks_literal_n(self, spark):
+        from erkg_tutorials_spark.plans.spark4q import _ngram_udtf_class
+
+        spark.udtf.register("erkg_ngram_t", _ngram_udtf_class())
+        two = spark.sql("SELECT * FROM erkg_ngram_t('a b c d', 2)")
+        four = spark.sql("SELECT * FROM erkg_ngram_t('a b c d', 4)")
+        assert two.columns == ["w1", "w2"]
+        assert four.columns == ["w1", "w2", "w3", "w4"]
+        assert two.count() == 3 and four.count() == 1
+
+    def test_non_literal_n_rejected_at_analysis(self, spark):
+        import pytest
+
+        from erkg_tutorials_spark.plans.spark4q import _ngram_udtf_class
+
+        spark.udtf.register("erkg_ngram_t", _ngram_udtf_class())
+        with pytest.raises(Exception, match="integer literal|ngram_cols"):
+            spark.sql(
+                "SELECT g.* FROM (SELECT 2 AS n) s, "
+                "LATERAL erkg_ngram_t('a b c', s.n) g"
+            ).collect()
