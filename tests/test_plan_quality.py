@@ -82,6 +82,9 @@ class TestNoPythonInHotPath:
         # feature under test (ArrowEvalPythonUDTF), entered once per
         # user-row after the groupBy, not per event.
         "udtf_event_runlengths",
+        # polymorphic analyze() UDTF showcase — same rationale, one
+        # lateral entry per bounded document slice
+        "udtf_dynamic_ngrams",
     }
 
     def test_no_row_at_a_time_python_anywhere(self, spark):
