@@ -188,6 +188,7 @@ HEADLINE = [
     "heavy_hitters_tokens",
     "timetravel_orders_snapshot",
     "stream_versioned_ingest",
+    "stream_attribution_outer",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -595,3 +595,71 @@ def stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@register(
+    "stream_attribution_outer",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    ),
+    v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT v.user_id,
+             v.event_id AS view_event_id,
+             p.event_id AS purchase_event_id,
+             v.us AS view_us,
+             p.us AS purchase_us
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.us > v.us
+       AND p.us <= v.us + CAST(3600 AS BIGINT) * 1000000
+    ),
+    -- final global watermark after the AvailableNow no-data batch:
+    -- min over the two branch watermarks (each = branch max event
+    -- time minus the 2 h delay)
+    wm AS (
+      SELECT LEAST((SELECT MAX(us) FROM v), (SELECT MAX(us) FROM p))
+             - CAST(7200 AS BIGINT) * 1000000 AS us
+    ),
+    flushed_unmatched AS (
+      SELECT v.user_id,
+             v.event_id AS view_event_id,
+             CAST(NULL AS BIGINT) AS purchase_event_id,
+             v.us AS view_us,
+             CAST(NULL AS BIGINT) AS purchase_us
+      FROM v, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.us > v.us
+          AND p.us <= v.us + CAST(3600 AS BIGINT) * 1000000
+      )
+      AND v.us + CAST(3600 AS BIGINT) * 1000000 < wm.us
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM flushed_unmatched
+    """,
+)
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join under the
+    full oracle: matched view→purchase pairs plus every unmatched view
+    whose join bound the final watermark has passed (null purchase
+    columns). The oracle derives the end-of-input watermark exactly —
+    min of the two branches' (max event time − 2 h delay) — and
+    replays Spark's state-eviction predicate (bound strictly below
+    the watermark), so equality pins the OUTER-emission semantics,
+    not just the matched rows: a view still inside the watermark at
+    end-of-input must be ABSENT, and each flushed view appears exactly
+    once."""
+    events = read_events_stream(spark, sf_dir)
+    pairs = attribution_stream(
+        events, window_seconds=3600, how="left_outer"
+    )
+    return _drain(pairs, "stream_attribution_outer", "append").select(
+        "user_id", "view_event_id", "purchase_event_id", "view_us", "purchase_us"
+    )
