@@ -189,6 +189,7 @@ HEADLINE = [
     "timetravel_orders_snapshot",
     "stream_versioned_ingest",
     "stream_attribution_outer",
+    "g_harmonic_closeness",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -212,6 +213,7 @@ GRAPH_QUERIES = (
     "g_triangle_count",
     "g_kcore",
     "g_ktruss",
+    "g_harmonic_closeness",
 )
 
 

@@ -1379,3 +1379,79 @@ def g_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closeness_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-respecting (temporal) reachability — the fraud-analytics
+# primitive static reach cannot express: customer → supplier → later
+# customer, where the second trade happens STRICTLY AFTER the first
+# (information/money can only flow forward in time). Edges carry
+# o_orderdate as an epoch-day; both hops are distinct (endpoint, day)
+# edges so the temporal join's fan-in is bounded by true distinct
+# trading days, not raw lineitems. Holme & Saramäki 2012, "Temporal
+# networks" (public survey), the time-respecting-path definition.
+# ---------------------------------------------------------------------------
+@register(
+    "g_temporal_reach",
+    """
+    WITH te AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    seeds AS (SELECT c_custkey AS c FROM customer WHERE c_custkey % 37 = 0),
+    hop1 AS (
+      SELECT te.c AS seed, te.s, te.day AS t1
+      FROM te JOIN seeds ON te.c = seeds.c
+    ),
+    hop2 AS (
+      SELECT DISTINCT h.seed, e2.c AS reached, e2.day AS t2
+      FROM hop1 h JOIN te e2
+        ON e2.s = h.s AND e2.day > h.t1 AND e2.c <> h.seed
+    )
+    SELECT seed,
+           CAST(COUNT(DISTINCT reached) AS BIGINT) AS n_reachable,
+           CAST(MIN(t2) AS BIGINT) AS first_reach_day
+    FROM hop2 GROUP BY seed
+    """,
+)
+def g_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting 2-hop reach: customers reachable from each seed through a supplier via a strictly later trade, with the earliest reach day."""
+    t = load_tables(spark, sf_dir)
+    te = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            (F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    seeds = (
+        t["customer"]
+        .where(F.col("c_custkey") % 37 == 0)
+        .select(F.col("c_custkey").alias("seed"))
+    )
+    hop1 = te.join(
+        F.broadcast(seeds), te["c"] == seeds["seed"]
+    ).select("seed", "s", F.col("day").alias("t1"))
+    e2 = te.select(
+        F.col("s").alias("s2"), F.col("c").alias("reached"), F.col("day").alias("t2")
+    )
+    hop2 = (
+        hop1.join(
+            e2,
+            (F.col("s2") == F.col("s"))
+            & (F.col("t2") > F.col("t1"))
+            & (F.col("reached") != F.col("seed")),
+        )
+        .select("seed", "reached", "t2")
+        .distinct()
+    )
+    return hop2.groupBy("seed").agg(
+        F.count_distinct("reached").alias("n_reachable"),
+        F.min("t2").alias("first_reach_day"),
+    )

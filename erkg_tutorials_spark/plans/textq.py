@@ -962,3 +962,55 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tok") / (1.0 * F.col("n")), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease readability (Flesch 1948 — the standard
+# documented formula: 206.835 − 1.015·(words/sentences) −
+# 84.6·(syllables/words)), with the classic vowel-group syllable
+# heuristic. All three counts are exact integers from one scan-side
+# projection (regexp_extract_all / split — no Python); the score is a
+# fixed 5-op float expression over those integers, identical
+# left-to-right in both engines, rounded once at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "text_readability",
+    """
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           ROUND(206.835 - 1.015 * (n_words / (1.0 * n_sents))
+                         - 84.6 * (n_syll / (1.0 * n_words)), 4) AS flesch
+    FROM counts WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from exact integer word/sentence/vowel-group counts, scan-side only."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_words = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    ).cast("long")
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")), F.lit(1)
+    ).cast("long")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    counts = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / (1.0 * F.col("n_sents")))
+        - F.lit(84.6) * (F.col("n_syll") / (1.0 * F.col("n_words"))),
+        4,
+    )
+    return counts.where(F.col("n_words") > 0).withColumn("flesch", flesch)
