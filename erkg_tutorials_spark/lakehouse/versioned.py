@@ -4,23 +4,26 @@ parquet directories.
 
 Layout under a table root:
 
-    <root>/data/v<N>/part-*.parquet   one immutable data dir per commit
+    <root>/data/v<N>-<uuid>/part-*.parquet  one immutable data dir per commit
     <root>/_manifests/<N>.json        {"version", "parent", "mode",
                                        "files": [relative paths]}
 
-Commit protocol: write the new version's data dir, then write the
-manifest to ``<N>.json.tmp`` and ``os.rename`` it into place — the
-rename is the atomic commit point, exactly the Delta log's
-"manifest-last" rule. A reader resolves a version (latest committed,
+Commit protocol: write the new version's data dir (uuid-suffixed —
+concurrent writers never collide on the write path), then publish
+the manifest with ``os.link`` — atomic create-if-absent, so exactly
+ONE writer wins each version number and the loser raises
+``ConcurrentCommitError`` instead of silently replacing the winner
+(optimistic concurrency, the Delta log's "manifest-last" rule plus
+its conflict check). A reader resolves a version (latest committed,
 or AS OF ``n``) to its manifest's FILE LIST and reads only those
 files, so:
 
 * snapshot isolation — a concurrent writer never changes any
   committed manifest's file list, so an in-flight read of version n
   is unaffected by version n+1 landing mid-read;
-* torn writes are invisible — a crash before the rename leaves a
-  ``.tmp`` the reader never considers, and the orphaned data dir is
-  unreferenced;
+* torn writes are invisible — a crash before the link leaves a
+  ``.tmp.<pid>`` the reader never considers, and the orphaned data
+  dir is unreferenced (vacuum reclaims it);
 * time travel — every committed version stays readable until
   explicitly vacuumed.
 
@@ -44,6 +47,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this writer was claiming.
+    The table is intact (the winner's commit is durable; the loser's
+    data dir is unreferenced); re-read the log and retry."""
+
+
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifests")
 
@@ -65,7 +74,7 @@ def write_version(
     """Commit ``df`` as a new version of the table at ``root``;
     returns the committed version number. ``mode='overwrite'``
     replaces the logical content, ``'append'`` adds to it. The
-    manifest rename is the atomic commit point.
+    manifest link is the atomic commit point (create-if-absent).
 
     ``batch_id`` makes the commit IDEMPOTENT per id — the streaming
     foreachBatch contract: a replayed micro-batch (same id) returns
@@ -82,10 +91,17 @@ def write_version(
                 return v
     n = (versions[-1] + 1) if versions else 0
     parent = versions[-1] if versions else None
-    data_dir = os.path.join(root, "data", f"v{n}")
+    # uuid-suffixed data dir: racing writers never collide on the
+    # write path — the manifest link below is the only contended
+    # point, and the loser's data dir is unreferenced garbage that
+    # vacuum() reclaims
+    import uuid
+
+    vdir = f"v{n}-{uuid.uuid4().hex[:8]}"
+    data_dir = os.path.join(root, "data", vdir)
     df.write.mode("errorifexists").parquet(data_dir)
     files = sorted(
-        os.path.join("data", f"v{n}", f)
+        os.path.join("data", vdir, f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
@@ -95,10 +111,25 @@ def write_version(
     manifest = {"version": n, "parent": parent, "mode": mode, "files": files}
     if batch_id is not None:
         manifest["batch_id"] = batch_id
-    tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp")
+    tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_manifest_dir(root), f"{n}.json"))
+    # Optimistic concurrency: claim version n with link(2) — atomic
+    # create-if-absent, unlike rename(2), which silently REPLACES an
+    # existing target (two racing writers would both "win" n and one
+    # commit would be lost). A loser of the race gets EEXIST and
+    # raises; callers retry by re-reading the log (Delta's conflict-
+    # resolution protocol, reduced to its primitive).
+    final = os.path.join(_manifest_dir(root), f"{n}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"versioned table {root}: version {n} was committed "
+            "concurrently; re-read the log and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return n
 
 

@@ -23,7 +23,7 @@ def test_append_and_overwrite_file_lists(spark, tmp_path):
     assert write_version(spark.range(3), root, "overwrite") == 2
     m0, m1, m2 = (read_manifest(root, i) for i in range(3))
     assert set(m0["files"]) < set(m1["files"])  # append carries parent files
-    assert all(f.startswith("data/v2/") for f in m2["files"])  # overwrite resets
+    assert all(f.startswith("data/v2-") for f in m2["files"])  # overwrite resets
     assert read_version(spark, root, 0).count() == 10
     assert read_version(spark, root, 1).count() == 15
     assert read_version(spark, root).count() == 3  # latest = v2
@@ -100,7 +100,8 @@ def test_vacuum_after_overwrite_frees_unreferenced_dirs(spark, tmp_path):
     write_version(spark.range(10), root, "overwrite")
     write_version(spark.range(3), root, "overwrite")
     vacuum(root, keep_versions=1)
-    assert sorted(os.listdir(os.path.join(root, "data"))) == ["v1"]
+    dirs = os.listdir(os.path.join(root, "data"))
+    assert len(dirs) == 1 and dirs[0].startswith("v1-")
     assert read_version(spark, root).count() == 3
 
 
@@ -160,3 +161,38 @@ def test_versioned_log_matches_model(spark, tmp_path_factory, cmds):
     for v, expect in enumerate(model):
         got = {r[0] for r in read_version(spark, root, v).collect()}
         assert got == expect, (v, cmds)
+
+
+def test_concurrent_commit_loser_raises_and_table_intact(spark, tmp_path):
+    """Two writers racing for the same version: exactly one wins the
+    manifest link; the loser raises ConcurrentCommitError and the
+    winner's commit plus all prior versions stay readable."""
+    import json as _json
+
+    from erkg_tutorials_spark.lakehouse.versioned import (
+        ConcurrentCommitError,
+        _manifest_dir,
+    )
+
+    from unittest import mock
+
+    import erkg_tutorials_spark.lakehouse.versioned as V
+
+    root = str(tmp_path / "t")
+    write_version(spark.range(5), root, "overwrite")
+    # race: the loser reads the log (sees [0]), then the winner
+    # commits version 1 before the loser's link — modeled by pinning
+    # the loser's log read to the stale snapshot
+    winner = {"version": 1, "parent": 0, "mode": "append",
+              "files": read_manifest(root, 0)["files"]}
+    with open(os.path.join(_manifest_dir(root), "1.json"), "w") as fh:
+        _json.dump(winner, fh)
+    with mock.patch.object(V, "committed_versions", return_value=[0]):
+        with pytest.raises(ConcurrentCommitError, match="version 1"):
+            V.write_version(spark.range(5, 10), root, "append")
+    # winner intact, loser's data dir unreferenced, no torn state
+    assert committed_versions(root) == [0, 1]
+    assert read_version(spark, root).count() == 5
+    # retry after re-reading the log succeeds as version 2
+    assert write_version(spark.range(5, 10), root, "append") == 2
+    assert read_version(spark, root).count() == 10
