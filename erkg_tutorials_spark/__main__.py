@@ -6,6 +6,7 @@
     python -m erkg_tutorials_spark oracle <query>        # print the DuckDB twin
     python -m erkg_tutorials_spark pipeline <report> <suspicious> <countries> <out_dir>
     python -m erkg_tutorials_spark index save|load <path> [--sf-dir DIR]
+    python -m erkg_tutorials_spark table history|read|compact|vacuum <root> [...]
 
 ``run`` prints the result as a table (default 20 rows); ``explain``
 prints the formatted physical plan; ``pipeline`` executes the E1
@@ -58,6 +59,20 @@ def main(argv: list[str] | None = None) -> int:
         help="which index family to save/load (default: all); families "
         "live under <path>/vector and <path>/graph when saving both",
     )
+
+    p_tbl = sub.add_parser(
+        "table",
+        help="versioned-manifest table lifecycle (lakehouse/versioned.py)",
+    )
+    p_tbl.add_argument(
+        "action", choices=("history", "read", "compact", "vacuum")
+    )
+    p_tbl.add_argument("root")
+    p_tbl.add_argument("--version", type=int, default=None,
+                       help="read: AS OF this version (default latest)")
+    p_tbl.add_argument("--limit", type=int, default=20)
+    p_tbl.add_argument("--target-files", type=int, default=1)
+    p_tbl.add_argument("--keep-versions", type=int, default=1)
 
     args = p.parse_args(argv)
 
@@ -136,6 +151,40 @@ def main(argv: list[str] | None = None) -> int:
                 loaded = store.load_index(spark, args.sf_dir, path)
                 for name, df in loaded.items():
                     print(f"loaded [{fam}] {name}: {df.count()} rows")
+        return 0
+
+    if args.cmd == "table":
+        from erkg_tutorials_spark.lakehouse.versioned import (
+            committed_versions,
+            compact,
+            read_manifest,
+            read_version,
+            vacuum,
+        )
+
+        if args.action == "history":
+            versions = committed_versions(args.root)
+            if not versions:
+                print(f"no committed versions under {args.root}")
+                return 1
+            for v in versions:
+                m = read_manifest(args.root, v)
+                bid = f" batch_id={m['batch_id']}" if "batch_id" in m else ""
+                print(
+                    f"v{v}  mode={m['mode']}  files={len(m['files'])}"
+                    f"  parent={m['parent']}{bid}"
+                )
+        elif args.action == "read":
+            read_version(spark, args.root, args.version).show(
+                args.limit, truncate=False
+            )
+        elif args.action == "compact":
+            v = compact(spark, args.root, target_files=args.target_files)
+            print(f"compacted into v{v} ({args.target_files} file(s))")
+        else:
+            dropped = vacuum(args.root, keep_versions=args.keep_versions)
+            print(f"vacuumed versions {dropped or '[]'}; "
+                  f"kept {committed_versions(args.root)}")
         return 0
 
     if args.query not in QUERIES:
