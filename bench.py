@@ -190,6 +190,10 @@ HEADLINE = [
     "stream_versioned_ingest",
     "stream_attribution_outer",
     "g_harmonic_closeness",
+    # round-7 additions (late): file-pruned MERGE INTO + change data
+    # feed over the versioned table
+    "merge_upsert_orders",
+    "cdf_orders_merge",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

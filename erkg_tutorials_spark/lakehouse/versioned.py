@@ -158,6 +158,257 @@ def read_version(
     return spark.read.parquet(*files)
 
 
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: str | list[str],
+    when_matched_delete: str | None = None,
+    when_matched_update: bool = True,
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """Delta-style MERGE INTO the latest snapshot, committing the
+    result as a new version. Semantics (evaluated per target row
+    against at most one source row):
+
+    * WHEN MATCHED AND ``when_matched_delete`` (a SQL boolean over the
+      SOURCE row image) → the target row is deleted;
+    * WHEN MATCHED (and ``when_matched_update``) → the target row is
+      replaced by the source row;
+    * WHEN NOT MATCHED (and ``when_not_matched_insert``) → the source
+      row is inserted;
+    * target rows with no source match are carried unchanged.
+
+    A source with two rows for one key is ambiguous — rejected up
+    front with ``ValueError`` (the Delta MERGE cardinality rule), not
+    resolved arbitrarily.
+
+    Scale design: the merge REWRITES ONLY TOUCHED FILES. Matched keys
+    are located with one semi-join against ``input_file_name()``; the
+    untouched files (at 100 TB, almost all of them) are carried into
+    the new manifest by reference, so merge cost is
+    O(touched data + source), never O(table). This is the Delta/
+    Iceberg copy-on-write MERGE file-pruning strategy; the manifest's
+    ``replaced`` field records exactly which files were rewritten.
+    Conflict rule: the merge is computed against the parent snapshot,
+    so the version claim is parent+1 via the same atomic link — if a
+    concurrent commit wins that number, the merge raises
+    ``ConcurrentCommitError`` rather than publishing a result derived
+    from a stale snapshot.
+
+    Returns ``{"version", "files_total", "files_rewritten",
+    "rows_updated", "rows_deleted", "rows_inserted",
+    "rows_rewritten_unchanged"}``.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    versions = committed_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"versioned table {root}: no committed version")
+    parent = versions[-1]
+    parent_files = read_manifest(root, parent)["files"]
+    target_cols = read_version(spark, root, parent).columns
+    missing = set(target_cols) - set(source.columns)
+    if missing:
+        raise ValueError(f"merge source is missing target columns: {sorted(missing)}")
+    source = source.select(*target_cols)
+
+    dup = (
+        source.groupBy(*keys)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_repr = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"merge source has multiple rows for key {key_repr} — "
+            "MERGE requires at most one source row per target key"
+        )
+
+    # Locate the files holding matched keys: one semi-join, then a
+    # distinct over file names (bounded by the file count — the same
+    # O(files) driver-side metadata scale as the manifest itself).
+    abs_files = [os.path.join(root, f) for f in parent_files]
+    target = spark.read.parquet(*abs_files).withColumn(
+        "_file", F.input_file_name()
+    )
+    src_keys = source.select(*keys).distinct()
+    touched_uris = [
+        r["_file"]
+        for r in target.join(F.broadcast(src_keys), on=keys, how="left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    # input_file_name() returns a URI; match manifest entries by their
+    # "<vdir>/<file>" suffix, which is unique within the table.
+    touched_suffixes = {"/".join(u.split("/")[-2:]) for u in touched_uris}
+    touched = [f for f in parent_files if "/".join(f.split("/")[-2:]) in touched_suffixes]
+    kept = [f for f in parent_files if f not in set(touched)]
+
+    if touched:
+        rewrite_rows = spark.read.parquet(
+            *[os.path.join(root, f) for f in touched]
+        )
+    else:
+        rewrite_rows = spark.createDataFrame([], target.drop("_file").schema)
+
+    delete_col = (
+        F.expr(when_matched_delete) if when_matched_delete is not None else F.lit(False)
+    )
+    # presence markers (non-null literals) rather than key-nullness:
+    # correct even for tables whose key columns hold genuine nulls
+    src = source.withColumn("_s_delete", delete_col).select(
+        *[F.col(c).alias(f"_s_{c}") for c in target_cols], "_s_delete"
+    )
+    tgt = rewrite_rows.withColumn("_t_present", F.lit(True))
+    cond = [tgt[k].eqNullSafe(src[f"_s_{k}"]) for k in keys]
+    joined = tgt.join(src, on=cond, how="full_outer")
+    matched = src["_s_delete"].isNotNull() & tgt["_t_present"].isNotNull()
+    src_only = tgt["_t_present"].isNull()
+    action = (
+        F.when(matched & F.col("_s_delete").eqNullSafe(F.lit(True)), F.lit("D"))
+        .when(matched, F.lit("U" if when_matched_update else "T"))
+        .when(src_only, F.lit("I" if when_not_matched_insert else "X"))
+        .otherwise(F.lit("T"))  # target-only: carry unchanged
+    )
+    take_source = F.col("_action").isin("U", "I")
+    merged = (
+        joined.withColumn("_action", action)
+        .where(~F.col("_action").isin("D", "X"))
+        .select(
+            *[
+                F.when(take_source, src[f"_s_{c}"]).otherwise(tgt[c]).alias(c)
+                for c in target_cols
+            ],
+            "_action",
+        )
+    )
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"merge-{uuid.uuid4().hex[:8]}")
+    merged = merged.observe(
+        obs,
+        F.sum((F.col("_action") == "U").cast("long")).alias("updated"),
+        F.sum((F.col("_action") == "I").cast("long")).alias("inserted"),
+        F.sum((F.col("_action") == "T").cast("long")).alias("carried"),
+    )
+
+    n = parent + 1
+    vdir = f"v{n}-{uuid.uuid4().hex[:8]}"
+    data_dir = os.path.join(root, "data", vdir)
+    merged.drop("_action").write.mode("errorifexists").parquet(data_dir)
+    stats_raw = obs.get
+    new_files = sorted(
+        os.path.join("data", vdir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    stats = {
+        "version": n,
+        "files_total": len(parent_files),
+        "files_rewritten": len(touched),
+        "rows_updated": int(stats_raw["updated"] or 0),
+        "rows_inserted": int(stats_raw["inserted"] or 0),
+        "rows_rewritten_unchanged": int(stats_raw["carried"] or 0),
+    }
+    manifest = {
+        "version": n,
+        "parent": parent,
+        "mode": "merge",
+        "files": kept + new_files,
+        "replaced": touched,
+        "stats": {k: v for k, v in stats.items() if k != "version"},
+    }
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = os.path.join(_manifest_dir(root), f"{n}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"versioned table {root}: version {n} was committed concurrently; "
+            "the merge was computed against a stale snapshot — retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return stats
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    on: str | list[str],
+) -> DataFrame:
+    """Change data feed between two committed versions: the row-level
+    diff keyed on ``on``, one output row per change with a
+    ``_change_type`` column in (``insert``, ``delete``,
+    ``update_preimage``, ``update_postimage``) — Delta CDF semantics
+    computed from the two snapshots. An update emits BOTH images.
+
+    Scale: one full-outer join on the key between the two snapshots;
+    unchanged rows (the overwhelming majority at 100 TB) are filtered
+    by a null-safe struct comparison inside codegen before the
+    explode, so the emitted feed is O(changes), not O(table).
+    """
+    from pyspark.sql import functions as F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    old = read_version(spark, root, from_version)
+    cols = old.columns
+    nonkey = [c for c in cols if c not in keys]
+    new = read_version(spark, root, to_version).select(*cols)
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(c) for c in nonkey]).alias("_o"),
+    )
+    nw = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in nonkey]).alias("_n"),
+    )
+    cond = [o[k].eqNullSafe(nw[f"_nk_{k}"]) for k in keys]
+    j = o.join(nw, on=cond, how="full_outer")
+    in_old = o[keys[0]].isNotNull() | o["_o"].isNotNull()
+    in_new = nw[f"_nk_{keys[0]}"].isNotNull() | nw["_n"].isNotNull()
+    # (presence is detected via the struct side being non-null, which
+    # a full-outer join guarantees exactly on the present side, even
+    # when key columns are legitimately null-valued). Filter unchanged
+    # rows FIRST — it keeps the feed O(changes) and means the images
+    # expression below never needs an empty-array branch.
+    changed = j.where(~(in_old & in_new & F.col("_o").eqNullSafe(F.col("_n"))))
+    images = (
+        F.when(~in_new, F.array(F.struct(F.lit("delete").alias("_change_type"), F.col("_o").alias("_img"))))
+        .when(~in_old, F.array(F.struct(F.lit("insert").alias("_change_type"), F.col("_n").alias("_img"))))
+        .otherwise(
+            F.array(
+                F.struct(F.lit("update_preimage").alias("_change_type"), F.col("_o").alias("_img")),
+                F.struct(F.lit("update_postimage").alias("_change_type"), F.col("_n").alias("_img")),
+            )
+        )
+    )
+    exploded = changed.select(
+        *[F.coalesce(o[k], nw[f"_nk_{k}"]).alias(k) for k in keys],
+        F.explode(images).alias("_c"),
+    )
+    return exploded.select(
+        *keys,
+        *[F.col(f"_c._img.{c}").alias(c) for c in nonkey],
+        F.col("_c._change_type").alias("_change_type"),
+        F.lit(from_version).cast("long").alias("_from_version"),
+        F.lit(to_version).cast("long").alias("_to_version"),
+    )
+
+
 def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     """Rewrite the LATEST snapshot's content into ``target_files``
     files and commit it as a new overwrite version. Old versions stay

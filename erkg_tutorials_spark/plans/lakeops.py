@@ -686,3 +686,169 @@ def ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO over the versioned-manifest table (lakehouse/versioned.py
+# merge_into) — the Delta copy-on-write MERGE reduced to its engine
+# core. The table commits v0 = full orders, range-partitioned into 8
+# files by o_orderkey; the merge batch is derived deterministically
+# from the FIRST KEY DECILE (bound = max(o_orderkey) // 10, one
+# bounded driver scalar like the landmark/pattern-length precedents):
+#   * matched, key % 7 = 0, key % 3 = 0  -> DELETE
+#   * matched, key % 7 = 0, key % 3 <> 0 -> UPDATE (o_totalprice
+#     doubled — exact IEEE op, so the cents oracle stays exact)
+#   * unmatched synthetic rows (key = -key, status 'N', key % 11 = 0)
+#     -> INSERT
+# Confining the batch to one key decile makes the file-pruned rewrite
+# REAL in this query, not just in unit tests: only the range files
+# holding the first decile are rewritten, the other ~7/8 of the table
+# is carried into the child manifest by reference (the manifest's
+# `replaced` field + tests/test_versioned_merge.py pin this). The
+# oracle recomputes the merged snapshot straight from the orders view
+# with the same modular arithmetic.
+# ---------------------------------------------------------------------------
+def _merged_orders_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the two-version merged orders table and
+    return its root. v0 = full orders; v1 = MERGE result."""
+    import os
+
+    from erkg_tutorials_spark.lakehouse.versioned import (
+        committed_versions,
+        merge_into,
+        write_version,
+    )
+    from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    safe = sf_dir.strip("/").replace("/", "_")
+    name = f"merge_orders_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root = f"/tmp/erkg_versioned/{name}"
+    versions = committed_versions(root)
+    orders = None
+    if not versions:
+        _evict_stale_layouts("/tmp/erkg_versioned", f"merge_orders_{safe}_", name)
+        orders = load_tables(spark, sf_dir)["orders"]
+        write_version(
+            orders.repartitionByRange(8, "o_orderkey"), root, "overwrite"
+        )
+        versions = [0]
+    if len(versions) == 1:
+        if orders is None:
+            orders = load_tables(spark, sf_dir)["orders"]
+        bound = orders.agg(F.max("o_orderkey")).collect()[0][0] // 10
+        decile = orders.where(F.col("o_orderkey") <= F.lit(bound))
+        updates = decile.where(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        inserts = (
+            decile.where((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") > 0))
+            .withColumn("o_orderkey", -F.col("o_orderkey"))
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+        merge_into(
+            spark,
+            root,
+            updates.unionByName(inserts),
+            on="o_orderkey",
+            when_matched_delete="o_orderkey % 3 = 0",
+        )
+    return root
+
+
+_MERGE_BOUND_SQL = "(SELECT MAX(o_orderkey) // 10 FROM orders)"
+
+
+@register(
+    "merge_upsert_orders",
+    f"""
+    WITH merged AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey <= {_MERGE_BOUND_SQL}
+                       AND o_orderkey % 7 = 0
+                  THEN {sql_money_cents('o_totalprice * 2')}
+                  ELSE {sql_money_cents('o_totalprice')} END AS cents
+      FROM orders
+      WHERE NOT (o_orderkey <= {_MERGE_BOUND_SQL}
+                 AND o_orderkey % 7 = 0 AND o_orderkey % 3 = 0)
+      UNION ALL
+      SELECT 'N' AS o_orderstatus, {sql_money_cents('o_totalprice')} AS cents
+      FROM orders
+      WHERE o_orderkey <= {_MERGE_BOUND_SQL} AND o_orderkey % 11 = 0
+        AND o_orderkey > 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status exact aggregates of the snapshot produced by a file-pruned MERGE INTO (update/delete/insert arms) on the versioned orders table."""
+    from erkg_tutorials_spark.lakehouse.versioned import read_version
+
+    root = _merged_orders_root(spark, sf_dir)
+    return (
+        read_version(spark, root)  # latest = the merge commit
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(money_cents(F.col("o_totalprice"))).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed between the two versions of the merged table —
+# Delta CDF semantics (insert / delete / update_preimage /
+# update_postimage, updates emit BOTH images) computed from the
+# snapshots by table_changes(). The feed must reconcile EXACTLY with
+# the merge arms above: the oracle recomputes each change class's
+# count and cents directly from the orders view, so a drift in either
+# the merge or the diff algebra is a hash mismatch here.
+# ---------------------------------------------------------------------------
+@register(
+    "cdf_orders_merge",
+    f"""
+    WITH upd AS (
+      SELECT * FROM orders
+      WHERE o_orderkey <= {_MERGE_BOUND_SQL} AND o_orderkey % 7 = 0
+    )
+    SELECT 'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({sql_money_cents('o_totalprice')}) AS BIGINT) AS total_cents
+    FROM upd WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM({sql_money_cents('o_totalprice')}) AS BIGINT)
+    FROM upd WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM({sql_money_cents('o_totalprice * 2')}) AS BIGINT)
+    FROM upd WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM({sql_money_cents('o_totalprice')}) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey <= {_MERGE_BOUND_SQL} AND o_orderkey % 11 = 0
+      AND o_orderkey > 0
+    """,
+)
+def cdf_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed rollup (count + exact cents per change type) between the pre-merge and post-merge versions of the orders table."""
+    from erkg_tutorials_spark.lakehouse.versioned import table_changes
+
+    root = _merged_orders_root(spark, sf_dir)
+    feed = table_changes(spark, root, 0, 1, on="o_orderkey")
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(money_cents(F.col("o_totalprice"))).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )

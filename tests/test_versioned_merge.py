@@ -1,0 +1,189 @@
+"""MERGE INTO + change data feed over the versioned-manifest table
+(lakehouse/versioned.py): merge semantics per action arm, the Delta
+cardinality rule, file-pruned rewrite (untouched files carried by
+reference), optimistic concurrency on the merge commit, and the
+CDF/merge reconciliation invariant (applying the feed to the old
+snapshot reproduces the new one exactly)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.lakehouse.versioned import (
+    ConcurrentCommitError,
+    merge_into,
+    read_manifest,
+    read_version,
+    table_changes,
+    write_version,
+)
+
+
+def _base(spark, root, n=100, files=4):
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.concat(F.lit("row-"), F.col("id")).alias("tag"),
+        )
+        .repartitionByRange(files, "k")
+    )
+    write_version(df, root, "overwrite")
+    return df
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_update_insert_delete_semantics(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=20, files=2)
+    # source: update k in {3, 4} (v -> 999), delete k=5, insert k=100
+    source = spark.createDataFrame(
+        [(3, 999, "upd-3"), (4, 999, "upd-4"), (5, 0, "del-5"), (100, 1, "new")],
+        "k long, v long, tag string",
+    )
+    stats = merge_into(
+        spark, root, source, on="k", when_matched_delete="v = 0"
+    )
+    assert stats["rows_updated"] == 2
+    assert stats["rows_inserted"] == 1
+    out = {r["k"]: (r["v"], r["tag"]) for r in read_version(spark, root).collect()}
+    assert 5 not in out                      # deleted
+    assert out[3] == (999, "upd-3")          # updated from source image
+    assert out[4] == (999, "upd-4")
+    assert out[100] == (1, "new")            # inserted
+    assert out[7] == (70, "row-7")           # untouched row carried
+    assert len(out) == 20  # 20 - 1 delete + 1 insert
+
+
+def test_merge_cardinality_violation_raises(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=10, files=1)
+    dup = spark.createDataFrame(
+        [(3, 1, "a"), (3, 2, "b")], "k long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(spark, root, dup, on="k")
+    # the failed merge must not have committed anything
+    assert read_manifest(root, 0)["version"] == 0
+    assert read_version(spark, root).count() == 10
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=100, files=4)  # range-partitioned: k 0..24, 25..49, ...
+    m0 = read_manifest(root, 0)
+    # all source keys live in the first range file
+    source = spark.createDataFrame(
+        [(1, -1, "u1"), (2, -2, "u2")], "k long, v long, tag string"
+    )
+    stats = merge_into(spark, root, source, on="k")
+    assert stats["files_total"] == len(m0["files"])
+    assert 1 <= stats["files_rewritten"] < len(m0["files"])
+    m1 = read_manifest(root, 1)
+    assert m1["mode"] == "merge"
+    # untouched parent files are carried into the child BY REFERENCE
+    kept = set(m0["files"]) - set(m1["replaced"])
+    assert kept and kept < set(m1["files"])
+    assert set(m1["replaced"]) <= set(m0["files"])
+    # content is still exactly right
+    out = {r["k"]: r["v"] for r in read_version(spark, root).collect()}
+    assert out[1] == -1 and out[2] == -2 and out[99] == 990
+    assert len(out) == 100
+
+
+def test_merge_pure_insert_touches_no_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=10, files=2)
+    m0 = read_manifest(root, 0)
+    source = spark.createDataFrame([(500, 5, "new")], "k long, v long, tag string")
+    stats = merge_into(spark, root, source, on="k")
+    assert stats["files_rewritten"] == 0
+    m1 = read_manifest(root, 1)
+    assert set(m0["files"]) < set(m1["files"])  # all parent files kept
+    assert read_version(spark, root).count() == 11
+
+
+def test_merge_insert_disabled_and_update_disabled(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=10, files=1)
+    source = spark.createDataFrame(
+        [(3, 999, "upd"), (100, 1, "new")], "k long, v long, tag string"
+    )
+    merge_into(
+        spark, root, source, on="k",
+        when_matched_update=False, when_not_matched_insert=False,
+    )
+    out = {r["k"]: r["v"] for r in read_version(spark, root).collect()}
+    assert out[3] == 30 and 100 not in out and len(out) == 10
+
+
+def test_merge_conflicts_with_concurrent_commit(spark, tmp_path, monkeypatch):
+    import erkg_tutorials_spark.lakehouse.versioned as V
+
+    root = str(tmp_path / "t")
+    _base(spark, root, n=10, files=1)
+    source = spark.createDataFrame([(3, 9, "u")], "k long, v long, tag string")
+
+    # land a competing commit between the merge's snapshot read and its
+    # manifest link by hooking the data-dir listing step
+    real_listdir = V.os.listdir
+    fired = {"done": False}
+
+    def racing_listdir(path):
+        if "data/v1-" in str(path).replace("\\", "/") and not fired["done"]:
+            fired["done"] = True
+            write_version(spark.range(3).selectExpr(
+                "id as k", "id as v", "'x' as tag"), root, "append")
+        return real_listdir(path)
+
+    monkeypatch.setattr(V.os, "listdir", racing_listdir)
+    with pytest.raises(ConcurrentCommitError):
+        merge_into(spark, root, source, on="k")
+    # winner's commit is intact; the loser published nothing
+    assert read_version(spark, root).count() == 13
+    assert read_manifest(root, 1)["mode"] == "append"
+
+
+def test_table_changes_matches_merge_and_reapplies(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=30, files=2)
+    source = spark.createDataFrame(
+        [(3, 999, "u3"), (7, 999, "u7"), (9, 0, "d9"), (200, 1, "n")],
+        "k long, v long, tag string",
+    )
+    merge_into(spark, root, source, on="k", when_matched_delete="v = 0")
+    cdf = table_changes(spark, root, 0, 1, on="k")
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "delete": 1, "insert": 1,
+        "update_preimage": 2, "update_postimage": 2,
+    }
+    # reconciliation: old snapshot + feed == new snapshot, exactly
+    old = read_version(spark, root, 0)
+    new = read_version(spark, root, 1)
+    feed = cdf.select("k", "v", "tag", "_change_type")
+    removed = feed.where(F.col("_change_type").isin("delete", "update_preimage"))
+    added = feed.where(F.col("_change_type").isin("insert", "update_postimage"))
+    reapplied = (
+        old.exceptAll(removed.drop("_change_type"))
+        .unionByName(added.drop("_change_type"))
+    )
+    assert _rows(reapplied) == _rows(new)
+    # pre/post images carry the correct values
+    pre = {r["k"]: r["v"] for r in cdf.where("_change_type = 'update_preimage'").collect()}
+    post = {r["k"]: r["v"] for r in cdf.where("_change_type = 'update_postimage'").collect()}
+    assert pre == {3: 30, 7: 70} and post == {3: 999, 7: 999}
+
+
+def test_table_changes_empty_diff_between_identical_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _base(spark, root, n=10, files=1)
+    write_version(df, root, "overwrite")  # identical content, new version
+    assert table_changes(spark, root, 0, 1, on="k").count() == 0
