@@ -194,6 +194,8 @@ HEADLINE = [
     # feed over the versioned table
     "merge_upsert_orders",
     "cdf_orders_merge",
+    "rcte_customer_hierarchy",
+    "events_gap_fill",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -272,3 +272,61 @@ def udtf_dynamic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= NGRAM_TOP)
         .select("w1", "w2", "w3", "n_occ")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 native WITH RECURSIVE) — iterative reach
+# expressed declaratively, no driver-side loop. The hierarchy is the
+# deterministic decimal-digit forest over customer keys (parent =
+# k div 10, roots = keys < 10), so both engines derive identical
+# edges with no auxiliary table. Each recursion level joins the
+# previous frontier against the customer scan — the same
+# frontier-expansion shape as graph/khop.py, but planned entirely by
+# Catalyst's UnionLoop. Depth is bounded by the key width (<= 6
+# levels at sf1), far under spark.sql.cteRecursionLevelLimit.
+# Scale note: at 100 TB the recursive arm is a per-level equi-join on
+# the parent key — broadcast-able frontier, partial-agg rollup; the
+# CTE plan is the same physical loop the hand-built khop runs, with
+# Spark 4 owning the fixpoint bookkeeping.
+# ---------------------------------------------------------------------------
+@register(
+    "rcte_customer_hierarchy",
+    """
+    WITH RECURSIVE tree AS (
+      SELECT c_custkey AS k, 0 AS depth, c_custkey AS root
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1, t.root
+      FROM customer c JOIN tree t ON c.c_custkey // 10 = t.k
+      WHERE c.c_custkey >= 10
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM tree GROUP BY depth
+    """,
+)
+def rcte_customer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE hierarchy walk: per-depth node count, reachable-root count, and exact key sum over the customer digit-forest."""
+    tables = load_tables(spark, sf_dir)
+    tables["customer"].createOrReplaceTempView("spark4_rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS k, CAST(0 AS BIGINT) AS depth,
+                 c_custkey AS root
+          FROM spark4_rcte_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1, t.root
+          FROM spark4_rcte_customer c JOIN tree t
+            ON c.c_custkey div 10 = t.k
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth,
+               COUNT(*) AS n_nodes,
+               COUNT(DISTINCT root) AS n_roots,
+               SUM(k) AS key_sum
+        FROM tree GROUP BY depth
+        """
+    )

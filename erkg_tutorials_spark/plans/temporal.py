@@ -446,3 +446,143 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_purchases"),
         (F.sum("cents") / 100.0).alias("attributed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + interpolation: regularize each event type's daily value
+# series onto its full [min_day, max_day] calendar grid (sequence +
+# explode — arithmetic row generation, no join against a calendar
+# table), then fill the holes two ways:
+#   * forward fill (last known daily total carried forward), and
+#   * linear interpolation between the surrounding known days,
+#     emitted as an EXACT RATIONAL — integer numerator and
+#     denominator — so cross-engine equality is bit-exact with no
+#     float-rounding convention in sight (the same reason the money
+#     pattern sums integer cents):
+#       num = prev*(d_next - d_prev) + (next - prev)*(d - d_prev)
+#       den = d_next - d_prev
+# Grid bounds come from observed days, so every gap row has both a
+# previous and a next known value by construction. One shuffle on
+# event_type; the fills are two ignore-nulls windows over the grid.
+# At 100 TB the grid is O(types x days) — tiny next to the raw events
+# — and the windows partition by type, so no global sort appears.
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_fill",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM daily GROUP BY event_type
+    ),
+    grid AS (
+      SELECT b.event_type, gs.day
+      FROM bounds b, UNNEST(generate_series(b.d0, b.d1)) AS gs(day)
+    ),
+    filled AS (
+      SELECT g.event_type, g.day, d.cents,
+             COALESCE(d.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN daily d
+        ON g.event_type = d.event_type AND g.day = d.day
+    ),
+    spanned AS (
+      SELECT event_type, day, n_events, cents,
+             LAST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_cents,
+             LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             FIRST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_cents,
+             FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM filled
+    )
+    SELECT event_type,
+           CAST(day AS BIGINT) AS day,
+           n_events,
+           CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+           CAST(prev_cents AS BIGINT) AS ffill_cents,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+                ELSE prev_cents * (next_day - prev_day)
+                     + (next_cents - prev_cents) * (day - prev_day)
+                END AS BIGINT) AS interp_num,
+           CAST(CASE WHEN cents IS NOT NULL THEN 1
+                ELSE next_day - prev_day END AS BIGINT) AS interp_den
+    FROM spanned
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill per event type: full daily grid with forward-filled cents and exact-rational linear interpolation (num/den BIGINTs)."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.expr("ts_sec div 86400").alias("day"),
+        money_cents(F.col("value")).alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("cents"), F.count("*").alias("n_events")
+    )
+    grid = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "cents",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    spanned = filled.select(
+        "event_type",
+        "day",
+        "n_events",
+        "cents",
+        F.last("cents", ignorenulls=True).over(back).alias("prev_cents"),
+        F.last(known_day, ignorenulls=True).over(back).alias("prev_day"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("next_cents"),
+        F.first(known_day, ignorenulls=True).over(fwd).alias("next_day"),
+    )
+    span = F.col("next_day") - F.col("prev_day")
+    return spanned.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "n_events",
+        F.when(F.col("cents").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        F.col("prev_cents").cast("long").alias("ffill_cents"),
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(
+            F.col("prev_cents") * span
+            + (F.col("next_cents") - F.col("prev_cents"))
+            * (F.col("day") - F.col("prev_day"))
+        )
+        .cast("long")
+        .alias("interp_num"),
+        F.when(F.col("cents").isNotNull(), 1)
+        .otherwise(span)
+        .cast("long")
+        .alias("interp_den"),
+    )
