@@ -314,3 +314,35 @@ class TestDriverContract:
             if nested:
                 bad[name] = nested
         assert not bad, f"nested top-level output columns: {bad}"
+
+
+class TestRound7LateAdditions:
+    def test_rcte_uses_native_union_loop(self, spark):
+        """rcte_customer_hierarchy must run on Spark 4's native
+        recursive-CTE execution (UnionLoop), not any rewrite that
+        materializes per-level unions driver-side."""
+        plan = plan_of(QUERIES["rcte_customer_hierarchy"](spark, SF_DIR))
+        assert "UnionLoop" in plan, plan
+
+    def test_gap_fill_grid_is_generated_not_joined(self, spark):
+        """The calendar grid must come from explode(sequence(...)) —
+        arithmetic row generation — with no cartesian/calendar-table
+        join anywhere in the plan."""
+        plan = plan_of(QUERIES["events_gap_fill"](spark, SF_DIR))
+        assert "Generate" in plan and "sequence" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_cdf_filters_unchanged_rows_before_image_explode(self, spark):
+        """table_changes must emit O(changes): the null-safe struct
+        comparison filter sits between the full-outer key join and the
+        image explode, so unchanged rows never reach the Generate."""
+        df = QUERIES["cdf_orders_merge"](spark, SF_DIR)
+        plan = plan_of(df, "simple")
+        lines = plan.splitlines()
+        gen = next(i for i, l in enumerate(lines) if "Generate" in l)
+        join = next(
+            i for i, l in enumerate(lines)
+            if "SortMergeJoin" in l and "FullOuter" in l
+        )
+        filt = [i for i, l in enumerate(lines) if "Filter" in l and gen < i < join]
+        assert filt, plan  # tree order: Generate above Filter above Join
