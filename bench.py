@@ -196,6 +196,7 @@ HEADLINE = [
     "cdf_orders_merge",
     "rcte_customer_hierarchy",
     "events_gap_fill",
+    "stream_cdc_upsert",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -166,6 +166,7 @@ def merge_into(
     when_matched_delete: str | None = None,
     when_matched_update: bool = True,
     when_not_matched_insert: bool = True,
+    batch_id: int | None = None,
 ) -> dict:
     """Delta-style MERGE INTO the latest snapshot, committing the
     result as a new version. Semantics (evaluated per target row
@@ -208,6 +209,15 @@ def merge_into(
     versions = committed_versions(root)
     if not versions:
         raise FileNotFoundError(f"versioned table {root}: no committed version")
+    if batch_id is not None:
+        # the write_version foreachBatch contract, extended to merges:
+        # a replayed micro-batch (same id) returns the already-
+        # committed merge's stats without recomputing or re-writing —
+        # streaming CDC upserts become exactly-once under restart
+        for v in versions:
+            m = read_manifest(root, v)
+            if m.get("batch_id") == batch_id:
+                return {"version": v, **m.get("stats", {})}
     parent = versions[-1]
     parent_files = read_manifest(root, parent)["files"]
     target_cols = read_version(spark, root, parent).columns
@@ -326,6 +336,8 @@ def merge_into(
         "replaced": touched,
         "stats": {k: v for k, v in stats.items() if k != "version"},
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     os.makedirs(_manifest_dir(root), exist_ok=True)
     tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:

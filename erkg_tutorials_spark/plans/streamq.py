@@ -663,3 +663,120 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(pairs, "stream_attribution_outer", "append").select(
         "user_id", "view_event_id", "purchase_event_id", "view_us", "purchase_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert: every micro-batch MERGEs the per-user latest
+# event state into the versioned-manifest table (lakehouse/
+# versioned.py merge_into), keyed on user_id, with the batch id in
+# the manifest so a REPLAYED batch returns the committed merge
+# instead of re-applying it — exactly-once upserts under restart,
+# the Delta streaming-MERGE CDC sink pattern. The batch is first
+# reduced to one row per key (argmax on ts_sec, event_id) to satisfy
+# the MERGE cardinality rule — the standard "latest change wins"
+# reduction a Debezium-style feed needs anyway. The oracle recomputes
+# the final per-user latest state from the whole events table, so
+# equality pins the composition: stream -> per-batch reduce ->
+# file-pruned merge -> commit log -> snapshot read.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_cdc_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS last_cents_sum,
+           CAST(MAX(ts_sec) AS BIGINT) AS latest_ts_sec
+    FROM ranked WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: per-batch latest-per-user reduce, then an idempotent MERGE INTO the versioned table; final snapshot grouped by last event type."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from pyspark.sql import Window as _W
+
+    from erkg_tutorials_spark.lakehouse.versioned import (
+        committed_versions,
+        merge_into,
+        read_version,
+        write_version,
+    )
+
+    safe = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+    name = f"cdc_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root_dir = "/tmp/erkg_stream_versioned"
+    try:
+        for entry in _os.listdir(root_dir):
+            if entry.startswith(f"cdc_{safe}_") and not entry.startswith(name):
+                _shutil.rmtree(_os.path.join(root_dir, entry), ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    table, ckpt = f"{root_dir}/{name}", f"{root_dir}/{name}_ckpt"
+
+    state_schema = (
+        "user_id bigint, event_type string, ts_sec bigint, "
+        "event_id bigint, cents bigint"
+    )
+    if not committed_versions(table):
+        write_version(
+            spark.createDataFrame([], state_schema).repartition(1),
+            table,
+            "overwrite",
+        )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("event_time").alias("ts_sec"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def upsert(batch: DataFrame, bid: int) -> None:
+        w = _W.partitionBy("user_id").orderBy(
+            F.desc("ts_sec"), F.desc("event_id")
+        )
+        latest = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merge_into(
+            batch.sparkSession, table, latest, on="user_id", batch_id=bid
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        (
+            ev.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    snapshot = read_version(spark, table)
+    return snapshot.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("last_cents_sum"),
+        F.max("ts_sec").cast("long").alias("latest_ts_sec"),
+    )

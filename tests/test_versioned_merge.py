@@ -187,3 +187,21 @@ def test_table_changes_empty_diff_between_identical_versions(spark, tmp_path):
     df = _base(spark, root, n=10, files=1)
     write_version(df, root, "overwrite")  # identical content, new version
     assert table_changes(spark, root, 0, 1, on="k").count() == 0
+
+
+def test_merge_batch_id_replay_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=10, files=1)
+    source = spark.createDataFrame(
+        [(3, 999, "u"), (100, 1, "n")], "k long, v long, tag string"
+    )
+    s1 = merge_into(spark, root, source, on="k", batch_id=7)
+    # replay the same micro-batch: no new commit, same stats returned
+    s2 = merge_into(spark, root, source, on="k", batch_id=7)
+    assert s1["version"] == s2["version"] == 1
+    assert s2["rows_updated"] == 1 and s2["rows_inserted"] == 1
+    from erkg_tutorials_spark.lakehouse.versioned import committed_versions
+    assert committed_versions(root) == [0, 1]
+    # a DIFFERENT batch id still commits
+    s3 = merge_into(spark, root, source, on="k", batch_id=8)
+    assert s3["version"] == 2
