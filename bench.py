@@ -197,6 +197,7 @@ HEADLINE = [
     "rcte_customer_hierarchy",
     "events_gap_fill",
     "stream_cdc_upsert",
+    "versioned_skipping_read",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -68,6 +68,57 @@ def committed_versions(root: str) -> list[int]:
     )
 
 
+def _collect_file_stats(root: str, rel_files: list[str]) -> dict:
+    """Per-file min/max zone maps from the parquet footers — a
+    driver-side metadata read (no Spark job), the same footer scan the
+    commit itself just wrote. Only integer/float columns are statted:
+    parquet string statistics may be writer-truncated, and
+    timestamp stats don't round-trip JSON — a column without stats is
+    simply never prunable, which is conservative by construction.
+    Returns {relpath: {col: [min, max]}} (columns with all-null or
+    missing stats omitted)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        cols: dict = {}
+        unprunable: set = set()
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested: not prunable here
+                    continue
+                st = col.statistics
+                if st is None:
+                    # stats absent but the group may hold data: the
+                    # column's true range is unknown -> never prune it
+                    unprunable.add(name)
+                    continue
+                if not st.has_min_max:
+                    # an all-null group is fine (nulls never extend
+                    # min/max); anything else is unknown range
+                    if st.null_count is None or st.null_count != group.num_rows:
+                        unprunable.add(name)
+                    continue
+                lo, hi = st.min, st.max
+                if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+                    unprunable.add(name)
+                    continue
+                if name in cols:
+                    cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+                else:
+                    cols[name] = [lo, hi]
+        for name in unprunable:
+            cols.pop(name, None)
+        # __rows__ rides along so a zero-row file (e.g. an empty
+        # partition's part file) is skippable under ANY predicate
+        out[rel] = {"__rows__": md.num_rows, **cols}
+    return out
+
+
 def write_version(
     df: DataFrame, root: str, mode: str = "append", batch_id: int | None = None
 ) -> int:
@@ -105,10 +156,20 @@ def write_version(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    file_stats = _collect_file_stats(root, files)
     if mode == "append" and parent is not None:
-        files = read_manifest(root, parent)["files"] + files
+        pm = read_manifest(root, parent)
+        files = pm["files"] + files
+        # carried files keep their already-computed zone maps
+        file_stats = {**pm.get("file_stats", {}), **file_stats}
     os.makedirs(_manifest_dir(root), exist_ok=True)
-    manifest = {"version": n, "parent": parent, "mode": mode, "files": files}
+    manifest = {
+        "version": n,
+        "parent": parent,
+        "mode": mode,
+        "files": files,
+        "file_stats": file_stats,
+    }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp.{os.getpid()}")
@@ -156,6 +217,71 @@ def read_version(
         )
     files = [os.path.join(root, f) for f in read_manifest(root, version)["files"]]
     return spark.read.parquet(*files)
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    root: str,
+    intervals: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Snapshot read with MANIFEST-LEVEL data skipping: ``intervals``
+    maps column -> (lo, hi) (either bound may be None = unbounded); a
+    file is read only if its committed zone map intersects every
+    constrained interval. Files without a zone map for a constrained
+    column are always read — skipping is conservative by construction,
+    so the result equals the unpruned read filtered to the same
+    predicate (pinned by tests). This is Delta/Iceberg file skipping
+    through the transaction log: at 100 TB the planner drops files
+    from a driver-side metadata map before Spark ever lists or opens
+    them, on top of (not instead of) parquet row-group pruning.
+
+    Returns ``(df, report)`` where report =
+    ``{"files_total", "files_read", "files_skipped"}``. The returned
+    frame still carries the residual filter — skipping only removes
+    whole files; in-file rows outside the interval are filtered by
+    the pushed-down predicate as usual.
+    """
+    from pyspark.sql import functions as F
+
+    versions = committed_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"versioned table {root}: no committed version")
+    if version is None:
+        version = versions[-1]
+    m = read_manifest(root, version)
+    stats = m.get("file_stats", {})
+    kept = []
+    for f in m["files"]:
+        fs = stats.get(f, {})
+        keep = fs.get("__rows__") != 0
+        for col, (lo, hi) in intervals.items():
+            if not keep:
+                break
+            if col not in fs:
+                continue  # no zone map -> cannot skip
+            fmin, fmax = fs[col]
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    report = {
+        "files_total": len(m["files"]),
+        "files_read": len(kept),
+        "files_skipped": len(m["files"]) - len(kept),
+    }
+    if not kept:
+        empty = read_version(spark, root, version).limit(0)
+        return empty, report
+    df = spark.read.parquet(*[os.path.join(root, f) for f in kept])
+    cond = F.lit(True)
+    for col, (lo, hi) in intervals.items():
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    return df.where(cond), report
 
 
 def merge_into(
@@ -328,6 +454,7 @@ def merge_into(
         "rows_inserted": int(stats_raw["inserted"] or 0),
         "rows_rewritten_unchanged": int(stats_raw["carried"] or 0),
     }
+    parent_stats = read_manifest(root, parent).get("file_stats", {})
     manifest = {
         "version": n,
         "parent": parent,
@@ -335,6 +462,10 @@ def merge_into(
         "files": kept + new_files,
         "replaced": touched,
         "stats": {k: v for k, v in stats.items() if k != "version"},
+        "file_stats": {
+            **{f: s for f, s in parent_stats.items() if f in set(kept)},
+            **_collect_file_stats(root, new_files),
+        },
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id

@@ -852,3 +852,63 @@ def cdf_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level data skipping: the versioned table's commit path
+# records per-file min/max zone maps (parquet footer stats, a
+# driver-side metadata read) in the manifest; read_version_pruned
+# drops every file whose committed range cannot intersect the query
+# interval BEFORE Spark lists or opens anything — Delta/Iceberg file
+# skipping through the transaction log, layered ON TOP of parquet
+# row-group pruning (the residual filter still pushes down). The
+# table is range-clustered into 16 files by o_orderkey, the query
+# asks for the [max/4, max/2] key band, so ~3/4 of the files never
+# appear in the scan (tests/test_versioned_merge.py pins the skip
+# count and the pruned==filtered equivalence; at 100 TB this is the
+# difference between opening ~250k files and ~60k).
+# ---------------------------------------------------------------------------
+@register(
+    "versioned_skipping_read",
+    """
+    WITH b AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({cents}) AS BIGINT) AS total_cents
+    FROM orders, b
+    WHERE o_orderkey >= b.mx // 4 AND o_orderkey <= b.mx // 2
+    GROUP BY o_orderstatus
+    """.replace("{cents}", sql_money_cents("o_totalprice")),
+)
+def versioned_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping through the commit log: per-status aggregates over a key band read via read_version_pruned (~3/4 of files never scanned)."""
+    import os
+
+    from erkg_tutorials_spark.lakehouse.versioned import (
+        committed_versions,
+        read_version_pruned,
+        write_version,
+    )
+    from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    safe = sf_dir.strip("/").replace("/", "_")
+    name = f"skip_orders_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root = f"/tmp/erkg_versioned/{name}"
+    orders = load_tables(spark, sf_dir)["orders"]
+    if not committed_versions(root):
+        _evict_stale_layouts("/tmp/erkg_versioned", f"skip_orders_{safe}_", name)
+        write_version(
+            orders.repartitionByRange(16, "o_orderkey"), root, "overwrite"
+        )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    pruned, _report = read_version_pruned(
+        spark, root, {"o_orderkey": (mx // 4, mx // 2)}
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(money_cents(F.col("o_totalprice"))).cast("bigint").alias(
+            "total_cents"
+        ),
+    )

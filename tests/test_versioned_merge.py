@@ -205,3 +205,64 @@ def test_merge_batch_id_replay_is_idempotent(spark, tmp_path):
     # a DIFFERENT batch id still commits
     s3 = merge_into(spark, root, source, on="k", batch_id=8)
     assert s3["version"] == 2
+
+
+def test_file_stats_recorded_and_carried(spark, tmp_path):
+    from erkg_tutorials_spark.lakehouse.versioned import merge_into as _mi
+
+    root = str(tmp_path / "t")
+    _base(spark, root, n=100, files=4)
+    m0 = read_manifest(root, 0)
+    assert set(m0["file_stats"]) == set(m0["files"])
+    nonempty = [s for s in m0["file_stats"].values() if s["__rows__"] > 0]
+    ranges = sorted(s["k"] for s in nonempty)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 99
+    # string column has no zone map (writer-truncation hazard); ints do
+    assert all("tag" not in s and "v" in s for s in nonempty)
+    # append: carried files keep their maps, new file gets one
+    write_version(
+        spark.createDataFrame([(500, 1, "x")], "k long, v long, tag string"),
+        root, "append",
+    )
+    m1 = read_manifest(root, 1)
+    assert set(m1["file_stats"]) == set(m1["files"])
+    # merge: kept files keep maps, rewritten dir re-statted
+    _mi(spark, root, spark.createDataFrame(
+        [(1, -5, "u")], "k long, v long, tag string"), on="k")
+    m2 = read_manifest(root, 2)
+    assert set(m2["file_stats"]) == set(m2["files"])
+    rewritten = [f for f in m2["files"] if f.startswith("data/v2-")]
+    assert any(m2["file_stats"][f]["v"][0] == -5 for f in rewritten)
+
+
+def test_pruned_read_skips_files_and_matches_filter(spark, tmp_path):
+    from erkg_tutorials_spark.lakehouse.versioned import read_version_pruned
+
+    root = str(tmp_path / "t")
+    _base(spark, root, n=100, files=4)  # ranges ~[0,24][25,49][50,74][75,99]
+    df, report = read_version_pruned(spark, root, {"k": (30, 40)})
+    assert report["files_total"] == 4
+    assert report["files_skipped"] >= 2  # at most 2 range files overlap
+    expected = read_version(spark, root).where("k >= 30 and k <= 40")
+    assert _rows(df) == _rows(expected)
+    # open bounds
+    df2, rep2 = read_version_pruned(spark, root, {"k": (90, None)})
+    assert rep2["files_read"] == 1 and df2.count() == 10
+    # disjoint interval -> zero files, empty frame with the same schema
+    df3, rep3 = read_version_pruned(spark, root, {"k": (1000, 2000)})
+    assert rep3["files_read"] == 0 and df3.count() == 0
+    assert df3.columns == expected.columns
+
+
+def test_pruned_read_is_conservative_without_zone_map(spark, tmp_path):
+    from erkg_tutorials_spark.lakehouse.versioned import read_version_pruned
+
+    root = str(tmp_path / "t")
+    _base(spark, root, n=40, files=2)
+    # 'tag' is a string column: no zone map, so no file can be skipped,
+    # but the residual filter still applies
+    df, report = read_version_pruned(spark, root, {"tag": ("row-3", "row-4")})
+    assert report["files_skipped"] == 0
+    assert _rows(df) == _rows(
+        read_version(spark, root).where("tag >= 'row-3' and tag <= 'row-4'")
+    )
