@@ -6,7 +6,7 @@
     python -m erkg_tutorials_spark oracle <query>        # print the DuckDB twin
     python -m erkg_tutorials_spark pipeline <report> <suspicious> <countries> <out_dir>
     python -m erkg_tutorials_spark index save|load <path> [--sf-dir DIR]
-    python -m erkg_tutorials_spark table history|read|compact|vacuum <root> [...]
+    python -m erkg_tutorials_spark table history|read|compact|vacuum|merge|diff|stats <root> [...]
 
 ``run`` prints the result as a table (default 20 rows); ``explain``
 prints the formatted physical plan; ``pipeline`` executes the E1
@@ -65,7 +65,9 @@ def main(argv: list[str] | None = None) -> int:
         help="versioned-manifest table lifecycle (lakehouse/versioned.py)",
     )
     p_tbl.add_argument(
-        "action", choices=("history", "read", "compact", "vacuum")
+        "action",
+        choices=("history", "read", "compact", "vacuum", "merge", "diff",
+                 "stats"),
     )
     p_tbl.add_argument("root")
     p_tbl.add_argument("--version", type=int, default=None,
@@ -73,6 +75,16 @@ def main(argv: list[str] | None = None) -> int:
     p_tbl.add_argument("--limit", type=int, default=20)
     p_tbl.add_argument("--target-files", type=int, default=1)
     p_tbl.add_argument("--keep-versions", type=int, default=1)
+    p_tbl.add_argument("--source", default=None,
+                       help="merge: parquet path of the source batch")
+    p_tbl.add_argument("--on", default=None,
+                       help="merge/diff: key column")
+    p_tbl.add_argument("--delete-when", default=None,
+                       help="merge: SQL bool over the source row image")
+    p_tbl.add_argument("--from-version", type=int, default=None,
+                       help="diff: older version (default latest-1)")
+    p_tbl.add_argument("--to-version", type=int, default=None,
+                       help="diff: newer version (default latest)")
 
     args = p.parse_args(argv)
 
@@ -170,10 +182,52 @@ def main(argv: list[str] | None = None) -> int:
             for v in versions:
                 m = read_manifest(args.root, v)
                 bid = f" batch_id={m['batch_id']}" if "batch_id" in m else ""
+                ms = (
+                    f" rewrote={len(m['replaced'])} {m['stats']}"
+                    if m["mode"] == "merge"
+                    else ""
+                )
                 print(
                     f"v{v}  mode={m['mode']}  files={len(m['files'])}"
-                    f"  parent={m['parent']}{bid}"
+                    f"  parent={m['parent']}{bid}{ms}"
                 )
+        elif args.action == "merge":
+            from erkg_tutorials_spark.lakehouse.versioned import merge_into
+
+            if not args.source or not args.on:
+                print("merge requires --source and --on", file=sys.stderr)
+                return 1
+            stats = merge_into(
+                spark,
+                args.root,
+                spark.read.parquet(args.source),
+                on=args.on,
+                when_matched_delete=args.delete_when,
+            )
+            print(stats)
+        elif args.action == "diff":
+            from erkg_tutorials_spark.lakehouse.versioned import table_changes
+
+            if not args.on:
+                print("diff requires --on", file=sys.stderr)
+                return 1
+            versions = committed_versions(args.root)
+            v_to = args.to_version if args.to_version is not None else versions[-1]
+            v_from = (
+                args.from_version
+                if args.from_version is not None
+                else versions[max(0, len(versions) - 2)]
+            )
+            table_changes(spark, args.root, v_from, v_to, on=args.on).show(
+                args.limit, truncate=False
+            )
+        elif args.action == "stats":
+            versions = committed_versions(args.root)
+            v = args.version if args.version is not None else versions[-1]
+            m = read_manifest(args.root, v)
+            fs = m.get("file_stats", {})
+            for f in m["files"]:
+                print(f"{f}  {fs.get(f, '(no zone map)')}")
         elif args.action == "read":
             read_version(spark, args.root, args.version).show(
                 args.limit, truncate=False
