@@ -366,21 +366,54 @@ def merge_into(
             "MERGE requires at most one source row per target key"
         )
 
-    # Locate the files holding matched keys: one semi-join, then a
-    # distinct over file names (bounded by the file count — the same
-    # O(files) driver-side metadata scale as the manifest itself).
-    abs_files = [os.path.join(root, f) for f in parent_files]
-    target = spark.read.parquet(*abs_files).withColumn(
-        "_file", F.input_file_name()
-    )
-    src_keys = source.select(*keys).distinct()
-    touched_uris = [
-        r["_file"]
-        for r in target.join(F.broadcast(src_keys), on=keys, how="left_semi")
-        .select("_file")
-        .distinct()
-        .collect()
-    ]
+    # Locate the files holding matched keys. Discovery is itself
+    # zone-map-pruned: files whose committed key range cannot
+    # intersect the source key envelope are never scanned, so on a
+    # key-clustered table the discovery scan is O(candidate files),
+    # not O(table) — at 100 TB this is the difference between reading
+    # the key column of every file and of the touched slice only. A
+    # file without a zone map for the key is always a candidate
+    # (conservative), and multi-column keys fall back to scanning all
+    # files.
+    zone_maps = read_manifest(root, parent).get("file_stats", {})
+    candidates = parent_files
+    if len(keys) == 1 and zone_maps:
+        k = keys[0]
+        env = source.agg(
+            F.min(k).alias("lo"), F.max(k).alias("hi")
+        ).collect()[0]
+        if env["lo"] is not None:
+            lo, hi = env["lo"], env["hi"]
+            if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+                candidates = []
+                for f in parent_files:
+                    fs = zone_maps.get(f, {})
+                    if fs.get("__rows__") == 0:
+                        continue  # empty file: nothing to match
+                    if k not in fs:
+                        candidates.append(f)  # unknown range: must scan
+                        continue
+                    fmin, fmax = fs[k]
+                    if not (fmin > hi or fmax < lo):
+                        candidates.append(f)
+    files_scanned = len(candidates)
+    if candidates:
+        target = spark.read.parquet(
+            *[os.path.join(root, f) for f in candidates]
+        ).withColumn("_file", F.input_file_name())
+        src_keys = source.select(*keys).distinct()
+        touched_uris = [
+            r["_file"]
+            for r in target.join(F.broadcast(src_keys), on=keys, how="left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+    else:
+        target = read_version(spark, root, parent).withColumn(
+            "_file", F.lit(None).cast("string")
+        )
+        touched_uris = []
     # input_file_name() returns a URI; match manifest entries by their
     # "<vdir>/<file>" suffix, which is unique within the table.
     touched_suffixes = {"/".join(u.split("/")[-2:]) for u in touched_uris}
@@ -449,6 +482,7 @@ def merge_into(
     stats = {
         "version": n,
         "files_total": len(parent_files),
+        "files_scanned_for_discovery": files_scanned,
         "files_rewritten": len(touched),
         "rows_updated": int(stats_raw["updated"] or 0),
         "rows_inserted": int(stats_raw["inserted"] or 0),

@@ -266,3 +266,23 @@ def test_pruned_read_is_conservative_without_zone_map(spark, tmp_path):
     assert _rows(df) == _rows(
         read_version(spark, root).where("tag >= 'row-3' and tag <= 'row-4'")
     )
+
+
+def test_merge_discovery_is_zone_map_pruned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=100, files=4)
+    # batch confined to the first range file's key envelope
+    source = spark.createDataFrame(
+        [(2, -2, "u"), (4, -4, "u")], "k long, v long, tag string"
+    )
+    stats = merge_into(spark, root, source, on="k")
+    assert stats["files_scanned_for_discovery"] < stats["files_total"]
+    assert stats["files_rewritten"] <= stats["files_scanned_for_discovery"]
+    out = {r["k"]: r["v"] for r in read_version(spark, root).collect()}
+    assert out[2] == -2 and out[4] == -4 and out[99] == 990 and len(out) == 100
+    # envelope fully outside every zone map: pure insert, zero scans
+    ins = spark.createDataFrame([(10_000, 1, "n")], "k long, v long, tag string")
+    s2 = merge_into(spark, root, ins, on="k")
+    assert s2["files_scanned_for_discovery"] == 0
+    assert s2["files_rewritten"] == 0
+    assert read_version(spark, root).count() == 101
