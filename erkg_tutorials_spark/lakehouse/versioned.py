@@ -119,8 +119,55 @@ def _collect_file_stats(root: str, rel_files: list[str]) -> dict:
     return out
 
 
+def _nullable_schema_json(df: DataFrame) -> str:
+    """The commit's schema as JSON, every field forced nullable —
+    parquet reads are nullable regardless, and recording it that way
+    makes the stored schema a valid read schema verbatim."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    d = _json.loads(df.schema.json())
+    for f in d.get("fields", []):
+        f["nullable"] = True
+    return StructType.fromJson(d).json()
+
+
+def _check_schema_evolution(
+    parent_json: str | None, new_json: str, allow: bool
+) -> None:
+    """Append-time schema contract: identical is always fine; ADDING
+    nullable columns is fine iff ``allow`` (Delta mergeSchema);
+    dropping or retyping a column is always an error — old files
+    cannot be reinterpreted."""
+    import json as _json
+
+    if parent_json is None or parent_json == new_json:
+        return
+    old = {f["name"]: f["type"] for f in _json.loads(parent_json)["fields"]}
+    new = {f["name"]: f["type"] for f in _json.loads(new_json)["fields"]}
+    dropped = set(old) - set(new)
+    retyped = {c for c in set(old) & set(new) if old[c] != new[c]}
+    added = set(new) - set(old)
+    if dropped or retyped:
+        raise ValueError(
+            "versioned table append: incompatible schema change "
+            f"(dropped={sorted(dropped)}, retyped={sorted(retyped)}); "
+            "commit mode='overwrite' to replace the table schema"
+        )
+    if added and not allow:
+        raise ValueError(
+            f"versioned table append adds columns {sorted(added)}; pass "
+            "allow_schema_evolution=True to accept (old files read as null)"
+        )
+
+
 def write_version(
-    df: DataFrame, root: str, mode: str = "append", batch_id: int | None = None
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    batch_id: int | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``root``;
     returns the committed version number. ``mode='overwrite'``
@@ -131,7 +178,14 @@ def write_version(
     foreachBatch contract: a replayed micro-batch (same id) returns
     the already-committed version without writing, so a sink restart
     can never double-append. Exactly the Delta ``txn`` app-id/version
-    dedupe, reduced to one integer."""
+    dedupe, reduced to one integer.
+
+    Each manifest records its commit's schema; an append that ADDS
+    nullable columns is accepted only with
+    ``allow_schema_evolution=True`` (reads then serve the new schema,
+    old files' missing columns as null — Delta mergeSchema); dropping
+    or retyping a column is rejected outright (old files cannot be
+    reinterpreted; overwrite instead)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"versioned table: unknown mode {mode!r}")
     versions = committed_versions(root)
@@ -142,6 +196,13 @@ def write_version(
                 return v
     n = (versions[-1] + 1) if versions else 0
     parent = versions[-1] if versions else None
+    schema_json = _nullable_schema_json(df)
+    if mode == "append" and parent is not None:
+        _check_schema_evolution(
+            read_manifest(root, parent).get("schema"),
+            schema_json,
+            allow_schema_evolution,
+        )
     # uuid-suffixed data dir: racing writers never collide on the
     # write path — the manifest link below is the only contended
     # point, and the loser's data dir is unreferenced garbage that
@@ -169,6 +230,7 @@ def write_version(
         "mode": mode,
         "files": files,
         "file_stats": file_stats,
+        "schema": schema_json,
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
@@ -215,7 +277,26 @@ def read_version(
             f"versioned table {root}: version {version} not committed "
             f"(have {versions})"
         )
-    files = [os.path.join(root, f) for f in read_manifest(root, version)["files"]]
+    m = read_manifest(root, version)
+    return _read_files(spark, root, m, m["files"])
+
+
+def _read_files(
+    spark: SparkSession, root: str, manifest: dict, rel_files: list[str]
+) -> DataFrame:
+    """Read a manifest's files with its COMMITTED schema: columns an
+    older file lacks (additive evolution) come back null, and no
+    footer-inference job runs. Legacy manifests (no recorded schema)
+    fall back to inference. Every snapshot/pruned/merge-candidate read
+    goes through here so mixed-schema file sets are never
+    mis-inferred from one arbitrary footer."""
+    files = [os.path.join(root, f) for f in rel_files]
+    if manifest.get("schema"):
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(manifest["schema"]))
+        ).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -274,7 +355,7 @@ def read_version_pruned(
     if not kept:
         empty = read_version(spark, root, version).limit(0)
         return empty, report
-    df = spark.read.parquet(*[os.path.join(root, f) for f in kept])
+    df = _read_files(spark, root, m, kept)
     cond = F.lit(True)
     for col, (lo, hi) in intervals.items():
         if lo is not None:
@@ -398,8 +479,8 @@ def merge_into(
                         candidates.append(f)
     files_scanned = len(candidates)
     if candidates:
-        target = spark.read.parquet(
-            *[os.path.join(root, f) for f in candidates]
+        target = _read_files(
+            spark, root, read_manifest(root, parent), candidates
         ).withColumn("_file", F.input_file_name())
         src_keys = source.select(*keys).distinct()
         touched_uris = [
@@ -421,8 +502,8 @@ def merge_into(
     kept = [f for f in parent_files if f not in set(touched)]
 
     if touched:
-        rewrite_rows = spark.read.parquet(
-            *[os.path.join(root, f) for f in touched]
+        rewrite_rows = _read_files(
+            spark, root, read_manifest(root, parent), touched
         )
     else:
         rewrite_rows = spark.createDataFrame([], target.drop("_file").schema)
@@ -488,11 +569,14 @@ def merge_into(
         "rows_inserted": int(stats_raw["inserted"] or 0),
         "rows_rewritten_unchanged": int(stats_raw["carried"] or 0),
     }
-    parent_stats = read_manifest(root, parent).get("file_stats", {})
+    parent_manifest = read_manifest(root, parent)
+    parent_stats = parent_manifest.get("file_stats", {})
     manifest = {
         "version": n,
         "parent": parent,
         "mode": "merge",
+        # a merge never changes the table schema; carry the parent's
+        "schema": parent_manifest.get("schema"),
         "files": kept + new_files,
         "replaced": touched,
         "stats": {k: v for k, v in stats.items() if k != "version"},

@@ -286,3 +286,62 @@ def test_merge_discovery_is_zone_map_pruned(spark, tmp_path):
     assert s2["files_scanned_for_discovery"] == 0
     assert s2["files_rewritten"] == 0
     assert read_version(spark, root).count() == 101
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 10)], "k long, v long"), root, "overwrite"
+    )
+    wider = spark.createDataFrame([(2, 20, "x")], "k long, v long, extra string")
+    # adding a column requires explicit opt-in
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        write_version(wider, root, "append")
+    write_version(wider, root, "append", allow_schema_evolution=True)
+    out = read_version(spark, root)
+    assert out.columns == ["k", "v", "extra"]
+    rows = {r["k"]: r["extra"] for r in out.collect()}
+    assert rows == {1: None, 2: "x"}  # old file's missing column -> null
+    # the old snapshot still serves its own (narrower) schema
+    assert read_version(spark, root, 0).columns == ["k", "v"]
+
+
+def test_schema_evolution_rejects_drop_and_retype(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 10)], "k long, v long"), root, "overwrite"
+    )
+    with pytest.raises(ValueError, match="dropped"):
+        write_version(
+            spark.createDataFrame([(2,)], "k long"), root, "append",
+            allow_schema_evolution=True,
+        )
+    with pytest.raises(ValueError, match="retyped"):
+        write_version(
+            spark.createDataFrame([(2, "s")], "k long, v string"), root,
+            "append", allow_schema_evolution=True,
+        )
+    # overwrite always may change the schema
+    write_version(spark.createDataFrame([(2, "s")], "k long, v string"),
+                  root, "overwrite")
+    assert read_version(spark, root).collect()[0]["v"] == "s"
+
+
+def test_merge_after_schema_evolution_reads_mixed_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        root, "overwrite",
+    )
+    write_version(
+        spark.createDataFrame([(3, 30, "x")], "k long, v long, extra string"),
+        root, "append", allow_schema_evolution=True,
+    )
+    # merge touches BOTH the old (2-col) and new (3-col) files; the
+    # committed read schema keeps them aligned
+    source = spark.createDataFrame(
+        [(1, -1, "u1"), (3, -3, "u3")], "k long, v long, extra string"
+    )
+    merge_into(spark, root, source, on="k")
+    out = {r["k"]: (r["v"], r["extra"]) for r in read_version(spark, root).collect()}
+    assert out == {1: (-1, "u1"), 2: (20, None), 3: (-3, "u3")}
