@@ -198,6 +198,7 @@ HEADLINE = [
     "events_gap_fill",
     "stream_cdc_upsert",
     "versioned_skipping_read",
+    "cdf_history_rollup",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

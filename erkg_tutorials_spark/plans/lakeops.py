@@ -912,3 +912,73 @@ def versioned_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed HISTORY: table_changes between every consecutive
+# version pair of the 3-commit time-travel table (v0 = 'F' rows
+# overwrite, v1 = +'O' rows append, v2 = URGENT-only overwrite — the
+# exact table timetravel_orders_snapshot builds), unioned with the
+# destination version tagged. This is Delta's
+# table_changes(startingVersion=0) read shape: the v0->v1 hop is a
+# pure insert feed (append), the v1->v2 hop mixes inserts, deletes,
+# and updates (overwrite to a different predicate; rows in both
+# snapshots with identical payloads emit nothing). The oracle
+# recomputes both hops from the orders view with set algebra, so the
+# diff semantics across APPEND and OVERWRITE transitions are pinned,
+# not just the single merge hop cdf_orders_merge covers.
+# ---------------------------------------------------------------------------
+@register(
+    "cdf_history_rollup",
+    f"""
+    WITH v0 AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+    v1 AS (SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    v2 AS (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'),
+    hop1 AS (
+      SELECT 1 AS to_version, 'insert' AS change_type,
+             {sql_money_cents('o_totalprice')} AS cents
+      FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v0)
+    ),
+    hop2_ins AS (
+      SELECT 2, 'insert', {sql_money_cents('o_totalprice')}
+      FROM v2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+    ),
+    hop2_del AS (
+      SELECT 2, 'delete', {sql_money_cents('o_totalprice')}
+      FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+    ),
+    feed AS (
+      SELECT * FROM hop1 UNION ALL
+      SELECT * FROM hop2_ins UNION ALL
+      SELECT * FROM hop2_del
+    )
+    SELECT to_version, change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM feed GROUP BY to_version, change_type
+    """,
+)
+def cdf_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full change-feed history over the 3-version time-travel table: per-(version, change-type) counts and exact cents across append AND overwrite hops."""
+    from erkg_tutorials_spark.lakehouse.versioned import table_changes
+
+    # build (idempotently) the same table timetravel_orders_snapshot uses
+    timetravel_orders_snapshot(spark, sf_dir)
+    import os
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    safe = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/erkg_versioned/orders_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    feed = None
+    for v in (1, 2):
+        hop = table_changes(spark, root, v - 1, v, on="o_orderkey").select(
+            F.col("_to_version").alias("to_version"),
+            F.col("_change_type").alias("change_type"),
+            money_cents(F.col("o_totalprice")).alias("cents"),
+        )
+        feed = hop if feed is None else feed.unionByName(hop)
+    return feed.groupBy("to_version", "change_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
