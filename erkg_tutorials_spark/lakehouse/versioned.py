@@ -426,7 +426,8 @@ def merge_into(
             if m.get("batch_id") == batch_id:
                 return {"version": v, **m.get("stats", {})}
     parent = versions[-1]
-    parent_files = read_manifest(root, parent)["files"]
+    parent_manifest = read_manifest(root, parent)
+    parent_files = parent_manifest["files"]
     target_cols = read_version(spark, root, parent).columns
     missing = set(target_cols) - set(source.columns)
     if missing:
@@ -456,7 +457,7 @@ def merge_into(
     # file without a zone map for the key is always a candidate
     # (conservative), and multi-column keys fall back to scanning all
     # files.
-    zone_maps = read_manifest(root, parent).get("file_stats", {})
+    zone_maps = parent_manifest.get("file_stats", {})
     candidates = parent_files
     if len(keys) == 1 and zone_maps:
         k = keys[0]
@@ -480,7 +481,7 @@ def merge_into(
     files_scanned = len(candidates)
     if candidates:
         target = _read_files(
-            spark, root, read_manifest(root, parent), candidates
+            spark, root, parent_manifest, candidates
         ).withColumn("_file", F.input_file_name())
         src_keys = source.select(*keys).distinct()
         touched_uris = [
@@ -502,9 +503,7 @@ def merge_into(
     kept = [f for f in parent_files if f not in set(touched)]
 
     if touched:
-        rewrite_rows = _read_files(
-            spark, root, read_manifest(root, parent), touched
-        )
+        rewrite_rows = _read_files(spark, root, parent_manifest, touched)
     else:
         rewrite_rows = spark.createDataFrame([], target.drop("_file").schema)
 
@@ -528,8 +527,20 @@ def merge_into(
         .otherwise(F.lit("T"))  # target-only: carry unchanged
     )
     take_source = F.col("_action").isin("U", "I")
+    from pyspark.sql import Observation
+
+    # observe BEFORE the delete filter so deleted rows are countable;
+    # the metrics ride the same write pass (no extra job)
+    obs = Observation(f"merge-{uuid.uuid4().hex[:8]}")
     merged = (
         joined.withColumn("_action", action)
+        .observe(
+            obs,
+            F.sum((F.col("_action") == "U").cast("long")).alias("updated"),
+            F.sum((F.col("_action") == "I").cast("long")).alias("inserted"),
+            F.sum((F.col("_action") == "T").cast("long")).alias("carried"),
+            F.sum((F.col("_action") == "D").cast("long")).alias("deleted"),
+        )
         .where(~F.col("_action").isin("D", "X"))
         .select(
             *[
@@ -538,16 +549,6 @@ def merge_into(
             ],
             "_action",
         )
-    )
-
-    from pyspark.sql import Observation
-
-    obs = Observation(f"merge-{uuid.uuid4().hex[:8]}")
-    merged = merged.observe(
-        obs,
-        F.sum((F.col("_action") == "U").cast("long")).alias("updated"),
-        F.sum((F.col("_action") == "I").cast("long")).alias("inserted"),
-        F.sum((F.col("_action") == "T").cast("long")).alias("carried"),
     )
 
     n = parent + 1
@@ -567,9 +568,9 @@ def merge_into(
         "files_rewritten": len(touched),
         "rows_updated": int(stats_raw["updated"] or 0),
         "rows_inserted": int(stats_raw["inserted"] or 0),
+        "rows_deleted": int(stats_raw["deleted"] or 0),
         "rows_rewritten_unchanged": int(stats_raw["carried"] or 0),
     }
-    parent_manifest = read_manifest(root, parent)
     parent_stats = parent_manifest.get("file_stats", {})
     manifest = {
         "version": n,

@@ -50,6 +50,7 @@ def test_merge_update_insert_delete_semantics(spark, tmp_path):
     )
     assert stats["rows_updated"] == 2
     assert stats["rows_inserted"] == 1
+    assert stats["rows_deleted"] == 1
     out = {r["k"]: (r["v"], r["tag"]) for r in read_version(spark, root).collect()}
     assert 5 not in out                      # deleted
     assert out[3] == (999, "upd-3")          # updated from source image
