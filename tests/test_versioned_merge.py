@@ -346,3 +346,88 @@ def test_merge_after_schema_evolution_reads_mixed_files(spark, tmp_path):
     merge_into(spark, root, source, on="k")
     out = {r["k"]: (r["v"], r["extra"]) for r in read_version(spark, root).collect()}
     assert out == {1: (-1, "u1"), 2: (20, None), 3: (-3, "u3")}
+
+
+# --- model-based property test with MERGE in the command set ----------
+#
+# Random sequences of overwrite / merge commands against a pure-Python
+# dict model of the keyed table. After the sequence: every version's
+# snapshot matches the model, and table_changes between every
+# consecutive pair reconciles the model diff exactly (per change type).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DEL = -999  # sentinel: merge rows with v = _DEL request deletion
+
+_merge_cmd = st.dictionaries(
+    st.integers(min_value=0, max_value=9),              # key
+    st.one_of(st.just(_DEL), st.integers(min_value=0, max_value=50)),
+    min_size=1, max_size=4,
+)
+_over_cmd = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=50),
+    min_size=1, max_size=4,
+)
+_cmd = st.one_of(
+    st.tuples(st.just("merge"), _merge_cmd),
+    st.tuples(st.just("overwrite"), _over_cmd),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_cmd, min_size=1, max_size=4))
+def test_merge_log_matches_model(spark, tmp_path_factory, cmds):
+    root = str(tmp_path_factory.mktemp("mlog") / "t")
+    write_version(
+        spark.createDataFrame([(0, 0), (1, 10)], "k long, v long"),
+        root, "overwrite",
+    )
+    model: list[dict[int, int]] = [{0: 0, 1: 10}]
+    for mode, spec in cmds:
+        cur = dict(model[-1])
+        if mode == "overwrite":
+            cur = dict(spec)
+            write_version(
+                spark.createDataFrame(list(spec.items()), "k long, v long"),
+                root, "overwrite",
+            )
+        else:
+            for k, v in spec.items():
+                if k in cur:
+                    if v == _DEL:
+                        del cur[k]
+                    else:
+                        cur[k] = v
+                elif v != _DEL:
+                    cur[k] = v
+                else:
+                    cur[k] = _DEL  # unmatched delete-request row INSERTS
+            merge_into(
+                spark, root,
+                spark.createDataFrame(list(spec.items()), "k long, v long"),
+                on="k", when_matched_delete=f"v = {_DEL}",
+            )
+        model.append(cur)
+    for v, expect in enumerate(model):
+        got = {r["k"]: r["v"] for r in read_version(spark, root, v).collect()}
+        assert got == expect, (v, cmds)
+    # CDF reconciles each hop's model diff exactly
+    for v in range(1, len(model)):
+        old, new = model[v - 1], model[v]
+        expect_counts = {
+            "insert": len(set(new) - set(old)),
+            "delete": len(set(old) - set(new)),
+            "update_preimage": len(
+                {k for k in set(old) & set(new) if old[k] != new[k]}
+            ),
+        }
+        expect_counts["update_postimage"] = expect_counts["update_preimage"]
+        got_counts = {
+            r["_change_type"]: r["n"]
+            for r in table_changes(spark, root, v - 1, v, on="k")
+            .groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        for ct, n in expect_counts.items():
+            assert got_counts.get(ct, 0) == n, (v, ct, cmds)
