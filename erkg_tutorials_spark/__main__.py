@@ -212,6 +212,9 @@ def main(argv: list[str] | None = None) -> int:
                 print("diff requires --on", file=sys.stderr)
                 return 1
             versions = committed_versions(args.root)
+            if not versions:
+                print(f"no committed versions under {args.root}")
+                return 1
             v_to = args.to_version if args.to_version is not None else versions[-1]
             v_from = (
                 args.from_version
@@ -223,6 +226,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.action == "stats":
             versions = committed_versions(args.root)
+            if not versions:
+                print(f"no committed versions under {args.root}")
+                return 1
             v = args.version if args.version is not None else versions[-1]
             m = read_manifest(args.root, v)
             fs = m.get("file_stats", {})

@@ -234,15 +234,23 @@ def write_version(
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+    _commit_manifest(root, n, manifest)
+    return n
+
+
+def _commit_manifest(root: str, n: int, manifest: dict) -> None:
+    """The one safety-critical block, shared by every commit path
+    (write_version and merge_into). Optimistic concurrency: claim
+    version n with link(2) — atomic create-if-absent, unlike
+    rename(2), which silently REPLACES an existing target (two racing
+    writers would both "win" n and one commit would be lost). A loser
+    of the race gets EEXIST and raises ConcurrentCommitError; callers
+    retry by re-reading the log (Delta's conflict-resolution protocol,
+    reduced to its primitive)."""
+    os.makedirs(_manifest_dir(root), exist_ok=True)
     tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    # Optimistic concurrency: claim version n with link(2) — atomic
-    # create-if-absent, unlike rename(2), which silently REPLACES an
-    # existing target (two racing writers would both "win" n and one
-    # commit would be lost). A loser of the race gets EEXIST and
-    # raises; callers retry by re-reading the log (Delta's conflict-
-    # resolution protocol, reduced to its primitive).
     final = os.path.join(_manifest_dir(root), f"{n}.json")
     try:
         os.link(tmp, final)
@@ -253,7 +261,6 @@ def write_version(
         ) from None
     finally:
         os.unlink(tmp)
-    return n
 
 
 def read_manifest(root: str, version: int) -> dict:
@@ -389,7 +396,10 @@ def merge_into(
 
     A source with two rows for one key is ambiguous — rejected up
     front with ``ValueError`` (the Delta MERGE cardinality rule), not
-    resolved arbitrarily.
+    resolved arbitrarily. The source lineage is evaluated several
+    times (cardinality check, key envelope, discovery, the write) —
+    callers whose source is expensive to recompute should persist it
+    first (the streaming CDC sink does).
 
     Scale design: the merge REWRITES ONLY TOUCHED FILES. Matched keys
     are located with one semi-join against ``input_file_name()``; the
@@ -428,11 +438,26 @@ def merge_into(
     parent = versions[-1]
     parent_manifest = read_manifest(root, parent)
     parent_files = parent_manifest["files"]
-    target_cols = read_version(spark, root, parent).columns
+    parent_snapshot = read_version(spark, root, parent)
+    target_cols = parent_snapshot.columns
     missing = set(target_cols) - set(source.columns)
     if missing:
         raise ValueError(f"merge source is missing target columns: {sorted(missing)}")
     source = source.select(*target_cols)
+    # type enforcement: a drifted source type would write rewrite files
+    # the COMMITTED read schema can no longer open (the merge would
+    # succeed and brick the head version) — reject up front
+    target_types = dict(parent_snapshot.dtypes)
+    drift = {
+        c: (s, target_types[c])
+        for c, s in source.dtypes
+        if s != target_types[c]
+    }
+    if drift:
+        raise ValueError(
+            "merge source column types differ from the table's "
+            f"(source, table): {drift} — cast the source first"
+        )
 
     dup = (
         source.groupBy(*keys)
@@ -462,9 +487,14 @@ def merge_into(
     if len(keys) == 1 and zone_maps:
         k = keys[0]
         env = source.agg(
-            F.min(k).alias("lo"), F.max(k).alias("hi")
+            F.min(k).alias("lo"),
+            F.max(k).alias("hi"),
+            # zone maps never cover nulls: a null-keyed source row can
+            # match a null-keyed target row in ANY file, so envelope
+            # pruning is only sound when the source has no null keys
+            (F.count(F.lit(1)) - F.count(k)).alias("n_null"),
         ).collect()[0]
-        if env["lo"] is not None:
+        if env["lo"] is not None and env["n_null"] == 0:
             lo, hi = env["lo"], env["hi"]
             if isinstance(lo, (int, float)) and not isinstance(lo, bool):
                 candidates = []
@@ -483,32 +513,45 @@ def merge_into(
         target = _read_files(
             spark, root, parent_manifest, candidates
         ).withColumn("_file", F.input_file_name())
-        src_keys = source.select(*keys).distinct()
+        # null-SAFE discovery: the merge join below matches on
+        # eqNullSafe, so discovery must too — a null-keyed target row
+        # is touched by a null-keyed source row
+        src_keys = source.select(
+            *[F.col(k).alias(f"_sk_{k}") for k in keys]
+        ).distinct()
+        semi_cond = [target[k].eqNullSafe(src_keys[f"_sk_{k}"]) for k in keys]
         touched_uris = [
             r["_file"]
-            for r in target.join(F.broadcast(src_keys), on=keys, how="left_semi")
+            for r in target.join(
+                F.broadcast(src_keys), on=semi_cond, how="left_semi"
+            )
             .select("_file")
             .distinct()
             .collect()
         ]
     else:
-        target = read_version(spark, root, parent).withColumn(
-            "_file", F.lit(None).cast("string")
-        )
+        target = parent_snapshot.withColumn("_file", F.lit(None).cast("string"))
         touched_uris = []
     # input_file_name() returns a URI; match manifest entries by their
     # "<vdir>/<file>" suffix, which is unique within the table.
     touched_suffixes = {"/".join(u.split("/")[-2:]) for u in touched_uris}
     touched = [f for f in parent_files if "/".join(f.split("/")[-2:]) in touched_suffixes]
-    kept = [f for f in parent_files if f not in set(touched)]
+    touched_set = set(touched)
+    kept = [f for f in parent_files if f not in touched_set]
+    kept_set = set(kept)
 
     if touched:
         rewrite_rows = _read_files(spark, root, parent_manifest, touched)
     else:
         rewrite_rows = spark.createDataFrame([], target.drop("_file").schema)
 
+    # coalesce: a predicate evaluating to SQL NULL must mean "don't
+    # delete", not "source row absent" — _s_delete doubles as the
+    # source-presence marker below, so it must never be null
     delete_col = (
-        F.expr(when_matched_delete) if when_matched_delete is not None else F.lit(False)
+        F.coalesce(F.expr(when_matched_delete), F.lit(False))
+        if when_matched_delete is not None
+        else F.lit(False)
     )
     # presence markers (non-null literals) rather than key-nullness:
     # correct even for tables whose key columns hold genuine nulls
@@ -582,26 +625,13 @@ def merge_into(
         "replaced": touched,
         "stats": {k: v for k, v in stats.items() if k != "version"},
         "file_stats": {
-            **{f: s for f, s in parent_stats.items() if f in set(kept)},
+            **{f: s for f, s in parent_stats.items() if f in kept_set},
             **_collect_file_stats(root, new_files),
         },
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
-    os.makedirs(_manifest_dir(root), exist_ok=True)
-    tmp = os.path.join(_manifest_dir(root), f"{n}.json.tmp.{os.getpid()}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    final = os.path.join(_manifest_dir(root), f"{n}.json")
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise ConcurrentCommitError(
-            f"versioned table {root}: version {n} was committed concurrently; "
-            "the merge was computed against a stale snapshot — retry"
-        ) from None
-    finally:
-        os.unlink(tmp)
+    _commit_manifest(root, n, manifest)
     return stats
 
 
@@ -622,14 +652,30 @@ def table_changes(
     unchanged rows (the overwhelming majority at 100 TB) are filtered
     by a null-safe struct comparison inside codegen before the
     explode, so the emitted feed is O(changes), not O(table).
+
+    Across a schema-evolution boundary the feed serves the
+    DESTINATION version's schema (Delta CDF convention): columns
+    added by ``to_version`` read as null in the old images, so a row
+    whose only change is a newly added column IS reported; columns
+    dropped by a narrowing overwrite don't exist in the feed and
+    cannot contribute to change detection.
     """
     from pyspark.sql import functions as F
 
     keys = [on] if isinstance(on, str) else list(on)
-    old = read_version(spark, root, from_version)
-    cols = old.columns
+    new = read_version(spark, root, to_version)
+    cols = new.columns
     nonkey = [c for c in cols if c not in keys]
-    new = read_version(spark, root, to_version).select(*cols)
+    new_types = dict(new.dtypes)
+    old_raw = read_version(spark, root, from_version)
+    old = old_raw.select(
+        *[
+            F.col(c)
+            if c in old_raw.columns
+            else F.lit(None).cast(new_types[c]).alias(c)
+            for c in cols
+        ]
+    )
     o = old.select(
         *[F.col(k).alias(k) for k in keys],
         F.struct(*[F.col(c) for c in nonkey]).alias("_o"),

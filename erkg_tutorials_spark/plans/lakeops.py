@@ -519,6 +519,25 @@ def observe_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_root(sf_dir: str, kind: str, evict: bool = False) -> str:
+    """Fingerprinted /tmp root for a versioned table derived from the
+    orders parquet: one naming convention for every lakeops fixture
+    table (timetravel, merge, skipping), so consumers like
+    cdf_history_rollup share the producer's path by construction
+    instead of re-deriving it. ``evict`` drops stale same-kind roots
+    from older testdata generations."""
+    import os
+
+    from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    safe = sf_dir.strip("/").replace("/", "_")
+    name = f"{kind}_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    if evict:
+        _evict_stale_layouts("/tmp/erkg_versioned", f"{kind}_{safe}_", name)
+    return f"/tmp/erkg_versioned/{name}"
+
+
 # ---------------------------------------------------------------------------
 # Time travel over a versioned-manifest table (lakehouse/versioned.py
 # — the Delta/Iceberg transaction-log pattern reduced to its atomic
@@ -556,22 +575,15 @@ def observe_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def timetravel_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolated AS-OF reads over a versioned-manifest orders table: per-version exact aggregates after overwrite/append/overwrite commits."""
-    import os
-
     from erkg_tutorials_spark.lakehouse.versioned import (
         committed_versions,
         read_version,
         write_version,
     )
-    from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    safe = sf_dir.strip("/").replace("/", "_")
-    name = f"orders_{safe}_{st.st_size}_{int(st.st_mtime)}"
-    root = f"/tmp/erkg_versioned/{name}"
+    root = _versioned_root(sf_dir, "orders")
     if len(committed_versions(root)) < 3:
-        _evict_stale_layouts("/tmp/erkg_versioned", f"orders_{safe}_", name)
+        _versioned_root(sf_dir, "orders", evict=True)
         orders = load_tables(spark, sf_dir)["orders"]
         write_version(
             orders.where(F.col("o_orderstatus") == "F"), root, "overwrite"
@@ -711,24 +723,17 @@ def ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _merged_orders_root(spark: SparkSession, sf_dir: str) -> str:
     """Build (idempotently) the two-version merged orders table and
     return its root. v0 = full orders; v1 = MERGE result."""
-    import os
-
     from erkg_tutorials_spark.lakehouse.versioned import (
         committed_versions,
         merge_into,
         write_version,
     )
-    from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    safe = sf_dir.strip("/").replace("/", "_")
-    name = f"merge_orders_{safe}_{st.st_size}_{int(st.st_mtime)}"
-    root = f"/tmp/erkg_versioned/{name}"
+    root = _versioned_root(sf_dir, "merge_orders")
     versions = committed_versions(root)
     orders = None
     if not versions:
-        _evict_stale_layouts("/tmp/erkg_versioned", f"merge_orders_{safe}_", name)
+        _versioned_root(sf_dir, "merge_orders", evict=True)
         orders = load_tables(spark, sf_dir)["orders"]
         write_version(
             orders.repartitionByRange(8, "o_orderkey"), root, "overwrite"
@@ -882,23 +887,16 @@ def cdf_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def versioned_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file skipping through the commit log: per-status aggregates over a key band read via read_version_pruned (~3/4 of files never scanned)."""
-    import os
-
     from erkg_tutorials_spark.lakehouse.versioned import (
         committed_versions,
         read_version_pruned,
         write_version,
     )
-    from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    safe = sf_dir.strip("/").replace("/", "_")
-    name = f"skip_orders_{safe}_{st.st_size}_{int(st.st_mtime)}"
-    root = f"/tmp/erkg_versioned/{name}"
+    root = _versioned_root(sf_dir, "skip_orders")
     orders = load_tables(spark, sf_dir)["orders"]
     if not committed_versions(root):
-        _evict_stale_layouts("/tmp/erkg_versioned", f"skip_orders_{safe}_", name)
+        _versioned_root(sf_dir, "skip_orders", evict=True)
         write_version(
             orders.repartitionByRange(16, "o_orderkey"), root, "overwrite"
         )
@@ -962,14 +960,11 @@ def cdf_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full change-feed history over the 3-version time-travel table: per-(version, change-type) counts and exact cents across append AND overwrite hops."""
     from erkg_tutorials_spark.lakehouse.versioned import table_changes
 
-    # build (idempotently) the same table timetravel_orders_snapshot uses
+    # build (idempotently) the same table timetravel_orders_snapshot
+    # uses, then address it through the SHARED root helper — no
+    # re-derived path to drift out of sync with the producer
     timetravel_orders_snapshot(spark, sf_dir)
-    import os
-
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    safe = sf_dir.strip("/").replace("/", "_")
-    root = f"/tmp/erkg_versioned/orders_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root = _versioned_root(sf_dir, "orders")
     feed = None
     for v in (1, 2):
         hop = table_changes(spark, root, v - 1, v, on="o_orderkey").select(

@@ -750,14 +750,21 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = _W.partitionBy("user_id").orderBy(
             F.desc("ts_sec"), F.desc("event_id")
         )
+        # persist: merge_into evaluates the source several times
+        # (cardinality check, key envelope, discovery, write) and this
+        # window over the batch is the expensive part
         latest = (
             batch.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn")
+            .persist()
         )
-        merge_into(
-            batch.sparkSession, table, latest, on="user_id", batch_id=bid
-        )
+        try:
+            merge_into(
+                batch.sparkSession, table, latest, on="user_id", batch_id=bid
+            )
+        finally:
+            latest.unpersist()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(

@@ -431,3 +431,72 @@ def test_merge_log_matches_model(spark, tmp_path_factory, cmds):
         }
         for ct, n in expect_counts.items():
             assert got_counts.get(ct, 0) == n, (v, ct, cmds)
+
+
+def test_merge_null_delete_predicate_falls_through_to_update(spark, tmp_path):
+    """A when_matched_delete predicate evaluating to SQL NULL must mean
+    'don't delete' (Delta falls through to the UPDATE clause), not
+    'source row absent'."""
+    root = str(tmp_path / "t")
+    _base(spark, root, n=5, files=1)
+    source = spark.createDataFrame(
+        [(3, None, "upd-null")], "k long, v long, tag string"
+    )
+    stats = merge_into(spark, root, source, on="k", when_matched_delete="v = 0")
+    assert stats["rows_updated"] == 1 and stats["rows_deleted"] == 0
+    out = {r["k"]: (r["v"], r["tag"]) for r in read_version(spark, root).collect()}
+    assert out[3] == (None, "upd-null")
+    assert len(out) == 5
+
+
+def test_merge_null_key_updates_not_duplicates(spark, tmp_path):
+    """Null-keyed rows: discovery must be null-SAFE like the merge join
+    itself, or the null-key source row inserts a duplicate."""
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(None, 1, "old"), (7, 70, "r7")],
+                              "k long, v long, tag string"),
+        root, "overwrite",
+    )
+    source = spark.createDataFrame([(None, 2, "new")], "k long, v long, tag string")
+    stats = merge_into(spark, root, source, on="k")
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 0
+    rows = read_version(spark, root).collect()
+    assert len(rows) == 2
+    null_rows = [r for r in rows if r["k"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["v"] == 2
+
+
+def test_merge_rejects_source_type_drift(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _base(spark, root, n=5, files=1)
+    drifted = spark.createDataFrame([(3, 1.5, "x")], "k long, v double, tag string")
+    with pytest.raises(ValueError, match="types differ"):
+        merge_into(spark, root, drifted, on="k")
+    # nothing committed; table still readable
+    assert read_version(spark, root).count() == 5
+
+
+def test_table_changes_serves_destination_schema(spark, tmp_path):
+    """CDF across an additive evolution: a change visible ONLY in the
+    added column must be reported (feed serves the destination
+    version's schema, old images null in the new column)."""
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        root, "overwrite",
+    )
+    write_version(
+        spark.createDataFrame([(1, 10, "x"), (2, 20, None)],
+                              "k long, v long, extra string"),
+        root, "overwrite",
+    )
+    cdf = table_changes(spark, root, 0, 1, on="k")
+    by = {(r["k"], r["_change_type"]): r for r in cdf.collect()}
+    # k=1: only 'extra' changed (null -> 'x') — must be an update pair
+    assert (1, "update_preimage") in by and (1, "update_postimage") in by
+    assert by[(1, "update_preimage")]["extra"] is None
+    assert by[(1, "update_postimage")]["extra"] == "x"
+    # k=2: extra null -> null, v unchanged — NOT a change
+    assert not any(k == 2 for k, _ in by)
+    assert "extra" in cdf.columns
