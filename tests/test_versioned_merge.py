@@ -500,3 +500,28 @@ def test_table_changes_serves_destination_schema(spark, tmp_path):
     # k=2: extra null -> null, v unchanged — NOT a change
     assert not any(k == 2 for k, _ in by)
     assert "extra" in cdf.columns
+
+
+def test_vacuum_after_merge_keeps_referenced_parent_files(spark, tmp_path):
+    """A merge manifest references most of its PARENT's data dirs (the
+    untouched files); vacuuming the parent version must drop its
+    manifest but keep every dir the merge still points to."""
+    import os
+
+    from erkg_tutorials_spark.lakehouse.versioned import vacuum
+
+    root = str(tmp_path / "t")
+    _base(spark, root, n=100, files=4)
+    merge_into(
+        spark, root,
+        spark.createDataFrame([(1, -1, "u")], "k long, v long, tag string"),
+        on="k",
+    )
+    dropped = vacuum(root, keep_versions=1)
+    assert dropped == [0]
+    # the merged head still reads completely: 100 rows, update applied
+    out = {r["k"]: r["v"] for r in read_version(spark, root).collect()}
+    assert len(out) == 100 and out[1] == -1 and out[99] == 990
+    # every file the surviving manifest lists still exists on disk
+    m = read_manifest(root, 1)
+    assert all(os.path.exists(os.path.join(root, f)) for f in m["files"])
