@@ -199,6 +199,7 @@ HEADLINE = [
     "stream_cdc_upsert",
     "versioned_skipping_read",
     "cdf_history_rollup",
+    "hll_intersect_users",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -1145,3 +1145,163 @@ def kanonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("class_size"))
     )
     return classes.where(F.col("class_size") < KANON_K)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based audience INTERSECTION via inclusion-exclusion:
+# |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), each estimate from the same
+# fixed-point HLL pipeline as hll_union_users (md5 registers, exact
+# DECIMAL(38,0) harmonic sum, HUGEINT-safe scaled division, linear
+# counting below the small-range threshold). This is the 100 TB twin
+# of audience_overlap_bitmap: the exact bitmap needs the full id sets
+# co-shuffled; the sketch path needs only the 256-register summaries,
+# which union by register-max and never touch rows again. The exact
+# intersection count rides alongside so the oracle pins both the
+# arithmetic and the estimate's determinism (every input to the
+# float ln()/rounding is an integer both engines derive identically).
+# ---------------------------------------------------------------------------
+_HLL_PAIR = ("view", "click")
+
+
+def _hll_est_sql(regs: str) -> str:
+    """DuckDB est pipeline over a (bucket, m) register CTE ``regs`` —
+    the exact expression hll_union_users uses, parameterized."""
+    return f"""(
+      SELECT CASE WHEN est_scaled <= 6400000 AND v > 0
+                  THEN ROUND(256 * ln(256.0 / v), 4)
+                  ELSE CAST(est_scaled AS BIGINT) / 10000.0 END
+      FROM (
+        SELECT (256 - nb) AS v,
+               CAST('{_HLL_N4}' AS HUGEINT)
+                 // (2570790 * CAST(s + (256 - nb)
+                     * CAST(power(2, 64) AS DECIMAL(38,0)) AS HUGEINT))
+                 AS est_scaled
+        FROM (
+          SELECT CAST(SUM(CAST(power(2, 64 - m) AS DECIMAL(38,0)))
+                   AS DECIMAL(38,0)) AS s,
+                 COUNT(*) AS nb
+          FROM {regs}
+        )
+      )
+    )"""
+
+
+@register(
+    "hll_intersect_users",
+    f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx, user_id
+      FROM events WHERE event_type IN ('{_HLL_PAIR[0]}', '{_HLL_PAIR[1]}')
+    ),
+    r AS (
+      SELECT event_type,
+             CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(hx, 3, 15)) AS BIGINT) AS w
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS m
+      FROM r GROUP BY event_type, bucket
+    ),
+    ra AS (SELECT bucket, m FROM regs WHERE event_type = '{_HLL_PAIR[0]}'),
+    rb AS (SELECT bucket, m FROM regs WHERE event_type = '{_HLL_PAIR[1]}'),
+    ru AS (SELECT bucket, MAX(m) AS m FROM regs GROUP BY bucket),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+        SELECT user_id FROM h WHERE event_type = '{_HLL_PAIR[0]}'
+        INTERSECT
+        SELECT user_id FROM h WHERE event_type = '{_HLL_PAIR[1]}'
+      )
+    )
+    SELECT ex.n_exact AS n_exact_intersection,
+           {_hll_est_sql('ra')} AS est_a,
+           {_hll_est_sql('rb')} AS est_b,
+           {_hll_est_sql('ru')} AS est_union,
+           ROUND({_hll_est_sql('ra')} + {_hll_est_sql('rb')}
+                 - {_hll_est_sql('ru')}, 4) AS hll_intersect_estimate
+    FROM ex
+    """,
+)
+def hll_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience intersection of two event types estimated by HLL inclusion-exclusion (register-only math), with the exact count alongside."""
+    a, b = _HLL_PAIR
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type").isin(a, b))
+        .select("event_type", "user_id")
+    )
+    h = e.withColumn("hx", F.md5(F.col("user_id").cast("string")))
+    r = h.select(
+        "event_type",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring("hx", 3, 15), 16, 10).cast("bigint").alias("w"),
+    )
+    regs = r.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(61)).otherwise(
+                F.lit(61) - F.length(F.bin(F.col("w")))
+            )
+        ).alias("m")
+    )
+
+    def est(reg_df: DataFrame, name: str) -> DataFrame:
+        agg = reg_df.agg(
+            F.sum(F.expr("CAST(power(2, 64 - m) AS DECIMAL(38,0))"))
+            .cast("decimal(38,0)")
+            .alias("s"),
+            F.count("*").alias("nb"),
+        )
+        return agg.select(
+            F.when(
+                (
+                    F.expr(
+                        f"CAST(CAST('{_HLL_N4}' AS DECIMAL(38,0)) DIV "
+                        "(CAST(2570790 AS DECIMAL(38,0)) * "
+                        "(s + (256 - nb) * CAST(power(2, 64) AS DECIMAL(38,0)))) AS BIGINT)"
+                    )
+                    <= 6400000
+                )
+                & (F.lit(256) - F.col("nb") > 0),
+                F.round(
+                    F.lit(256) * F.log(F.lit(256.0) / (F.lit(256) - F.col("nb"))),
+                    4,
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    f"CAST(CAST('{_HLL_N4}' AS DECIMAL(38,0)) DIV "
+                    "(CAST(2570790 AS DECIMAL(38,0)) * "
+                    "(s + (256 - nb) * CAST(power(2, 64) AS DECIMAL(38,0)))) AS BIGINT)"
+                )
+                / F.lit(10000.0)
+            )
+            .alias(name)
+        )
+
+    ea = est(regs.where(F.col("event_type") == a).select("bucket", "m"), "est_a")
+    eb = est(regs.where(F.col("event_type") == b).select("bucket", "m"), "est_b")
+    eu = est(
+        regs.groupBy("bucket").agg(F.max("m").alias("m")).select("bucket", "m"),
+        "est_union",
+    )
+    users_a = h.where(F.col("event_type") == a).select("user_id").distinct()
+    users_b = h.where(F.col("event_type") == b).select("user_id").distinct()
+    ex = (
+        users_a.intersect(users_b)
+        .agg(F.count("*").alias("n_exact_intersection"))
+    )
+    return (
+        ex.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            F.col("n_exact_intersection").cast("long"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("hll_intersect_estimate"),
+        )
+    )
