@@ -190,10 +190,9 @@ def write_version(
         raise ValueError(f"versioned table: unknown mode {mode!r}")
     versions = committed_versions(root)
     if batch_id is not None:
-        for v in versions:
-            m = read_manifest(root, v)
-            if m.get("batch_id") == batch_id:
-                return v
+        v = _txn_lookup(root, batch_id, versions)
+        if v is not None:
+            return v
     n = (versions[-1] + 1) if versions else 0
     parent = versions[-1] if versions else None
     schema_json = _nullable_schema_json(df)
@@ -235,7 +234,59 @@ def write_version(
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     _commit_manifest(root, n, manifest)
+    if batch_id is not None:
+        _txn_record(root, batch_id, n)
     return n
+
+
+def _txn_dir(root: str) -> str:
+    return os.path.join(root, "_txns")
+
+
+def _txn_path(root: str, batch_id: int) -> str:
+    return os.path.join(_txn_dir(root), f"{batch_id}.json")
+
+
+def _txn_record(root: str, batch_id: int, version: int) -> None:
+    """Materialize the ``batch_id -> version`` marker consulted by
+    :func:`_txn_lookup`. Written right after the manifest link wins,
+    so the marker never claims a commit that didn't happen."""
+    os.makedirs(_txn_dir(root), exist_ok=True)
+    tmp = _txn_path(root, batch_id) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, _txn_path(root, batch_id))
+
+
+def _txn_lookup(root: str, batch_id: int, versions: list[int]) -> int | None:
+    """Idempotency check for the foreachBatch replay contract in O(1)
+    on the common path: one stat of the ``_txns/<batch_id>.json``
+    marker instead of re-reading every committed manifest (which made
+    a streaming run O(V^2) in driver file reads — the exact cost Delta
+    avoids with its per-app txn actions). On a marker miss, a
+    newest-first REPAIR scan materializes any marker lost in the crash
+    window between manifest link and marker write, stopping at the
+    first already-marked manifest: markers are written in commit
+    order, so everything older is covered, and the crash window only
+    ever exists at the then-head — which a newest-first scan reaches
+    before the stop. Pre-marker tables pay one full scan, then O(1)."""
+    try:
+        with open(_txn_path(root, batch_id)) as fh:
+            return json.load(fh)["version"]
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        pass
+    found = None
+    for v in reversed(versions):
+        m = read_manifest(root, v)
+        b = m.get("batch_id")
+        if b is None:
+            continue
+        if os.path.exists(_txn_path(root, b)):
+            break
+        _txn_record(root, b, v)
+        if b == batch_id:
+            found = v
+    return found
 
 
 def _commit_manifest(root: str, n: int, manifest: dict) -> None:
@@ -378,7 +429,7 @@ def merge_into(
     source: DataFrame,
     on: str | list[str],
     when_matched_delete: str | None = None,
-    when_matched_update: bool = True,
+    when_matched_update: bool | str = True,
     when_not_matched_insert: bool = True,
     batch_id: int | None = None,
 ) -> dict:
@@ -389,7 +440,14 @@ def merge_into(
     * WHEN MATCHED AND ``when_matched_delete`` (a SQL boolean over the
       SOURCE row image) → the target row is deleted;
     * WHEN MATCHED (and ``when_matched_update``) → the target row is
-      replaced by the source row;
+      replaced by the source row; pass a SQL boolean string instead of
+      True for Delta's ``WHEN MATCHED AND <cond> THEN UPDATE``: the
+      expression may reference ``source.<col>`` and ``target.<col>``
+      row images (e.g. ``"source.ts >= target.ts"`` makes an upsert
+      MONOTONE — an out-of-order older source row can never overwrite
+      a newer target row); a condition evaluating to NULL means "don't
+      update", and a matched row failing the condition is carried
+      unchanged;
     * WHEN NOT MATCHED (and ``when_not_matched_insert``) → the source
       row is inserted;
     * target rows with no source match are carried unchanged.
@@ -431,10 +489,12 @@ def merge_into(
         # a replayed micro-batch (same id) returns the already-
         # committed merge's stats without recomputing or re-writing —
         # streaming CDC upserts become exactly-once under restart
-        for v in versions:
-            m = read_manifest(root, v)
-            if m.get("batch_id") == batch_id:
-                return {"version": v, **m.get("stats", {})}
+        v = _txn_lookup(root, batch_id, versions)
+        if v is not None:
+            try:
+                return {"version": v, **read_manifest(root, v).get("stats", {})}
+            except FileNotFoundError:  # vacuumed since — commit still counted
+                return {"version": v}
     parent = versions[-1]
     parent_manifest = read_manifest(root, parent)
     parent_files = parent_manifest["files"]
@@ -563,9 +623,39 @@ def merge_into(
     joined = tgt.join(src, on=cond, how="full_outer")
     matched = src["_s_delete"].isNotNull() & tgt["_t_present"].isNotNull()
     src_only = tgt["_t_present"].isNull()
+    if isinstance(when_matched_update, str):
+        # conditional update over the two row images; struct columns
+        # give the expression the source./target. namespaces and keep
+        # evaluation inside codegen. NULL -> don't update.
+        clash = {"source", "target"} & set(target_cols)
+        if clash:
+            raise ValueError(
+                f"conditional merge: table columns {sorted(clash)} shadow "
+                "the source./target. image namespaces"
+            )
+        joined = (
+            joined.withColumn(
+                "source",
+                F.struct(*[src[f"_s_{c}"].alias(c) for c in target_cols]),
+            )
+            .withColumn(
+                "target",
+                F.struct(*[tgt[c].alias(c) for c in target_cols]),
+            )
+            .withColumn(
+                "_upd_cond",
+                F.coalesce(F.expr(when_matched_update), F.lit(False)),
+            )
+            .drop("source", "target")
+        )
+        update_action = F.when(F.col("_upd_cond"), F.lit("U")).otherwise(
+            F.lit("T")
+        )
+    else:
+        update_action = F.lit("U" if when_matched_update else "T")
     action = (
         F.when(matched & F.col("_s_delete").eqNullSafe(F.lit(True)), F.lit("D"))
-        .when(matched, F.lit("U" if when_matched_update else "T"))
+        .when(matched, update_action)
         .when(src_only, F.lit("I" if when_not_matched_insert else "X"))
         .otherwise(F.lit("T"))  # target-only: carry unchanged
     )
@@ -632,6 +722,8 @@ def merge_into(
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     _commit_manifest(root, n, manifest)
+    if batch_id is not None:
+        _txn_record(root, batch_id, n)
     return stats
 
 
@@ -726,13 +818,25 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     return write_version(latest.coalesce(target_files), root, "overwrite")
 
 
-def vacuum(root: str, keep_versions: int = 1) -> list[int]:
+def vacuum(
+    root: str, keep_versions: int = 1, retention_seconds: float = 0.0
+) -> list[int]:
     """Drop all but the newest ``keep_versions`` manifests and delete
     every data dir no surviving manifest references. Returns the
     removed version numbers. This is the one operation that breaks
     time travel for the dropped versions — by contract, never by
-    accident (``keep_versions`` < 1 is rejected)."""
+    accident (``keep_versions`` < 1 is rejected).
+
+    ``retention_seconds`` is Delta's vacuum retention rule: an
+    unreferenced data dir YOUNGER than the threshold is skipped,
+    because it may belong to an in-flight writer whose uuid data dir
+    lands before its manifest link — reclaiming it mid-commit would
+    publish a manifest whose files are gone. The default of 0 suits
+    single-writer tables (every test/demo here); any deployment with
+    concurrent writers should pass a threshold comfortably above the
+    longest write-to-commit gap (Delta defaults to 7 days)."""
     import shutil
+    import time
 
     if keep_versions < 1:
         raise ValueError("vacuum: keep_versions must be >= 1")
@@ -747,7 +851,19 @@ def vacuum(root: str, keep_versions: int = 1) -> list[int]:
     for v in drop:
         os.remove(os.path.join(_manifest_dir(root), f"{v}.json"))
     data_root = os.path.join(root, "data")
-    for d in os.listdir(data_root):
-        if d not in referenced:
-            shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+    try:
+        candidates = os.listdir(data_root)
+    except FileNotFoundError:  # all-empty-commit table: no data/ yet
+        candidates = []
+    cutoff = time.time() - retention_seconds
+    for d in candidates:
+        p = os.path.join(data_root, d)
+        if d in referenced:
+            continue
+        try:
+            if retention_seconds > 0 and os.stat(p).st_mtime > cutoff:
+                continue  # possibly an in-flight writer's dir
+        except FileNotFoundError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
     return drop

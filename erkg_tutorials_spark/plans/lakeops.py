@@ -584,6 +584,13 @@ def timetravel_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _versioned_root(sf_dir, "orders")
     if len(committed_versions(root)) < 3:
         _versioned_root(sf_dir, "orders", evict=True)
+        # a PARTIALLY built table (crash between commits) must be
+        # rebuilt from scratch, not stacked on: versions 0-2 are what
+        # this query and cdf_history_rollup address by number
+        if committed_versions(root):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
         orders = load_tables(spark, sf_dir)["orders"]
         write_version(
             orders.where(F.col("o_orderstatus") == "F"), root, "overwrite"

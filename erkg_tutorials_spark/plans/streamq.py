@@ -761,7 +761,22 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             merge_into(
-                batch.sparkSession, table, latest, on="user_id", batch_id=bid
+                batch.sparkSession,
+                table,
+                latest,
+                on="user_id",
+                # MONOTONE upsert: each batch is reduced to its own
+                # argmax(ts_sec, event_id) per user, but batches may
+                # arrive out of event-time order (multi-file feeds,
+                # rate limits) — only overwrite when the source image
+                # is at least as new, so the final table is the GLOBAL
+                # argmax regardless of batch boundaries.
+                when_matched_update=(
+                    "source.ts_sec > target.ts_sec OR "
+                    "(source.ts_sec = target.ts_sec AND "
+                    "source.event_id >= target.event_id)"
+                ),
+                batch_id=bid,
             )
         finally:
             latest.unpersist()

@@ -231,7 +231,20 @@ class ArrowParquetWriter(DataSourceArrowWriter):
             # concurrent reader sees the old complete table or the new
             # one; the worst case between the renames is a transient
             # ENOENT, never partial data with the old table destroyed.
+            # Only files named in a task's FileCommit message are part
+            # of the table: a failed/retried or speculative attempt may
+            # have left an orphan (possibly footer-less) part file in
+            # staging, so prune staging down to the committed set
+            # before publishing — same guarantee as the append path.
             os.makedirs(self.staging, exist_ok=True)  # all-empty write
+            committed = {
+                os.path.basename(m.staged)
+                for m in messages
+                if m is not None and m.staged
+            }
+            for name in os.listdir(self.staging):
+                if name not in committed:
+                    os.remove(os.path.join(self.staging, name))
             open(os.path.join(self.staging, "_SUCCESS"), "w").close()
             aside = f"{self.path}__old_{uuid.uuid4().hex[:12]}"
             os.rename(self.path, aside)

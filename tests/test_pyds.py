@@ -122,6 +122,37 @@ def test_writer_torn_write_leaves_no_residue(spark, tmp_path):
     assert glob.glob(f"{dst}__staging_*") == []
 
 
+def test_overwrite_commit_prunes_uncommitted_attempt_files(tmp_path):
+    """The overwrite swap path publishes ONLY files named in task
+    commit messages: a speculative/retried attempt's orphan (possibly
+    footer-less) part file left in staging must not reach the
+    committed table — the same two-phase-commit guarantee as the
+    append path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erkg_tutorials_spark.sources.pyds import ArrowParquetWriter, FileCommit
+
+    dst = str(tmp_path / "tbl")
+    # pre-existing live table so the overwrite swap branch runs
+    os.makedirs(dst)
+    open(os.path.join(dst, "_SUCCESS"), "w").close()
+
+    w = ArrowParquetWriter({"path": dst}, overwrite=True)
+    os.makedirs(w.staging)
+    good = os.path.join(w.staging, "part-good.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3]}), good)
+    # failed attempt: torn file with no footer, never message-listed
+    with open(os.path.join(w.staging, "part-orphan.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x00torn")
+
+    w.commit([FileCommit(staged=good, rows=3), None])
+
+    published = sorted(os.listdir(dst))
+    assert published == ["_SUCCESS", "part-good.parquet"]
+    assert pq.read_table(dst).num_rows == 3
+
+
 def test_writer_roundtrip_preserves_rows(spark, tmp_path):
     register_arrow_parquet(spark)
     dst = str(tmp_path / "rt_out")

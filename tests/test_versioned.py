@@ -117,6 +117,51 @@ def test_batch_id_commit_is_idempotent(spark, tmp_path):
     assert read_version(spark, root).count() == 20
 
 
+def test_batch_id_lookup_is_marker_backed_and_self_repairing(spark, tmp_path):
+    """The replay check must be O(1) driver file reads via the
+    _txns/<id>.json marker, not an O(versions) manifest scan — and a
+    marker lost in the crash window between manifest link and marker
+    write must be repaired on the next lookup."""
+    from erkg_tutorials_spark.lakehouse.versioned import _txn_path
+
+    root = str(tmp_path / "t")
+    for b in range(4):
+        write_version(spark.range(b, b + 1), root, "append", batch_id=b)
+    # every commit left its marker
+    for b in range(4):
+        assert os.path.exists(_txn_path(root, b))
+    # simulate the crash window: newest marker lost before being written
+    os.remove(_txn_path(root, 3))
+    assert write_version(spark.range(99), root, "append", batch_id=3) == 3
+    assert os.path.exists(_txn_path(root, 3))  # repaired
+    assert committed_versions(root) == [0, 1, 2, 3]
+
+
+def test_vacuum_retention_spares_young_unreferenced_dirs(spark, tmp_path):
+    from erkg_tutorials_spark.lakehouse.versioned import vacuum
+
+    root = str(tmp_path / "t")
+    write_version(spark.range(10), root, "overwrite")
+    # an in-flight writer's uuid data dir: written, manifest not linked yet
+    inflight = os.path.join(root, "data", "v1-deadbeef")
+    os.makedirs(inflight)
+    vacuum(root, keep_versions=1, retention_seconds=3600)
+    assert os.path.isdir(inflight)  # young: spared
+    vacuum(root, keep_versions=1)  # retention 0: reclaimed
+    assert not os.path.isdir(inflight)
+
+
+def test_vacuum_tolerates_missing_data_dir(spark, tmp_path):
+    import shutil
+
+    from erkg_tutorials_spark.lakehouse.versioned import vacuum
+
+    root = str(tmp_path / "t")
+    write_version(spark.range(1), root, "overwrite")
+    shutil.rmtree(os.path.join(root, "data"))
+    assert vacuum(root, keep_versions=1) == []  # no raise
+
+
 # --- model-based property test -----------------------------------------
 #
 # Random command sequences (append/overwrite/replayed-batch commits)

@@ -60,6 +60,66 @@ def test_merge_update_insert_delete_semantics(spark, tmp_path):
     assert len(out) == 20  # 20 - 1 delete + 1 insert
 
 
+def test_merge_conditional_update_is_monotone(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN UPDATE: an out-of-order OLDER
+    source image must not overwrite a newer target row — the property
+    that makes streaming CDC upserts batch-order independent."""
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1, 100, "new"), (2, 50, "mid")], "k long, ts long, tag string"
+        ),
+        root,
+        "overwrite",
+    )
+    # late batch: k=1 older (skip), k=2 newer (update), k=3 unseen (insert)
+    late = spark.createDataFrame(
+        [(1, 10, "stale"), (2, 60, "fresh"), (3, 5, "ins")],
+        "k long, ts long, tag string",
+    )
+    stats = merge_into(
+        spark, root, late, on="k", when_matched_update="source.ts >= target.ts"
+    )
+    assert stats["rows_updated"] == 1
+    assert stats["rows_inserted"] == 1
+    out = {r["k"]: (r["ts"], r["tag"]) for r in read_version(spark, root).collect()}
+    assert out[1] == (100, "new")   # stale image rejected
+    assert out[2] == (60, "fresh")  # newer image applied
+    assert out[3] == (5, "ins")
+
+
+def test_merge_conditional_update_null_means_no_update(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 100, "keep")], "k long, ts long, tag string"),
+        root,
+        "overwrite",
+    )
+    src = spark.createDataFrame(
+        [(1, None, "null-ts")], "k long, ts long, tag string"
+    )
+    stats = merge_into(
+        spark, root, src, on="k", when_matched_update="source.ts >= target.ts"
+    )
+    assert stats["rows_updated"] == 0
+    assert read_version(spark, root).collect()[0]["tag"] == "keep"
+
+
+def test_merge_conditional_update_namespace_clash_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 2)], "k long, source long"), root, "overwrite"
+    )
+    with pytest.raises(ValueError, match="shadow"):
+        merge_into(
+            spark,
+            root,
+            spark.createDataFrame([(1, 3)], "k long, source long"),
+            on="k",
+            when_matched_update="source.source > target.source",
+        )
+
+
 def test_merge_cardinality_violation_raises(spark, tmp_path):
     root = str(tmp_path / "t")
     _base(spark, root, n=10, files=1)
