@@ -200,6 +200,10 @@ HEADLINE = [
     "versioned_skipping_read",
     "cdf_history_rollup",
     "hll_intersect_users",
+    # round-8: the composed E1 senzing lifecycle, now oracle-gated as a
+    # registry query (r7 VERDICT item 1) — replaces the un-oracled
+    # fixture-driven e1_senzing_pipeline bench-only row
+    "e1_senzing_lifecycle",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -293,45 +297,6 @@ def _bench_hub_clustering(spark, sf_dir: str) -> tuple[dict, dict]:
     g.unpersist()
     nbrs.unpersist()
     return timings, spread
-
-
-def _bench_e1(spark, sf: float | None) -> float:
-    """End-to-end E1 (the reference's actual pipeline): Senzing JSONL
-    report → graph → suspicious 2-hop filter → entity/alias artifacts.
-
-    The registry queries exercise operators; this times the composed
-    pipeline at a report size matched to the scale factor
-    (sf0.1 → 15k resolved entities, ~150× the unit fixture). The
-    fixture is deterministic (seed 42) and cached under /tmp keyed by
-    size, so repeat runs re-read, not re-generate."""
-    import tempfile
-
-    from erkg_tutorials_spark.pipelines.senzing_pipeline import run_senzing_pipeline
-
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from senzing_fixture import write_fixture
-
-    n = max(200, int(150_000 * (sf or 0.1)))
-    fix_dir = os.path.join(tempfile.gettempdir(), f"erkg_senzing_bench_{n}")
-    report = os.path.join(fix_dir, "senzing_report.jsonl")
-    if not os.path.exists(report):
-        paths = write_fixture(fix_dir, n_entities=n)
-    else:
-        paths = {
-            "report": report,
-            "suspicious": os.path.join(fix_dir, "suspicious.txt"),
-            "countries": os.path.join(fix_dir, "country.tsv"),
-        }
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        ents, aliases = run_senzing_pipeline(
-            spark, paths["report"], paths["suspicious"], paths["countries"]
-        )
-        ents.write.format("noop").mode("overwrite").save()
-        aliases.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    return best
 
 
 def main() -> None:
@@ -442,22 +407,6 @@ def main() -> None:
     # "microbench" section so headline_suite_total stays comparable
     # with BENCH_r01..05 (which had no hub entries).
     hub_timings, hub_spread = _bench_hub_clustering(spark, sf_dir)
-
-    # e1 runs a fresh end-to-end pipeline that shares nothing with the
-    # registry queries; free the session's accumulated storage first
-    # (memoized views, query caches, localCheckpoint blocks) so its
-    # number measures the pipeline, not 67 queries of block-manager
-    # debris and GC pressure.
-    from erkg_tutorials_spark.plans.memo import release
-
-    release(spark)
-    spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
-    rdd_it = jsc.getPersistentRDDs().values().iterator()
-    while rdd_it.hasNext():
-        rdd_it.next().unpersist(False)
-
-    timings["e1_senzing_pipeline"] = round(_bench_e1(spark, sf), 3)
 
     total = round(sum(timings.values()), 3)
     result = {

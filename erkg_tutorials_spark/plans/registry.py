@@ -13,6 +13,7 @@ from erkg_tutorials_spark.plans import (
     eventsq,
     graphq,
     lakeops,
+    lifecycle,
     linkingq,
     llmops,
     llmops2,
@@ -39,6 +40,7 @@ _MODULES = (
     llmops2,
     ragops,
     graphq,
+    lifecycle,
     linkingq,
     textq,
     vectorq,
