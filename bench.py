@@ -204,6 +204,9 @@ HEADLINE = [
     # registry query (r7 VERDICT item 1) — replaces the un-oracled
     # fixture-driven e1_senzing_pipeline bench-only row
     "e1_senzing_lifecycle",
+    # round-8: sampled-source Brandes betweenness (GDS centrality
+    # surface, r7 VERDICT item 3)
+    "g_betweenness_topk",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -228,6 +231,7 @@ GRAPH_QUERIES = (
     "g_kcore",
     "g_ktruss",
     "g_harmonic_closeness",
+    "g_betweenness_topk",
 )
 
 

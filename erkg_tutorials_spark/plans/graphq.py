@@ -1455,3 +1455,88 @@ def g_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("reached").alias("n_reachable"),
         F.min("t2").alias("first_reach_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality from a deterministic sampled source set
+# (Brandes 2001, public paper; the GDS betweenness surface the
+# reference's Neo4j+GDS stack exposes, /root/reference/Readme.md:33-36).
+# Forward keyed BFS carries exact BIGINT shortest-path counts; the
+# backward sweep accumulates Brandes dependencies level by level. The
+# oracle unrolls the SAME bounded-depth recursion, so the hash match
+# is exact even if the graph's eccentricity exceeds the bound (both
+# engines truncate identically — graph/betweenness.py).
+# ---------------------------------------------------------------------------
+BETWEENNESS_ROUNDS = 8
+_BW_LMS_SQL = (
+    "SELECT 'c:' || c_custkey AS lm FROM customer "
+    "WHERE c_custkey % 1000 = 0 AND c_custkey <= 4000"
+)
+
+
+def _betweenness_oracle() -> str:
+    R = BETWEENNESS_ROUNDS
+    parts = [
+        f"""
+    lms AS ({_BW_LMS_SQL}),
+    f0 AS MATERIALIZED (SELECT lm, lm AS id, 1::BIGINT AS sigma FROM lms),
+    vis0 AS MATERIALIZED (SELECT lm, id FROM f0)"""
+    ]
+    for i in range(1, R + 1):
+        parts.append(f"""
+    f{i} AS MATERIALIZED (
+      SELECT f.lm, e.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM f{i - 1} f JOIN edges e ON e.src = f.id
+      LEFT JOIN vis{i - 1} v ON v.lm = f.lm AND v.id = e.dst
+      WHERE v.id IS NULL
+      GROUP BY f.lm, e.dst
+    ),
+    vis{i} AS MATERIALIZED (
+      SELECT lm, id FROM vis{i - 1} UNION ALL SELECT lm, id FROM f{i}
+    )""")
+    parts.append(f"""
+    d{R} AS MATERIALIZED (SELECT lm, id, sigma, 0.0::DOUBLE AS delta FROM f{R})""")
+    for L in range(R - 1, 0, -1):
+        parts.append(f"""
+    s{L} AS MATERIALIZED (
+      SELECT v.lm, v.id,
+             SUM(v.sigma / w.sigma * (1.0::DOUBLE + w.delta)) AS delta
+      FROM f{L} v JOIN edges e ON e.src = v.id
+      JOIN d{L + 1} w ON w.lm = v.lm AND w.id = e.dst
+      GROUP BY v.lm, v.id
+    ),
+    d{L} AS MATERIALIZED (
+      SELECT v.lm, v.id, v.sigma, COALESCE(s.delta, 0.0::DOUBLE) AS delta
+      FROM f{L} v LEFT JOIN s{L} s ON s.lm = v.lm AND s.id = v.id
+    )""")
+    acc = "\n      UNION ALL ".join(
+        f"SELECT id, delta FROM d{L}" for L in range(1, R + 1)
+    )
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + ",".join(parts)
+        + f""",
+    acc AS ({acc})
+    SELECT id, ROUND(SUM(delta), 6) AS betweenness
+    FROM acc GROUP BY id
+    ORDER BY betweenness DESC, id LIMIT 20
+    """
+    )
+
+
+@register("g_betweenness_topk", _betweenness_oracle())
+def g_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness: top-20 vertices by accumulated shortest-path dependency, deterministic source set."""
+    from erkg_tutorials_spark.graph.betweenness import betweenness_sampled
+
+    t = load_tables(spark, sf_dir)
+    sources = (
+        t["customer"]
+        .where((F.col("c_custkey") % 1000 == 0) & (F.col("c_custkey") <= 4000))
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("lm"))
+    )
+    bc = betweenness_sampled(
+        trade_edges_sym(spark, sf_dir), sources, max_rounds=BETWEENNESS_ROUNDS
+    )
+    return bc.orderBy(F.col("betweenness").desc(), "id").limit(20)

@@ -1,0 +1,91 @@
+"""Brandes sampled-source betweenness (graph/betweenness.py) on graphs
+with hand-computable centralities. The registry query's oracle proves
+sf-scale parity; these pin the algorithm itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.graph.betweenness import betweenness_sampled
+
+
+def _sym_edges(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _all_sources(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "lm string")
+
+
+def test_path_graph_interior_dependencies(spark):
+    """Path a-b-c-d-e, all vertices as sources: directed-pair
+    betweenness is 2x the classic undirected values — b:6, c:8,
+    endpoints 0 (absent or zero)."""
+    edges = _sym_edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    out = betweenness_sampled(
+        edges, _all_sources(spark, "abcde"), max_rounds=8
+    )
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    assert got.get("b", 0.0) == 6.0
+    assert got.get("c", 0.0) == 8.0
+    assert got.get("a", 0.0) == 0.0
+    assert got.get("e", 0.0) == 0.0
+
+
+def test_diamond_splits_dependency_across_equal_paths(spark):
+    """Diamond a-{b,c}-d: every vertex mediates exactly the opposite
+    pair's two equal shortest paths — half a dependency per ordered
+    pair, 2 ordered pairs -> betweenness 1.0 for all four."""
+    edges = _sym_edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+    out = betweenness_sampled(
+        edges, _all_sources(spark, "abcd"), max_rounds=8
+    )
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    assert got == {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+
+
+def test_star_center_carries_all_pairs(spark):
+    """Star with center h and 4 leaves: every leaf pair's unique path
+    crosses h — 4*3 = 12 ordered pairs."""
+    leaves = ["l1", "l2", "l3", "l4"]
+    edges = _sym_edges(spark, [("h", leaf) for leaf in leaves])
+    out = betweenness_sampled(
+        edges, _all_sources(spark, ["h"] + leaves), max_rounds=8
+    )
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    assert got.get("h", 0.0) == 12.0
+    for leaf in leaves:
+        assert got.get(leaf, 0.0) == 0.0
+
+
+def test_bounded_depth_truncates_identically(spark):
+    """max_rounds below the diameter counts only pairs whose shortest
+    path fits the bound: on the 5-path with max_rounds=2, c mediates
+    only (b,d)/(d,b) — the dist-3+ pairs (a,d),(b,e),(a,e) vanish."""
+    edges = _sym_edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    out = betweenness_sampled(
+        edges, _all_sources(spark, "abcde"), max_rounds=2
+    )
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    assert got.get("c", 0.0) == 2.0
+
+
+def test_sampled_sources_subset(spark):
+    """Sources = {a} only: dependencies are a's Brandes deltas alone
+    (path graph: delta_a(b)=3, delta_a(c)=2, delta_a(d)=1)."""
+    edges = _sym_edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    out = betweenness_sampled(edges, _all_sources(spark, "a"), max_rounds=8)
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    assert got.get("b", 0.0) == 3.0
+    assert got.get("c", 0.0) == 2.0
+    assert got.get("d", 0.0) == 1.0
+
+
+def test_disconnected_source_contributes_nothing(spark):
+    edges = _sym_edges(spark, [("a", "b"), ("x", "y")])
+    out = betweenness_sampled(
+        edges, _all_sources(spark, ["a", "b", "x"]), max_rounds=8
+    )
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    assert all(v == 0.0 for v in got.values())
