@@ -207,6 +207,8 @@ HEADLINE = [
     # round-8: sampled-source Brandes betweenness (GDS centrality
     # surface, r7 VERDICT item 3)
     "g_betweenness_topk",
+    # round-8: deterministic one-level Louvain (r7 VERDICT item 4)
+    "g_louvain_communities",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -232,6 +234,7 @@ GRAPH_QUERIES = (
     "g_ktruss",
     "g_harmonic_closeness",
     "g_betweenness_topk",
+    "g_louvain_communities",
 )
 
 

@@ -1,0 +1,161 @@
+"""Deterministic one-level Louvain-class community detection.
+
+Louvain (Blondel et al. 2008, "Fast unfolding of communities in large
+networks" — public paper) greedily moves vertices into the neighbor
+community with the best modularity gain. The sequential algorithm is
+order-dependent and not distributed; the production distributed form
+(GDS/Grappolo-style) runs SYNCHRONOUS move rounds. Synchronous moves
+of adjacent vertices oscillate (two singletons adopting each other's
+label forever), so each round here restricts movers to one side of a
+vertex partition class (caller-supplied boolean column expression,
+alternating per round) — on a bipartite graph the classes are exact
+independent sets, the standard alternating schedule.
+
+Exactly replayable by construction (the full-hash-oracle contract):
+
+* modularity gains are compared with INTEGER cross-multiplication —
+  score(i -> c) = m2 * k_ic - k_i * tot'(c), all BIGINT, where m2 is
+  the symmetric edge-row count (= 2m), k_ic the number of edges from
+  i into c, k_i the degree of i, and tot'(c) the community's total
+  degree with i's own contribution removed when c is i's current
+  community (Louvain's remove-then-compare). No floats anywhere.
+* the winning community is argmax score with ties broken by MINIMUM
+  community id (byte-wise string order, identical in Spark and
+  DuckDB for ASCII ids).
+* a FIXED number of rounds on both engines; the DuckDB oracle unrolls
+  the identical recursion.
+
+Distributed shape (100 TB posture): per round, the label table
+(|V| rows) joins the edge table on dst to build k_ic — the round's
+one big shuffle, keyed the same way every round so AQE reuses the
+partitioning; community totals are a |V|-row groupBy; the argmax is a
+min(struct) aggregation, not a window, so no per-partition sort of
+the full candidate set. Per-round lineage is truncated with a
+CheckpointChain (labels are the only evolving state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+
+def louvain_one_level(
+    edges: DataFrame,
+    rounds: int,
+    move_class: "Column | None" = None,
+) -> DataFrame:
+    """One-level modularity-greedy labels over a DISTINCT symmetric
+    edge set (src, dst). ``move_class``: boolean column over ``id``
+    selecting the vertices allowed to move on EVEN rounds (the
+    complement moves on odd rounds); None lets every vertex move every
+    round (only sensible on graphs where oscillation is acceptable).
+    Returns (id, lbl) after ``rounds`` synchronous rounds."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("k"))
+    deg = deg.localCheckpoint(eager=True)  # loop-invariant
+    m2 = edges.count()  # scalar bound, not data (Delta-manifest pattern)
+
+    lbl = deg.select(F.col("src").alias("id"), F.col("src").alias("lbl"))
+    chain = CheckpointChain()
+    lbl = chain(lbl)
+    for r in range(rounds):
+        tot = (
+            lbl.join(deg, lbl["id"] == deg["src"])
+            .groupBy("lbl")
+            .agg(F.sum("k").alias("tot"))
+        )
+        # k_ic: edges from i into each neighbor community
+        k_ic = (
+            edges.join(lbl, edges["dst"] == lbl["id"])
+            .groupBy(edges["src"].alias("i"), F.col("lbl").alias("c"))
+            .agg(F.count("*").alias("k_ic"))
+        )
+        # ensure the CURRENT community is always a candidate (k_ic may
+        # be 0 when i has no intra-community neighbor)
+        cand = (
+            k_ic.unionByName(
+                lbl.select(
+                    F.col("id").alias("i"),
+                    F.col("lbl").alias("c"),
+                    F.lit(0).cast("long").alias("k_ic"),
+                )
+            )
+            .groupBy("i", "c")
+            .agg(F.sum("k_ic").alias("k_ic"))
+        )
+        cur = lbl.select(F.col("id").alias("i"), F.col("lbl").alias("cur"))
+        d_i = deg.select(F.col("src").alias("i"), F.col("k").alias("k_i"))
+        scored = (
+            cand.join(cur, "i")
+            .join(d_i, "i")
+            .join(tot, cand["c"] == tot["lbl"])
+            .select(
+                "i",
+                "c",
+                "cur",
+                (
+                    F.lit(m2) * F.col("k_ic")
+                    - F.col("k_i")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("c") == F.col("cur"), F.col("k_i")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                ).alias("score"),
+            )
+        )
+        # argmax score, ties -> min community id: min over (-score, c)
+        best = (
+            scored.groupBy("i")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b"))
+            .select(F.col("i").alias("id"), F.col("b.c").alias("new_lbl"))
+        )
+        if move_class is not None:
+            allowed = move_class if r % 2 == 0 else ~move_class
+            lbl = lbl.join(best, "id").select(
+                "id",
+                F.when(allowed, F.col("new_lbl")).otherwise(F.col("lbl")).alias("lbl"),
+            )
+        else:
+            lbl = best.select("id", F.col("new_lbl").alias("lbl"))
+        lbl = chain(lbl)
+    return lbl
+
+
+def community_summary(edges: DataFrame, lbl: DataFrame, m2: int) -> DataFrame:
+    """Per-community exact-integer summary: member count, total
+    degree, symmetric intra-community edge count, and the scaled
+    modularity numerator ``mod_num = m2 * in_sym - tot^2`` whose sum
+    over communities equals Q * m2^2 (all BIGINT — associative,
+    hashable)."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("k"))
+    base = (
+        lbl.join(deg, lbl["id"] == deg["src"])
+        .groupBy("lbl")
+        .agg(F.count("*").alias("n_members"), F.sum("k").alias("tot_degree"))
+    )
+    a = lbl.select(F.col("id").alias("_a"), F.col("lbl").alias("_la"))
+    b = lbl.select(F.col("id").alias("_b"), F.col("lbl").alias("_lb"))
+    in_sym = (
+        edges.join(a, edges["src"] == F.col("_a"))
+        .join(b, edges["dst"] == F.col("_b"))
+        .where(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("lbl"))
+        .agg(F.count("*").alias("in_sym"))
+    )
+    return (
+        base.join(in_sym, "lbl", "left")
+        .select(
+            F.col("lbl").alias("community"),
+            "n_members",
+            "tot_degree",
+            F.coalesce("in_sym", F.lit(0)).alias("in_sym"),
+            (
+                F.lit(m2) * F.coalesce("in_sym", F.lit(0))
+                - F.col("tot_degree") * F.col("tot_degree")
+            ).alias("mod_num"),
+        )
+    )

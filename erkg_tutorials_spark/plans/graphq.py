@@ -1540,3 +1540,102 @@ def g_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         trade_edges_sym(spark, sf_dir), sources, max_rounds=BETWEENNESS_ROUNDS
     )
     return bc.orderBy(F.col("betweenness").desc(), "id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Louvain-class community detection (Blondel et al. 2008, public
+# paper; the GDS community surface, /root/reference/Readme.md:33-36).
+# Deterministic one-level modularity-greedy: synchronous move rounds
+# restricted to alternating sides of the bipartite trade graph
+# (customers move on even rounds, suppliers on odd — exact
+# independent sets, the standard distributed-Louvain schedule), all
+# gains compared by INTEGER cross-multiplication with min-id
+# tie-breaking, so the unrolled oracle hash-matches exactly
+# (graph/louvain.py).
+# ---------------------------------------------------------------------------
+LOUVAIN_ROUNDS = 4
+
+
+def _louvain_oracle() -> str:
+    R = LOUVAIN_ROUNDS
+    parts = [
+        """
+    deg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY src
+    ),
+    m2t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+    l0 AS MATERIALIZED (SELECT src AS id, src AS lbl FROM deg)"""
+    ]
+    for r in range(R):
+        cond = "l.id LIKE 'c:%'" if r % 2 == 0 else "l.id NOT LIKE 'c:%'"
+        parts.append(f"""
+    tot{r} AS MATERIALIZED (
+      SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
+      FROM l{r} l JOIN deg d ON d.src = l.id GROUP BY l.lbl
+    ),
+    cand{r} AS MATERIALIZED (
+      SELECT i, c, CAST(SUM(k_ic) AS BIGINT) AS k_ic FROM (
+        SELECT e.src AS i, l.lbl AS c, 1 AS k_ic
+        FROM edges e JOIN l{r} l ON l.id = e.dst
+        UNION ALL
+        SELECT id AS i, lbl AS c, 0 AS k_ic FROM l{r}
+      ) u GROUP BY i, c
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT i AS id, c AS new_lbl FROM (
+        SELECT s.i, s.c,
+               ROW_NUMBER() OVER (PARTITION BY s.i
+                                  ORDER BY s.score DESC, s.c ASC) AS rn
+        FROM (
+          SELECT cd.i, cd.c,
+                 m2t.m2 * cd.k_ic
+                 - d.k * (t.tot - CASE WHEN cd.c = l.lbl THEN d.k ELSE 0 END)
+                 AS score
+          FROM cand{r} cd
+          JOIN l{r} l ON l.id = cd.i
+          JOIN deg d ON d.src = cd.i
+          JOIN tot{r} t ON t.lbl = cd.c
+          CROSS JOIN m2t
+        ) s
+      ) ranked WHERE rn = 1
+    ),
+    l{r + 1} AS MATERIALIZED (
+      SELECT l.id, CASE WHEN {cond} THEN b.new_lbl ELSE l.lbl END AS lbl
+      FROM l{r} l JOIN best{r} b ON b.id = l.id
+    )""")
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + ",".join(parts)
+        + f""",
+    base AS (
+      SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(d.k) AS BIGINT) AS tot_degree
+      FROM l{R} l JOIN deg d ON d.src = l.id GROUP BY l.lbl
+    ),
+    ins AS (
+      SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS in_sym
+      FROM edges e JOIN l{R} a ON a.id = e.src JOIN l{R} b ON b.id = e.dst
+      WHERE a.lbl = b.lbl GROUP BY a.lbl
+    )
+    SELECT base.lbl AS community, n_members, tot_degree,
+           COALESCE(in_sym, 0) AS in_sym,
+           m2t.m2 * COALESCE(in_sym, 0) - tot_degree * tot_degree AS mod_num
+    FROM base LEFT JOIN ins ON ins.lbl = base.lbl CROSS JOIN m2t
+    """
+    )
+
+
+@register("g_louvain_communities", _louvain_oracle())
+def g_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-level Louvain: per-community member count, degree mass, intra-edge count, and exact-integer modularity numerator."""
+    from erkg_tutorials_spark.graph.louvain import (
+        community_summary,
+        louvain_one_level,
+    )
+
+    edges = trade_edges_sym(spark, sf_dir)
+    lbl = louvain_one_level(
+        edges, rounds=LOUVAIN_ROUNDS, move_class=F.col("id").startswith("c:")
+    )
+    return community_summary(edges, lbl, m2=edges.count())

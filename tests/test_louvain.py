@@ -1,0 +1,103 @@
+"""Deterministic one-level Louvain (graph/louvain.py): community
+recovery, the modularity-non-decreasing invariant over the alternating
+move schedule, and exact replayability."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.graph.louvain import community_summary, louvain_one_level
+
+
+def _sym(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _two_cliques(spark):
+    cl1 = [f"c:{i}" for i in range(4)]
+    cl2 = [f"s:{i}" for i in range(4)]
+    pairs = (
+        list(itertools.combinations(cl1, 2))
+        + list(itertools.combinations(cl2, 2))
+        + [("c:0", "s:0")]
+    )
+    return _sym(spark, pairs)
+
+
+def _mc():
+    return F.col("id").startswith("c:")
+
+
+def test_two_cliques_recovered(spark):
+    edges = _two_cliques(spark)
+    lbl = louvain_one_level(edges, rounds=4, move_class=_mc())
+    got = {r["id"]: r["lbl"] for r in lbl.collect()}
+    assert len({got[f"c:{i}"] for i in range(4)}) == 1
+    assert len({got[f"s:{i}"] for i in range(4)}) == 1
+    assert got["c:0"] != got["s:0"]
+
+
+def test_modularity_non_decreasing_per_round(spark):
+    """Each accepted move strictly improves its own stale-state gain;
+    on the alternating independent-set schedule the partition's exact
+    modularity numerator must not decrease round over round."""
+    edges = _two_cliques(spark)
+    m2 = edges.count()
+    prev = None
+    for rounds in range(1, 5):
+        lbl = louvain_one_level(edges, rounds=rounds, move_class=_mc())
+        q_num = (
+            community_summary(edges, lbl, m2=m2)
+            .agg(F.sum("mod_num").alias("q"))
+            .collect()[0]["q"]
+        )
+        if prev is not None:
+            assert q_num >= prev, f"round {rounds}: {q_num} < {prev}"
+        prev = q_num
+
+
+def test_modularity_non_decreasing_on_hub_graph(spark):
+    """Hub-heavy bipartite graph (the co-trade shape): same invariant."""
+    pairs = [(f"c:{i}", f"s:{i % 3}") for i in range(12)] + [
+        (f"c:{i}", "s:9") for i in range(0, 12, 2)
+    ]
+    edges = _sym(spark, pairs)
+    m2 = edges.count()
+    prev = None
+    for rounds in range(1, 5):
+        lbl = louvain_one_level(edges, rounds=rounds, move_class=_mc())
+        q_num = (
+            community_summary(edges, lbl, m2=m2)
+            .agg(F.sum("mod_num").alias("q"))
+            .collect()[0]["q"]
+        )
+        if prev is not None:
+            assert q_num >= prev
+        prev = q_num
+
+
+def test_exactly_replayable(spark):
+    edges = _two_cliques(spark)
+    a = sorted(
+        (r["id"], r["lbl"])
+        for r in louvain_one_level(edges, rounds=4, move_class=_mc()).collect()
+    )
+    b = sorted(
+        (r["id"], r["lbl"])
+        for r in louvain_one_level(edges, rounds=4, move_class=_mc()).collect()
+    )
+    assert a == b
+
+
+def test_summary_accounts_every_vertex_and_edge(spark):
+    edges = _two_cliques(spark)
+    lbl = louvain_one_level(edges, rounds=4, move_class=_mc())
+    summ = community_summary(edges, lbl, m2=edges.count()).collect()
+    assert sum(r["n_members"] for r in summ) == 8
+    assert sum(r["tot_degree"] for r in summ) == edges.count()
+    # intra-community sym edges: both 4-cliques fully internal (12
+    # each), the bridge crosses
+    assert sum(r["in_sym"] for r in summ) == 24
