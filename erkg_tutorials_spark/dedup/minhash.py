@@ -92,16 +92,49 @@ def minhash_lsh_dedup(
     num_hashes: int = 8,
     bands: int = 2,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with exact Jaccard ≥ threshold, LSH-pruned.
 
     Returns ``(id_a, id_b, jaccard)`` with jaccard rounded to 6 decimals
     (intersection/union of exact shingle sets — integers, so the ratio
     is order-independent across engines).
+
+    ``collapse_exact`` (default on) is the hot-band guard: byte-
+    identical documents share their ENTIRE signature, so a duplicate
+    flood of size d puts d rows in every band bucket and the self-join
+    fans out d²/2 candidate pairs — the one LSH skew AQE cannot fix
+    (join fan-out, not partition size). The guard collapses exact
+    duplicates (md5 of the raw text) to one representative (min id)
+    BEFORE shingling, runs LSH over representatives only — candidate
+    pairs linear in DISTINCT docs — then restores multiplicity: each
+    rep-level pair expands to its member cross product, and each
+    group contributes its intra-group all-pairs at jaccard 1.0
+    (byte-identical ⇒ identical shingle sets ⇒ jaccard exactly 1.0;
+    groups whose docs are too short to shingle are skipped, matching
+    the NULL-jaccard exclusion of the uncollapsed plan). Output is
+    row-identical to ``collapse_exact=False``; only the join work
+    changes.
     """
     # small-file scans arrive as one input partition; fan out so the
     # shingling/md5 CPU work uses every core (trivial shuffle: ids+text)
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+    members = None
+    if collapse_exact:
+        keyed = df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("_th")
+        )
+        groups = keyed.groupBy("_th").agg(F.min(id_col).alias("_rep"))
+        members = keyed.join(groups, "_th").select(
+            F.col(id_col).alias("_m"), "_rep"
+        )
+        # plain semi-join (reps can be ~|distinct docs| — let AQE pick
+        # the strategy; both sides key on the id)
+        df = df.join(
+            groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        )
+
     sh = shingles(df, text_col, id_col, k).cache()
     sig = minhash_signature(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
@@ -117,7 +150,7 @@ def minhash_lsh_dedup(
     )
     size_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     size_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
-    return (
+    pairs = (
         inter.join(size_a, "id_a")
         .join(size_b, "id_b")
         .withColumn(
@@ -129,3 +162,35 @@ def minhash_lsh_dedup(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if members is None:
+        return pairs
+
+    # restore multiplicity: rep-level pairs expand to the member cross
+    # product (groups are disjoint, so no dup rows and a != b)
+    ra = members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_a"))
+    rb = members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_b"))
+    cross = (
+        pairs.join(ra, "id_a")
+        .join(rb, "id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group all-pairs at exact jaccard 1.0 — only for groups
+    # whose text yields at least one shingle (too-short docs have
+    # NULL jaccard in the uncollapsed plan and are excluded there)
+    shingled_reps = sizes.where(F.col("n") > 0).select(
+        F.col(id_col).alias("_rep")
+    )
+    mem = members.join(shingled_reps, "_rep", "left_semi")
+    m1 = mem.select("_rep", F.col("_m").alias("id_a"))
+    m2 = mem.select("_rep", F.col("_m").alias("id_b"))
+    intra = (
+        m1.join(m2, "_rep")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        .where(F.lit(1.0) >= F.lit(threshold))  # constant-folds
+    )
+    return cross.unionByName(intra)
