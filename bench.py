@@ -209,6 +209,8 @@ HEADLINE = [
     "g_betweenness_topk",
     # round-8: deterministic one-level Louvain (r7 VERDICT item 4)
     "g_louvain_communities",
+    # round-8: node2vec walk corpus -> skip-gram pair generation
+    "g_node2vec_pairs",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -235,6 +237,7 @@ GRAPH_QUERIES = (
     "g_harmonic_closeness",
     "g_betweenness_topk",
     "g_louvain_communities",
+    "g_node2vec_pairs",
 )
 
 

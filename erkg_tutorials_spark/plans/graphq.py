@@ -1639,3 +1639,83 @@ def g_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, rounds=LOUVAIN_ROUNDS, move_class=F.col("id").startswith("c:")
     )
     return community_summary(edges, lbl, m2=edges.count())
+
+
+# ---------------------------------------------------------------------------
+# node2vec walk corpus + skip-gram training pairs (Grover & Leskovec
+# 2016, public paper; the GDS embedding surface,
+# /root/reference/Readme.md:33-36). The engine owns the data-pipeline
+# half — deterministic non-backtracking walks (md5-hash next-hop
+# draws, p=inf/q=1) and the windowed (center, context) pair counts;
+# the SGD belongs to a trainer (graph/node2vec.py).
+# ---------------------------------------------------------------------------
+N2V_WALK_LEN = 5
+N2V_WALKS_PER_START = 2
+N2V_WINDOW = 2
+_N2V_STARTS_SQL = (
+    "SELECT 'c:' || c_custkey AS id FROM customer WHERE c_custkey % 250 = 0"
+)
+
+
+def _node2vec_oracle() -> str:
+    L = N2V_WALK_LEN
+    ws = ", ".join(f"({w})" for w in range(N2V_WALKS_PER_START))
+    parts = [
+        f"""
+    starts AS ({_N2V_STARTS_SQL}),
+    s0 AS MATERIALIZED (
+      SELECT id || '#' || w AS walk_key, id AS vertex,
+             CAST(NULL AS VARCHAR) AS prev
+      FROM starts CROSS JOIN (SELECT * FROM (VALUES {ws}) t(w))
+    )"""
+    ]
+    for k in range(1, L + 1):
+        parts.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT walk_key, vertex, prev FROM (
+        SELECT c.walk_key, e.dst AS vertex, e.src AS prev,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.walk_key
+                 ORDER BY md5(c.walk_key || '|{k}|' || e.dst), e.dst, e.src
+               ) AS rn
+        FROM s{k - 1} c JOIN edges e ON e.src = c.vertex
+        WHERE c.prev IS NULL OR e.dst <> c.prev
+      ) ranked WHERE rn = 1
+    )""")
+    steps = "\n      UNION ALL ".join(
+        f"SELECT walk_key, {k} AS step, vertex FROM s{k}" for k in range(L + 1)
+    )
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + ",".join(parts)
+        + f""",
+    walks AS ({steps})
+    SELECT a.vertex AS center, b.vertex AS context,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM walks a JOIN walks b
+      ON a.walk_key = b.walk_key AND a.step <> b.step
+     AND abs(a.step - b.step) <= {N2V_WINDOW}
+    GROUP BY a.vertex, b.vertex
+    """
+    )
+
+
+@register("g_node2vec_pairs", _node2vec_oracle())
+def g_node2vec_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec training pairs: deterministic non-backtracking walk corpus expanded to windowed skip-gram (center, context) counts."""
+    from erkg_tutorials_spark.graph.node2vec import node2vec_walks, skipgram_pairs
+
+    t = load_tables(spark, sf_dir)
+    starts = (
+        t["customer"]
+        .where(F.col("c_custkey") % 250 == 0)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"))
+    )
+    walks = node2vec_walks(
+        trade_edges_sym(spark, sf_dir),
+        starts,
+        walk_length=N2V_WALK_LEN,
+        walks_per_start=N2V_WALKS_PER_START,
+    )
+    return skipgram_pairs(walks, window=N2V_WINDOW)
