@@ -211,6 +211,8 @@ HEADLINE = [
     "g_louvain_communities",
     # round-8: node2vec walk corpus -> skip-gram pair generation
     "g_node2vec_pairs",
+    # round-8: DSIR-style hashed-ngram importance resampling (LLM tier)
+    "dsir_importance_sample",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -783,3 +783,111 @@ def e3_pretrain_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.expr("bit_xor(dockey)").cast("long").alias("docset_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling" — public paper).
+# Hashed-bigram bag features: each word bigram hashes into one of 256
+# buckets (md5 prefix — the seed-free feature hash); a document's
+# importance weight is the sum over its bigram occurrences of the
+# per-bucket log-likelihood ratio ln((ct+1)/(cs+1)) between a target
+# domain sample and the remaining source pool. The per-bucket ln is
+# quantized to exact 1e-6 integers (the doc_perplexity_bigram float
+# discipline), so every downstream sum and the top-k cut are
+# bit-exact in both engines. Selection = top-K source docs by score
+# (the resampling step; the weights are the sampling distribution).
+# Scale notes: gram hashing is map-side; the per-bucket count tables
+# are 256 rows — BROADCAST into the scoring join, so the only wide
+# shuffle is the per-doc score groupBy on doc_id (the corpus's
+# natural key). Target-sample counts at 100 TB come from a fixed-size
+# domain sample, not the full corpus — the same shape as here.
+# ---------------------------------------------------------------------------
+DSIR_TARGET_MOD = 17  # doc_id % MOD = 0 -> the target-domain sample
+DSIR_TOP_K = 100
+
+
+@register(
+    "dsir_importance_sample",
+    f"""
+    WITH grams AS MATERIALIZED (
+      SELECT doc_id, substr(md5(w[i] || ' ' || w[i+1]), 1, 2) AS b
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+      CROSS JOIN unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+    ),
+    ct AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM grams
+      WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY b
+    ),
+    cs AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM grams
+      WHERE doc_id % {DSIR_TARGET_MOD} <> 0 GROUP BY b
+    ),
+    buckets AS (
+      SELECT b FROM ct UNION SELECT b FROM cs
+    ),
+    ratio AS MATERIALIZED (
+      SELECT buckets.b,
+             CAST(ROUND(ln((COALESCE(ct.c, 0) + 1) * 1.0
+                           / (COALESCE(cs.c, 0) + 1)) * 1000000, 0) AS BIGINT)
+               AS qlog
+      FROM buckets LEFT JOIN ct ON ct.b = buckets.b
+                   LEFT JOIN cs ON cs.b = buckets.b
+    ),
+    scored AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(r.qlog) AS BIGINT) AS score_q
+      FROM grams g JOIN ratio r ON r.b = g.b
+      WHERE g.doc_id % {DSIR_TARGET_MOD} <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, score_q
+    FROM scored ORDER BY score_q DESC, doc_id LIMIT {DSIR_TOP_K}
+    """,
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: top-K source docs by exact-integer hashed-bigram log-likelihood-ratio score against a target domain sample."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.split(F.lower(F.col("text")), " ")
+    grams = docs.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> substr(md5(concat(element_at(w, i), ' ',"
+                    " element_at(w, i + 1))), 1, 2))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ).alias("b"),
+    ).withColumn("is_target", F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    ct = grams.where("is_target").groupBy("b").agg(F.count("*").alias("c_t"))
+    cs = grams.where(~F.col("is_target")).groupBy("b").agg(F.count("*").alias("c_s"))
+    ratio = (
+        ct.join(cs, "b", "full_outer")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce("c_t", F.lit(0)) + 1)
+                    * 1.0
+                    / (F.coalesce("c_s", F.lit(0)) + 1)
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("qlog"),
+        )
+    )
+    scored = (
+        grams.where(~F.col("is_target"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("qlog").alias("score_q"),
+        )
+    )
+    return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(DSIR_TOP_K)
