@@ -213,6 +213,8 @@ HEADLINE = [
     "g_node2vec_pairs",
     # round-8: DSIR-style hashed-ngram importance resampling (LLM tier)
     "dsir_importance_sample",
+    # round-8: weighted supernode refinement of the Louvain partition
+    "g_louvain_two_level",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -240,6 +242,7 @@ GRAPH_QUERIES = (
     "g_betweenness_topk",
     "g_louvain_communities",
     "g_node2vec_pairs",
+    "g_louvain_two_level",
 )
 
 

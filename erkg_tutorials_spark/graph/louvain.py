@@ -159,3 +159,121 @@ def community_summary(edges: DataFrame, lbl: DataFrame, m2: int) -> DataFrame:
             ).alias("mod_num"),
         )
     )
+
+
+def _md5_parity(col):
+    """Deterministic 2-coloring for the weighted level's alternating
+    move schedule (the supernode graph is no longer bipartite):
+    ascii of the first md5 hex char mod 2 — seed-free, identical in
+    Spark and DuckDB."""
+    return F.ascii(F.substring(F.md5(col), 1, 1)) % 2
+
+
+def louvain_weighted_level(
+    wedges: DataFrame, rounds: int
+) -> DataFrame:
+    """One modularity-greedy level over a WEIGHTED symmetric graph
+    (src, dst, w) — the aggregated supernode graph of a previous
+    level, self-loops included (w(c,c) = intra-community symmetric
+    edge count). Same integer cross-multiplied gains as
+    :func:`louvain_one_level`; movers alternate by md5 parity class.
+    Returns (id, lbl)."""
+    deg = wedges.groupBy("src").agg(F.sum("w").alias("k"))
+    deg = deg.localCheckpoint(eager=True)
+    m2 = wedges.agg(F.sum("w")).collect()[0][0]  # scalar bound
+
+    lbl = deg.select(F.col("src").alias("id"), F.col("src").alias("lbl"))
+    chain = CheckpointChain()
+    lbl = chain(lbl)
+    for r in range(rounds):
+        tot = (
+            lbl.join(deg, lbl["id"] == deg["src"])
+            .groupBy("lbl")
+            .agg(F.sum("k").alias("tot"))
+        )
+        # k_ic over non-self edges: the self-loop stays with i (it is
+        # neither a link to the current community's OTHER members nor
+        # to any candidate community)
+        k_ic = (
+            wedges.where(F.col("src") != F.col("dst"))
+            .join(lbl, wedges["dst"] == lbl["id"])
+            .groupBy(wedges["src"].alias("i"), F.col("lbl").alias("c"))
+            .agg(F.sum("w").alias("k_ic"))
+        )
+        cand = (
+            k_ic.unionByName(
+                lbl.select(
+                    F.col("id").alias("i"),
+                    F.col("lbl").alias("c"),
+                    F.lit(0).cast("long").alias("k_ic"),
+                )
+            )
+            .groupBy("i", "c")
+            .agg(F.sum("k_ic").alias("k_ic"))
+        )
+        cur = lbl.select(F.col("id").alias("i"), F.col("lbl").alias("cur"))
+        d_i = deg.select(F.col("src").alias("i"), F.col("k").alias("k_i"))
+        scored = (
+            cand.join(cur, "i")
+            .join(d_i, "i")
+            .join(tot, cand["c"] == tot["lbl"])
+            .select(
+                "i",
+                "c",
+                "cur",
+                (
+                    F.lit(m2) * F.col("k_ic")
+                    - F.col("k_i")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("c") == F.col("cur"), F.col("k_i")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                ).alias("score"),
+            )
+        )
+        best = (
+            scored.groupBy("i")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b"))
+            .select(F.col("i").alias("id"), F.col("b.c").alias("new_lbl"))
+        )
+        allowed = _md5_parity(F.col("id")) == F.lit(r % 2)
+        lbl = lbl.join(best, "id").select(
+            "id",
+            F.when(allowed, F.col("new_lbl")).otherwise(F.col("lbl")).alias("lbl"),
+        )
+        lbl = chain(lbl)
+    return lbl
+
+
+def louvain_two_level(
+    edges: DataFrame,
+    rounds1: int,
+    rounds2: int,
+    move_class,
+) -> DataFrame:
+    """Two Louvain levels: one-level labels, community aggregation
+    into a weighted supernode graph (self-loops = intra edges), a
+    weighted greedy level over it, and the composed per-vertex
+    labels (id, lbl). The aggregation is the step that makes Louvain
+    scale: the level-2 graph has one row per community PAIR, so the
+    second level's work is independent of |V|."""
+    lbl1 = louvain_one_level(edges, rounds=rounds1, move_class=move_class)
+    ls = lbl1.select(F.col("id").alias("_s"), F.col("lbl").alias("cs"))
+    ld = lbl1.select(F.col("id").alias("_d"), F.col("lbl").alias("cd"))
+    wedges = (
+        edges.join(ls, edges["src"] == F.col("_s"))
+        .join(ld, edges["dst"] == F.col("_d"))
+        .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    ).localCheckpoint(eager=True)
+    lbl2 = louvain_weighted_level(wedges, rounds=rounds2)
+    return (
+        lbl1.alias("a")
+        .join(
+            lbl2.select(F.col("id").alias("_c"), F.col("lbl").alias("lbl2")),
+            F.col("a.lbl") == F.col("_c"),
+        )
+        .select(F.col("a.id").alias("id"), F.col("lbl2").alias("lbl"))
+    )

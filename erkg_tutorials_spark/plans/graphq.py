@@ -1556,7 +1556,9 @@ def g_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOUVAIN_ROUNDS = 4
 
 
-def _louvain_oracle() -> str:
+def _louvain_l1_parts() -> list:
+    """Level-1 CTE chain deg/m2t/l0..l{R} — shared by the one-level
+    and two-level oracles."""
     R = LOUVAIN_ROUNDS
     parts = [
         """
@@ -1603,19 +1605,22 @@ def _louvain_oracle() -> str:
       SELECT l.id, CASE WHEN {cond} THEN b.new_lbl ELSE l.lbl END AS lbl
       FROM l{r} l JOIN best{r} b ON b.id = l.id
     )""")
-    return (
-        _SYM_EDGES_CTE
-        + ","
-        + ",".join(parts)
-        + f""",
+    return parts
+
+
+def _louvain_summary_sql(lbl_cte: str) -> str:
+    """Per-community exact-integer summary over the ORIGINAL edges for
+    a final (id, lbl) CTE — shared by both louvain oracles."""
+    return f""",
     base AS (
       SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
              CAST(SUM(d.k) AS BIGINT) AS tot_degree
-      FROM l{R} l JOIN deg d ON d.src = l.id GROUP BY l.lbl
+      FROM {lbl_cte} l JOIN deg d ON d.src = l.id GROUP BY l.lbl
     ),
     ins AS (
       SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS in_sym
-      FROM edges e JOIN l{R} a ON a.id = e.src JOIN l{R} b ON b.id = e.dst
+      FROM edges e JOIN {lbl_cte} a ON a.id = e.src
+      JOIN {lbl_cte} b ON b.id = e.dst
       WHERE a.lbl = b.lbl GROUP BY a.lbl
     )
     SELECT base.lbl AS community, n_members, tot_degree,
@@ -1623,6 +1628,15 @@ def _louvain_oracle() -> str:
            m2t.m2 * COALESCE(in_sym, 0) - tot_degree * tot_degree AS mod_num
     FROM base LEFT JOIN ins ON ins.lbl = base.lbl CROSS JOIN m2t
     """
+
+
+def _louvain_oracle() -> str:
+    R = LOUVAIN_ROUNDS
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + ",".join(_louvain_l1_parts())
+        + _louvain_summary_sql(f"l{R}")
     )
 
 
@@ -1719,3 +1733,99 @@ def g_node2vec_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         walks_per_start=N2V_WALKS_PER_START,
     )
     return skipgram_pairs(walks, window=N2V_WINDOW)
+
+
+# ---------------------------------------------------------------------------
+# Two-level Louvain: aggregate the level-1 communities into a weighted
+# supernode graph (self-loops = intra-community symmetric edge count)
+# and run a weighted modularity-greedy level over it — the aggregation
+# step is what makes Louvain scale (level-2 work is per community
+# PAIR, independent of |V|). Movers alternate by md5-parity class (the
+# supernode graph is no longer bipartite). Same integer
+# cross-multiplied gains; full unrolled oracle.
+# ---------------------------------------------------------------------------
+LOUVAIN_L2_ROUNDS = 4
+
+
+def _louvain_two_level_oracle() -> str:
+    R1, R2 = LOUVAIN_ROUNDS, LOUVAIN_L2_ROUNDS
+    parts = _louvain_l1_parts()
+    parts.append(f"""
+    wedges AS MATERIALIZED (
+      SELECT a.lbl AS src, b.lbl AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM edges e JOIN l{R1} a ON a.id = e.src JOIN l{R1} b ON b.id = e.dst
+      GROUP BY 1, 2
+    ),
+    wdeg AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS k FROM wedges GROUP BY src
+    ),
+    wm2 AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM wedges),
+    v0 AS MATERIALIZED (SELECT src AS id, src AS lbl FROM wdeg)""")
+    for r in range(R2):
+        parts.append(f"""
+    vtot{r} AS MATERIALIZED (
+      SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
+      FROM v{r} l JOIN wdeg d ON d.src = l.id GROUP BY l.lbl
+    ),
+    vcand{r} AS MATERIALIZED (
+      SELECT i, c, CAST(SUM(k_ic) AS BIGINT) AS k_ic FROM (
+        SELECT e.src AS i, l.lbl AS c, e.w AS k_ic
+        FROM wedges e JOIN v{r} l ON l.id = e.dst
+        WHERE e.src <> e.dst
+        UNION ALL
+        SELECT id AS i, lbl AS c, 0 AS k_ic FROM v{r}
+      ) u GROUP BY i, c
+    ),
+    vbest{r} AS MATERIALIZED (
+      SELECT i AS id, c AS new_lbl FROM (
+        SELECT s.i, s.c,
+               ROW_NUMBER() OVER (PARTITION BY s.i
+                                  ORDER BY s.score DESC, s.c ASC) AS rn
+        FROM (
+          SELECT cd.i, cd.c,
+                 wm2.m2 * cd.k_ic
+                 - d.k * (t.tot - CASE WHEN cd.c = l.lbl THEN d.k ELSE 0 END)
+                 AS score
+          FROM vcand{r} cd
+          JOIN v{r} l ON l.id = cd.i
+          JOIN wdeg d ON d.src = cd.i
+          JOIN vtot{r} t ON t.lbl = cd.c
+          CROSS JOIN wm2
+        ) s
+      ) ranked WHERE rn = 1
+    ),
+    v{r + 1} AS MATERIALIZED (
+      SELECT l.id,
+             CASE WHEN ascii(substr(md5(l.id), 1, 1)) % 2 = {r % 2}
+                  THEN b.new_lbl ELSE l.lbl END AS lbl
+      FROM v{r} l JOIN vbest{r} b ON b.id = l.id
+    )""")
+    parts.append(f"""
+    comp AS MATERIALIZED (
+      SELECT a.id, v{R2}.lbl
+      FROM l{R1} a JOIN v{R2} ON v{R2}.id = a.lbl
+    )""")
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + ",".join(parts)
+        + _louvain_summary_sql("comp")
+    )
+
+
+@register("g_louvain_two_level", _louvain_two_level_oracle())
+def g_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Louvain: weighted supernode refinement of the level-1 communities, per-community exact-integer summary."""
+    from erkg_tutorials_spark.graph.louvain import (
+        community_summary,
+        louvain_two_level,
+    )
+
+    edges = trade_edges_sym(spark, sf_dir)
+    lbl = louvain_two_level(
+        edges,
+        rounds1=LOUVAIN_ROUNDS,
+        rounds2=LOUVAIN_L2_ROUNDS,
+        move_class=F.col("id").startswith("c:"),
+    )
+    return community_summary(edges, lbl, m2=edges.count())

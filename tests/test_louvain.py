@@ -101,3 +101,50 @@ def test_summary_accounts_every_vertex_and_edge(spark):
     # intra-community sym edges: both 4-cliques fully internal (12
     # each), the bridge crosses
     assert sum(r["in_sym"] for r in summ) == 24
+
+
+def test_two_level_refines_without_losing_vertices(spark):
+    """Two super-groups, each two triangles joined by bridges, one
+    weak cross-link: level 2 must keep a valid partition over every
+    vertex, never increase the community count, and never lower the
+    exact modularity numerator vs level 1."""
+    from erkg_tutorials_spark.graph.louvain import louvain_two_level
+
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]
+    pairs = (
+        tri("c:1", "s:1", "c:2") + tri("c:3", "s:2", "c:4")
+        + [("c:2", "c:3")]                       # intra-super bridge
+        + tri("c:5", "s:3", "c:6") + tri("c:7", "s:4", "c:8")
+        + [("c:6", "c:7")]                       # intra-super bridge
+        + [("c:4", "c:5")]                       # weak cross-super link
+    )
+    edges = _sym(spark, pairs)
+    m2 = edges.count()
+
+    lbl1 = louvain_one_level(edges, rounds=4, move_class=_mc())
+    lbl2 = louvain_two_level(edges, rounds1=4, rounds2=4, move_class=_mc())
+
+    ids1 = {r["id"] for r in lbl1.collect()}
+    rows2 = lbl2.collect()
+    assert {r["id"] for r in rows2} == ids1  # partition over all vertices
+
+    n1 = lbl1.select("lbl").distinct().count()
+    n2 = lbl2.select("lbl").distinct().count()
+    assert n2 <= n1  # aggregation can only merge
+
+    q1 = community_summary(edges, lbl1, m2=m2).agg(F.sum("mod_num")).collect()[0][0]
+    q2 = community_summary(edges, lbl2, m2=m2).agg(F.sum("mod_num")).collect()[0][0]
+    assert q2 >= q1
+
+
+def test_two_level_is_deterministic(spark):
+    from erkg_tutorials_spark.graph.louvain import louvain_two_level
+
+    edges = _two_cliques(spark)
+    a = sorted(
+        map(tuple, louvain_two_level(edges, 4, 4, move_class=_mc()).collect())
+    )
+    b = sorted(
+        map(tuple, louvain_two_level(edges, 4, 4, move_class=_mc()).collect())
+    )
+    assert a == b
