@@ -215,6 +215,9 @@ HEADLINE = [
     "dsir_importance_sample",
     # round-8: weighted supernode refinement of the Louvain partition
     "g_louvain_two_level",
+    # round-8: Delta-style conditional MERGE (monotone upsert) under
+    # the full hash oracle
+    "merge_conditional_upsert",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

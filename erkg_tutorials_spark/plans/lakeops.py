@@ -984,3 +984,103 @@ def cdf_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional MERGE (Delta's WHEN MATCHED AND <cond> THEN UPDATE),
+# r8: the monotone-upsert path the streaming CDC sink relies on, as a
+# batch registry query under the full hash oracle. The events table is
+# split by event_id parity: v0 = per-user argmax state over EVEN
+# events; the merge source = per-user argmax over ODD events, applied
+# with the monotone condition (only overwrite when the source image is
+# at least as new). Many odd-side argmaxes are OLDER than the even-side
+# state, so the condition genuinely rejects rows — and the merged
+# snapshot equals the GLOBAL per-user argmax over all events iff the
+# conditional arm is correct. The oracle computes that global argmax
+# directly; any drift (a stale overwrite, a lost reject, a missed
+# insert) is a row-level hash mismatch.
+# ---------------------------------------------------------------------------
+def _cond_merge_root(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from pyspark.sql import Window as _W
+
+    from erkg_tutorials_spark.lakehouse.versioned import (
+        committed_versions,
+        merge_into,
+        write_version,
+    )
+    from erkg_tutorials_spark.plans.scale import _evict_stale_layouts
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    safe = sf_dir.strip("/").replace("/", "_")
+    name = f"condmerge_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    _evict_stale_layouts("/tmp/erkg_versioned", f"condmerge_{safe}_", name)
+    root = f"/tmp/erkg_versioned/{name}"
+    versions = committed_versions(root)
+    if len(versions) >= 2:
+        return root
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_type",
+        "ts_sec",
+        "event_id",
+        money_cents(F.col("value")).alias("cents"),
+    )
+    w = _W.partitionBy("user_id").orderBy(
+        F.desc("ts_sec"), F.desc("event_id")
+    )
+
+    def argmax_state(parity: int):
+        return (
+            ev.where(F.col("event_id") % 2 == parity)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    if not versions:
+        write_version(
+            argmax_state(0).repartition(4, "user_id"), root, "overwrite"
+        )
+    merge_into(
+        spark,
+        root,
+        argmax_state(1),
+        on="user_id",
+        when_matched_update=(
+            "source.ts_sec > target.ts_sec OR "
+            "(source.ts_sec = target.ts_sec AND "
+            "source.event_id >= target.event_id)"
+        ),
+    )
+    return root
+
+
+@register(
+    "merge_conditional_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, ts_sec, event_id, cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def merge_conditional_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone conditional MERGE (WHEN MATCHED AND newer THEN UPDATE): even/odd event split merged into the exact global per-user argmax state."""
+    from erkg_tutorials_spark.lakehouse.versioned import read_version
+
+    root = _cond_merge_root(spark, sf_dir)
+    return read_version(spark, root).select(
+        "user_id", "event_type", "ts_sec", "event_id", "cents"
+    )
