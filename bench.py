@@ -218,6 +218,8 @@ HEADLINE = [
     # round-8: Delta-style conditional MERGE (monotone upsert) under
     # the full hash oracle
     "merge_conditional_upsert",
+    # round-8: Spark 4 SQL pipe syntax surface
+    "pipe_syntax_shipping_rollup",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

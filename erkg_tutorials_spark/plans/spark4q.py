@@ -330,3 +330,44 @@ def rcte_customer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tree GROUP BY depth
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.0's |> operator chain — the third
+# Spark-4-native surface): the same logical plan a DataFrame chain
+# builds, expressed as a linear SQL pipeline. Catalyst compiles pipe
+# stages to the identical operators (the plan below is one partial-agg
+# shuffle + a TakeOrderedAndProject, exactly like the DataFrame
+# version would be), so this is a syntax-surface showcase with a
+# standard-SQL oracle proving the semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "pipe_syntax_shipping_rollup",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS gross_cents
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    ORDER BY gross_cents DESC, l_returnflag
+    """,
+)
+def pipe_syntax_shipping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> WHERE/EXTEND/AGGREGATE/ORDER BY) rollup of high-quantity lineitems per return flag."""
+    tables = load_tables(spark, sf_dir)
+    tables["lineitem"].createOrReplaceTempView("spark4_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM spark4_pipe_lineitem
+        |> WHERE l_quantity >= 25
+        |> EXTEND CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+                     SUM(cents) AS gross_cents
+           GROUP BY l_returnflag
+        |> ORDER BY gross_cents DESC, l_returnflag
+        """
+    ).select("l_returnflag", "n_items", "total_qty", "gross_cents")

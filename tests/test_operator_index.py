@@ -59,3 +59,29 @@ def test_readme_counts_current():
     assert updated_readme(text, len(QUERIES), collected_test_count()) == text, (
         "README counts are stale; run python tools/gen_operator_index.py"
     )
+
+
+def test_sf01_sweep_artifact_consistent():
+    """CORRECTNESS_SF01.md must be one continuous sweep over the LIVE
+    registry (r7 VERDICT item 2: the hand-assembled artifact drifted
+    to 221-header / 214-body / 222-registry): header total == number
+    of PASS lines == registry size, zero FAIL/weak lines."""
+    import re
+
+    from erkg_tutorials_spark.plans.registry import QUERIES
+    from tools.gen_sf01_sweep import HEADER_RE, OUT as SWEEP_OUT
+
+    with open(SWEEP_OUT) as fh:
+        text = fh.read()
+    m = HEADER_RE.search(text)
+    assert m, "CORRECTNESS_SF01.md header missing; run tools/gen_sf01_sweep.py"
+    n_pass_header, n_total_header = int(m.group(1)), int(m.group(2))
+    pass_lines = re.findall(r"(?m)^PASS ", text)
+    fail_lines = re.findall(r"(?m)^FAIL ", text)
+    assert not fail_lines, "sweep artifact records FAILs"
+    assert n_pass_header == len(pass_lines), "header/body disagree"
+    assert n_total_header == len(QUERIES), (
+        "registry changed since the last sf0.1 sweep; "
+        "run python tools/gen_sf01_sweep.py"
+    )
+    assert n_pass_header == len(QUERIES), "sweep incomplete vs registry"
