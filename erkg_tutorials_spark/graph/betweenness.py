@@ -51,6 +51,23 @@ from pyspark.sql import functions as F
 from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
 
+def bfs_round(f: DataFrame, vis: DataFrame, edges: DataFrame) -> DataFrame:
+    """One forward Brandes round as a pure plan (checkpointing happens
+    in the loop): frontier and visited-set BROADCAST into the edge
+    join/anti-join so the edge table never shuffles — the
+    g_shortest_paths trade-off, plan-gated in tests/test_betweenness.py."""
+    cand = (
+        F.broadcast(f)
+        .join(edges, f["id"] == edges["src"])
+        .select("lm", F.col("dst").alias("id"), "sigma")
+    )
+    return (
+        cand.join(F.broadcast(vis), ["lm", "id"], "left_anti")
+        .groupBy("lm", "id")
+        .agg(F.sum("sigma").alias("sigma"))
+    )
+
+
 def betweenness_sampled(
     edges: DataFrame, sources: DataFrame, max_rounds: int = 8
 ) -> DataFrame:
@@ -74,18 +91,7 @@ def betweenness_sampled(
 
     # forward: keyed multi-source BFS carrying exact path counts
     for _ in range(max_rounds):
-        f = levels[-1]
-        cand = (
-            F.broadcast(f)
-            .join(edges, f["id"] == edges["src"])
-            .select("lm", F.col("dst").alias("id"), "sigma")
-        )
-        nxt = (
-            cand.join(F.broadcast(vis), ["lm", "id"], "left_anti")
-            .groupBy("lm", "id")
-            .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
-        )
+        nxt = bfs_round(levels[-1], vis, edges).localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         levels.append(nxt)

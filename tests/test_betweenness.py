@@ -89,3 +89,25 @@ def test_disconnected_source_contributes_nothing(spark):
     )
     got = {r["id"]: r["betweenness"] for r in out.collect()}
     assert all(v == 0.0 for v in got.values())
+
+
+def test_forward_round_broadcasts_frontier_and_visited(spark):
+    """Plan gate (r7 VERDICT item 3): both the frontier expansion join
+    and the visited anti-join must broadcast the small side so the
+    edge table never shuffles."""
+    import contextlib
+    import io
+
+    from erkg_tutorials_spark.graph.betweenness import bfs_round
+
+    edges = _sym_edges(spark, [("a", "b"), ("b", "c")])
+    f = spark.createDataFrame(
+        [("a#", "a", 1)], "lm string, id string, sigma long"
+    )
+    vis = f.select("lm", "id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bfs_round(f, vis, edges).explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
