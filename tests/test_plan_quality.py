@@ -346,3 +346,28 @@ class TestRound7LateAdditions:
         )
         filt = [i for i, l in enumerate(lines) if "Filter" in l and gen < i < join]
         assert filt, plan  # tree order: Generate above Filter above Join
+
+
+class TestR8Plans:
+    def test_dsir_ratio_table_broadcasts(self, spark):
+        """The 256-row hashed-bucket log-ratio table must broadcast
+        into the per-doc scoring join — shuffling the gram stream by
+        bucket would move the whole corpus through an exchange."""
+        plan = plan_of(QUERIES["dsir_importance_sample"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_louvain_summary_broadcasts_labels(self, spark):
+        """community_summary maps the |V|-row label table onto both
+        endpoints of the edge scan via broadcast (the final, visible
+        stage of the checkpointed loop; the in-round broadcasts are
+        asserted by timing in SCALING.md and the commit record)."""
+        plan = plan_of(QUERIES["g_louvain_communities"](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    def test_e1_lifecycle_broadcasts_dim_and_seeds(self, spark):
+        """The composed E1 plan must broadcast the nation dim; the
+        reach/urgent filters may be broadcast or shuffled-hash but
+        never a cartesian product."""
+        plan = plan_of(QUERIES["e1_senzing_lifecycle"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
