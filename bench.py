@@ -220,6 +220,8 @@ HEADLINE = [
     "merge_conditional_upsert",
     # round-8: Spark 4 SQL pipe syntax surface
     "pipe_syntax_shipping_rollup",
+    # round-8: Katz centrality (completes the classic GDS centrality set)
+    "g_katz_top20",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -248,6 +250,7 @@ GRAPH_QUERIES = (
     "g_louvain_communities",
     "g_node2vec_pairs",
     "g_louvain_two_level",
+    "g_katz_top20",
 )
 
 

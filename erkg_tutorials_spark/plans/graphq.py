@@ -1829,3 +1829,77 @@ def g_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         move_class=F.col("id").startswith("c:"),
     )
     return community_summary(edges, lbl, m2=edges.count())
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (Katz 1953, "A new status index derived from
+# sociometric analysis" — public paper; the remaining classic GDS
+# centrality after degree/closeness/betweenness/PageRank/HITS).
+# x_{k+1}(v) = alpha * sum_{u->v} x_k(u) + 1, fixed iterations, x_0=1.
+# Float discipline identical to the PageRank oracle family: double
+# math in matching expression order, final ROUND(_, 6), ordering done
+# on the ROUNDED score both sides (plans/oracle_pr.py contract).
+# alpha is far below 1/lambda_max for this graph, so the fixed-point
+# iteration is contractive; correctness does NOT depend on that —
+# both engines run the same fixed rounds.
+# ---------------------------------------------------------------------------
+KATZ_ALPHA = 0.001
+KATZ_ITERS = 6
+
+
+def _katz_oracle() -> str:
+    parts = [
+        """
+    katz0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS x FROM verts)"""
+    ]
+    for k in range(1, KATZ_ITERS + 1):
+        parts.append(f"""
+    katz{k} AS MATERIALIZED (
+      SELECT v.id, {KATZ_ALPHA}::DOUBLE * COALESCE(s.c, 0.0::DOUBLE) + 1.0::DOUBLE AS x
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.x) AS c
+        FROM katz{k - 1} p JOIN edges e ON e.src = p.id
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    )""")
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + ",".join(parts)
+        + f"""
+    SELECT id, ROUND(x, 6) AS katz FROM katz{KATZ_ITERS}
+    ORDER BY katz DESC, id LIMIT 20
+    """
+    )
+
+
+@register("g_katz_top20", _katz_oracle())
+def g_katz_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality: fixed-iteration attenuated path counting, top-20 by rounded score."""
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    edges = trade_edges_sym(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(True)
+    x = verts.select("id", F.lit(1.0).alias("x"))
+    chain = CheckpointChain()
+    x = chain(x)
+    for _ in range(KATZ_ITERS):
+        contrib = (
+            F.broadcast(x.select(F.col("id").alias("src"), "x"))
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("c"))
+        )
+        x = chain(
+            verts.join(contrib, "id", "left").select(
+                "id",
+                (
+                    F.lit(KATZ_ALPHA) * F.coalesce("c", F.lit(0.0)) + F.lit(1.0)
+                ).alias("x"),
+            )
+        )
+    return (
+        x.select("id", F.round("x", 6).alias("katz"))
+        .orderBy(F.desc("katz"), F.asc("id"))
+        .limit(20)
+    )
