@@ -120,6 +120,28 @@ SHOWCASE = [
         "exchanges are the memoized MinHash band join, the cluster/feature "
         "groupBys, and the 16-row manifest aggregation.",
     ),
+    (
+        "e1_senzing_lifecycle",
+        "Composed E1 lifecycle (r8): seed match, 2-hop reach, semi/anti "
+        "filters, description/type synthesis, and the A1 distribution "
+        "join fuse into one DAG — the nation dim broadcasts, the reach "
+        "and urgent-order filters are hash semi/anti joins, no "
+        "cartesian product.",
+    ),
+    (
+        "dsir_importance_sample",
+        "DSIR resampling (r8): the 256-row hashed-bucket log-ratio table "
+        "broadcasts into the gram-scoring join; the only wide exchange "
+        "is the per-doc score groupBy, and the top-K cut is a "
+        "TakeOrderedAndProject.",
+    ),
+    (
+        "g_louvain_communities",
+        "Louvain summary stage (r8; the move rounds are checkpoint-backed "
+        "LogicalRDDs): the |V|-row label table broadcasts onto BOTH "
+        "endpoints of the edge scan for the intra-community count — the "
+        "edge table never shuffles.",
+    ),
 ]
 
 
