@@ -111,3 +111,75 @@ def test_forward_round_broadcasts_frontier_and_visited(spark):
     plan = buf.getvalue()
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# --- property: agreement with a reference Brandes on random graphs ---
+
+def _brandes_reference(edges, sources, max_rounds):
+    """Pure-Python bounded-depth Brandes (Brandes 2001, Alg. 1) — the
+    independent implementation the distributed one must agree with."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    bc = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        order = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_rounds:
+                continue
+            for w in sorted(adj[u]):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for u in adj[w]:
+                if dist.get(u) == dist[w] - 1:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+        for v, d in delta.items():
+            if v != s:
+                bc[v] += d
+    return {v: round(x, 6) for v, x in bc.items() if round(x, 6) != 0.0}
+
+
+def test_agrees_with_reference_brandes_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(8)
+    for trial in range(4):
+        n = rng.randint(4, 9)
+        vs = [f"v{i}" for i in range(n)]
+        pairs = sorted(
+            {
+                tuple(sorted((a, b)))
+                for a in vs
+                for b in vs
+                if a != b and rng.random() < 0.45
+            }
+        )
+        if not pairs:
+            continue
+        srcs = [v for v in vs if rng.random() < 0.6] or [vs[0]]
+        rounds = rng.choice([2, 3, 8])
+        expect = _brandes_reference(pairs, srcs, rounds)
+        got = {
+            r["id"]: r["betweenness"]
+            for r in betweenness_sampled(
+                _sym_edges(spark, pairs),
+                _all_sources(spark, srcs),
+                max_rounds=rounds,
+            ).collect()
+            if r["betweenness"] != 0.0
+        }
+        assert got == expect, (trial, pairs, srcs, rounds, got, expect)

@@ -585,3 +585,58 @@ def test_vacuum_after_merge_keeps_referenced_parent_files(spark, tmp_path):
     # every file the surviving manifest lists still exists on disk
     m = read_manifest(root, 1)
     assert all(os.path.exists(os.path.join(root, f)) for f in m["files"])
+
+
+def test_monotone_merge_is_batch_order_independent(spark, tmp_path):
+    """Property behind stream_cdc_upsert: splitting a row set into
+    batches in ANY order and merging each with the monotone condition
+    yields the same final state as the global per-key argmax."""
+    import random
+
+    rng = random.Random(88)
+    rows = [
+        (k, rng.randint(0, 5), i, f"tag{i}")
+        for i, k in enumerate(rng.choices(range(6), k=24))
+    ]  # (k, ts, uid, tag); uid is the unique tiebreaker
+    expect = {}
+    for k, ts, uid, tag in rows:
+        if k not in expect or (ts, uid) > (expect[k][0], expect[k][1]):
+            expect[k] = (ts, uid, tag)
+
+    for trial in range(3):
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        batches = [shuffled[i::4] for i in range(4)]  # 4 interleaved batches
+        root = str(tmp_path / f"t{trial}")
+        write_version(
+            spark.createDataFrame([], "k long, ts long, uid long, tag string"),
+            root,
+            "overwrite",
+        )
+        for batch in batches:
+            if not batch:
+                continue
+            # per-batch argmax reduce (what the sink does), then merge
+            best = {}
+            for k, ts, uid, tag in batch:
+                if k not in best or (ts, uid) > (best[k][0], best[k][1]):
+                    best[k] = (ts, uid, tag)
+            src = spark.createDataFrame(
+                [(k, *v) for k, v in best.items()],
+                "k long, ts long, uid long, tag string",
+            )
+            merge_into(
+                spark,
+                root,
+                src,
+                on="k",
+                when_matched_update=(
+                    "source.ts > target.ts OR "
+                    "(source.ts = target.ts AND source.uid >= target.uid)"
+                ),
+            )
+        got = {
+            r["k"]: (r["ts"], r["uid"], r["tag"])
+            for r in read_version(spark, root).collect()
+        }
+        assert got == expect, (trial, got, expect)
