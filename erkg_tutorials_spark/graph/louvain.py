@@ -260,14 +260,18 @@ def louvain_two_level(
     rounds1: int,
     rounds2: int,
     move_class,
+    lbl1: "DataFrame | None" = None,
 ) -> DataFrame:
     """Two Louvain levels: one-level labels, community aggregation
     into a weighted supernode graph (self-loops = intra edges), a
     weighted greedy level over it, and the composed per-vertex
     labels (id, lbl). The aggregation is the step that makes Louvain
     scale: the level-2 graph has one row per community PAIR, so the
-    second level's work is independent of |V|."""
-    lbl1 = louvain_one_level(edges, rounds=rounds1, move_class=move_class)
+    second level's work is independent of |V|. ``lbl1`` lets the
+    caller pass a memoized level-1 label table (both community queries
+    share it); None recomputes it here."""
+    if lbl1 is None:
+        lbl1 = louvain_one_level(edges, rounds=rounds1, move_class=move_class)
     ls = lbl1.select(F.col("id").alias("_s"), F.col("lbl").alias("cs"))
     ld = lbl1.select(F.col("id").alias("_d"), F.col("lbl").alias("cd"))
     wedges = (
