@@ -10,6 +10,7 @@ driver-side collect overhead).
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -19,6 +20,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from erkg_tutorials_spark.session import get_spark  # noqa: E402
 from erkg_tutorials_spark.plans.registry import QUERIES  # noqa: E402
+
+def _compact_summary(result: dict, here: str, rnd: int) -> dict:
+    """Driver-parseable closing line (≤ 2000 chars): query count, suite
+    total, geomean speedup vs the previous round's local artifact, and
+    the slowest-10 timings. The full per-query dict lives in
+    BENCH_LOCAL_r{N}.json; the driver's stdout capture keeps only a
+    short tail, so this summary is what BENCH_r{N}.json records."""
+    timings = result["queries"]
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    geomean_vs_prev = None
+    prev = os.path.join(here, f"BENCH_LOCAL_r{rnd - 1:02d}.json")
+    if os.path.exists(prev):
+        with open(prev) as fh:
+            prev_q = json.load(fh).get("queries", {})
+        ratios = [
+            timings[k] / prev_q[k]
+            for k in timings
+            if k in prev_q and prev_q[k] > 0 and timings[k] > 0
+        ]
+        if ratios:
+            geomean_vs_prev = round(
+                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+            )
+    return {
+        "metric": "headline_suite_total",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "geomean_vs_prev_round": geomean_vs_prev,
+        "queries": slowest,
+        "full_artifact": f"BENCH_LOCAL_r{rnd:02d}.json",
+    }
+
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -222,6 +259,12 @@ HEADLINE = [
     "pipe_syntax_shipping_rollup",
     # round-8: Katz centrality (completes the classic GDS centrality set)
     "g_katz_top20",
+    # round-9: eigenvector centrality — exact-integer shifted power
+    # iteration (r8 VERDICT item 7)
+    "g_eigenvector_top20",
+    # round-9: weighted level-1 Louvain over trade-count edge mass
+    # (r8 VERDICT item 8)
+    "g_louvain_weighted_l1",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -251,6 +294,8 @@ GRAPH_QUERIES = (
     "g_node2vec_pairs",
     "g_louvain_two_level",
     "g_katz_top20",
+    "g_eigenvector_top20",
+    "g_louvain_weighted_l1",
 )
 
 
@@ -441,10 +486,9 @@ def main() -> None:
         "microbench": {"queries": hub_timings, "spread": hub_spread},
         "sf": sf,
     }
-    print(json.dumps(result))
-    # Also persist the COMPLETE artifact in-repo: the driver's capture
-    # keeps only the last ~4 KB of stdout, which truncated the front
-    # half of the per-query dict in BENCH_r05.json (r5 VERDICT item 4).
+    # Persist the COMPLETE artifact in-repo: the driver's capture
+    # keeps only the last ~2 KB of stdout, which truncated the front
+    # half of the per-query dict in BENCH_r05..r08.json.
     # Round number = 1 + the highest committed driver artifact, unless
     # pinned via SPARK_GRAFT_ROUND.
     here = os.path.dirname(os.path.abspath(__file__))
@@ -457,6 +501,12 @@ def main() -> None:
     with open(os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # Full artifact first (local capture / logs), then a compact summary
+    # as the FINAL stdout line: the driver stores only a ~2000-char
+    # stdout tail and json-parses its last line, so the closer is the
+    # one that must fit (r8 VERDICT item 3 — BENCH_r08.json parsed=null).
+    print(json.dumps(result))
+    print(json.dumps(_compact_summary(result, here, rnd)))
     spark.stop()
 
 

@@ -1920,3 +1920,244 @@ def g_katz_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz"), F.asc("id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector centrality (r8 VERDICT item 7): shifted power iteration
+# x_{k+1} = x_k + A·x_k on the symmetric trade graph. The +x_k shift
+# (i.e. iterating A+I) breaks the bipartite ±λ oscillation the raw
+# power method would hit on this customer↔supplier graph while
+# converging to the SAME dominant eigenvector; skipping per-step
+# normalization is sound because power iteration is scale-invariant,
+# and it keeps every intermediate an exact BIGINT (x0 = 1, sums of
+# integers) — the HITS trick, so the unrolled DuckDB oracle matches
+# bit-for-bit with no float-order argument. Growth bound:
+# (1 + max_deg)^k ≤ 680^5 ≈ 1.5e14 at sf0.1, far inside BIGINT.
+# Ranking uses the exact integer mass (a 6dp tie can never flip the
+# top-20 cut); the single end normalization divides by the max and
+# rounds to 6dp on both engines. Scale: per iteration one broadcast
+# of the |V|-row vector into the edge join + one groupBy(dst) — the
+# same audited Katz shape; at 1000-executor scale drop the broadcast
+# hint and let the join shuffle on src (module docstring fallback,
+# SCALING.md "graph broadcast vectors").
+# ---------------------------------------------------------------------------
+EIGEN_ITERS = 5
+
+
+def _eigenvector_oracle() -> str:
+    parts = [
+        """
+    eig0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS x FROM verts)"""
+    ]
+    for k in range(1, EIGEN_ITERS + 1):
+        parts.append(f"""
+    eig{k} AS MATERIALIZED (
+      SELECT v.id, CAST(p.x + COALESCE(s.c, 0) AS BIGINT) AS x
+      FROM verts v
+      JOIN eig{k - 1} p ON p.id = v.id
+      LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(q.x) AS BIGINT) AS c
+        FROM eig{k - 1} q JOIN edges e ON e.src = q.id
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    )""")
+    return (
+        _SYM_EDGES_CTE
+        + ","
+        + ",".join(parts)
+        + f""",
+    mx AS (SELECT MAX(x) AS mxs FROM eig{EIGEN_ITERS}),
+    r AS (
+      SELECT b.id, ROUND(b.x * 1.0 / m.mxs, 6) AS eigen,
+             ROW_NUMBER() OVER (ORDER BY b.x DESC, b.id) AS rnk
+      FROM eig{EIGEN_ITERS} b CROSS JOIN mx m
+    )
+    SELECT id, eigen, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 20
+    """
+    )
+
+
+@register("g_eigenvector_top20", _eigenvector_oracle())
+def g_eigenvector_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 eigenvector centrality via exact-integer shifted power
+    iteration (A+I), max-normalized once at the end."""
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    edges = trade_edges_sym(spark, sf_dir)
+    verts, _, _ = trade_graph_invariants(spark, sf_dir)
+    x = verts.select("id", F.lit(1).cast("long").alias("x"))
+    chain = CheckpointChain()
+    x = chain(x)
+    for _ in range(EIGEN_ITERS):
+        contrib = (
+            F.broadcast(x.select(F.col("id").alias("src"), "x"))
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("c"))
+        )
+        x = chain(
+            x.join(contrib, "id", "left").select(
+                "id", (F.col("x") + F.coalesce("c", F.lit(0))).alias("x")
+            )
+        )
+    mx = x.agg(F.max("x").alias("mxs"))
+    # top-20 cut FIRST via orderBy+limit (TakeOrderedAndProject — no
+    # global single-partition window over |V| rows); the rank window
+    # then runs over 20 rows only
+    top = x.orderBy(F.desc("x"), F.asc("id")).limit(20)
+    w = Window.orderBy(F.desc("x"), F.asc("id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "id",
+            F.round(F.col("x") / F.col("mxs"), 6).alias("eigen"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted level-1 Louvain (r8 VERDICT item 8): the greedy modularity
+# mover runs directly over trade-COUNT edge mass — w(c,s) = number of
+# lineitems between customer c and supplier s — so modularity uses
+# real edge weight end to end instead of the distinct-edge 0/1
+# approximation. Reuses the weighted mover the supernode level already
+# has (graph/louvain.py louvain_weighted_level), now with the exact
+# bipartite alternating move class (the weighted BASE graph is still
+# customer↔supplier bipartite, so the independent sets are exact — no
+# md5-parity fallback needed). Gains stay integer cross-multiplied
+# (weights are counts), so the unrolled DuckDB oracle hash-matches.
+# Scale: identical broadcast-label shape as the unweighted level; the
+# weighted edge table is SMALLER than the lineitem fact (grouped on
+# (c, s)), and w rides along the same one-exchange-per-round plan.
+# ---------------------------------------------------------------------------
+_WSYM_EDGES_CTE = """
+    WITH raw AS MATERIALIZED (
+      SELECT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    wedges AS MATERIALIZED (
+      SELECT c AS src, s AS dst, w FROM raw
+      UNION ALL
+      SELECT s AS src, c AS dst, w FROM raw
+    )
+"""
+
+
+def _louvain_weighted_l1_oracle() -> str:
+    R = LOUVAIN_ROUNDS
+    parts = [
+        """
+    wdeg AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS k FROM wedges GROUP BY src
+    ),
+    wm2 AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM wedges),
+    w0 AS MATERIALIZED (SELECT src AS id, src AS lbl FROM wdeg)"""
+    ]
+    for r in range(R):
+        cond = "l.id LIKE 'c:%'" if r % 2 == 0 else "l.id NOT LIKE 'c:%'"
+        parts.append(f"""
+    wtot{r} AS MATERIALIZED (
+      SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
+      FROM w{r} l JOIN wdeg d ON d.src = l.id GROUP BY l.lbl
+    ),
+    wcand{r} AS MATERIALIZED (
+      SELECT i, c, CAST(SUM(k_ic) AS BIGINT) AS k_ic FROM (
+        SELECT e.src AS i, l.lbl AS c, e.w AS k_ic
+        FROM wedges e JOIN w{r} l ON l.id = e.dst
+        WHERE e.src <> e.dst
+        UNION ALL
+        SELECT id AS i, lbl AS c, 0 AS k_ic FROM w{r}
+      ) u GROUP BY i, c
+    ),
+    wbest{r} AS MATERIALIZED (
+      SELECT i AS id, c AS new_lbl FROM (
+        SELECT s.i, s.c,
+               ROW_NUMBER() OVER (PARTITION BY s.i
+                                  ORDER BY s.score DESC, s.c ASC) AS rn
+        FROM (
+          SELECT cd.i, cd.c,
+                 wm2.m2 * cd.k_ic
+                 - d.k * (t.tot - CASE WHEN cd.c = l.lbl THEN d.k ELSE 0 END)
+                 AS score
+          FROM wcand{r} cd
+          JOIN w{r} l ON l.id = cd.i
+          JOIN wdeg d ON d.src = cd.i
+          JOIN wtot{r} t ON t.lbl = cd.c
+          CROSS JOIN wm2
+        ) s
+      ) ranked WHERE rn = 1
+    ),
+    w{r + 1} AS MATERIALIZED (
+      SELECT l.id, CASE WHEN {cond} THEN b.new_lbl ELSE l.lbl END AS lbl
+      FROM w{r} l JOIN wbest{r} b ON b.id = l.id
+    )""")
+    return (
+        _WSYM_EDGES_CTE
+        + ","
+        + ",".join(parts)
+        + f""",
+    base AS (
+      SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(d.k) AS BIGINT) AS tot_degree
+      FROM w{R} l JOIN wdeg d ON d.src = l.id GROUP BY l.lbl
+    ),
+    ins AS (
+      SELECT a.lbl, CAST(SUM(e.w) AS BIGINT) AS in_sym
+      FROM wedges e JOIN w{R} a ON a.id = e.src
+      JOIN w{R} b ON b.id = e.dst
+      WHERE a.lbl = b.lbl GROUP BY a.lbl
+    )
+    SELECT base.lbl AS community, n_members, tot_degree,
+           COALESCE(in_sym, 0) AS in_sym,
+           wm2.m2 * COALESCE(in_sym, 0) - tot_degree * tot_degree AS mod_num
+    FROM base LEFT JOIN ins ON ins.lbl = base.lbl CROSS JOIN wm2
+    """
+    )
+
+
+def trade_wedges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric trade-count weighted edge table, session-memoized
+    (the weighted twin of trade_edges_fwd)."""
+    from erkg_tutorials_spark.plans.memo import memoized
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        fwd = (
+            t["orders"]
+            .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(
+                F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            )
+            .agg(F.count("*").alias("w"))
+        )
+        return fwd.unionByName(
+            fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+
+    return memoized(spark, sf_dir, "trade_wedges_sym", build)
+
+
+@register("g_louvain_weighted_l1", _louvain_weighted_l1_oracle())
+def g_louvain_weighted_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted level-1 Louvain over trade-count edge mass: per-community member count, weighted degree mass, intra-community weight, exact-integer modularity numerator."""
+    from erkg_tutorials_spark.graph.louvain import (
+        louvain_weighted_level,
+        weighted_community_summary,
+    )
+
+    wedges = trade_wedges_sym(spark, sf_dir)
+    lbl = louvain_weighted_level(
+        wedges,
+        rounds=LOUVAIN_ROUNDS,
+        move_class=F.col("id").startswith("c:"),
+    )
+    m2 = wedges.agg(F.sum("w")).collect()[0][0]  # scalar bound
+    return weighted_community_summary(wedges, lbl, m2=m2)

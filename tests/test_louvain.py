@@ -148,3 +148,59 @@ def test_two_level_is_deterministic(spark):
         map(tuple, louvain_two_level(edges, 4, 4, move_class=_mc()).collect())
     )
     assert a == b
+
+
+def test_weighted_l1_modularity_non_decreasing(spark):
+    """r8 VERDICT item 8: the weighted level-1 mover under the
+    bipartite alternating schedule keeps the weighted modularity
+    numerator non-decreasing round over round."""
+    from erkg_tutorials_spark.graph.louvain import (
+        louvain_weighted_level,
+        weighted_community_summary,
+    )
+
+    pairs = (
+        [(f"c:{i}", f"s:{i % 3}", 5) for i in range(9)]
+        + [(f"c:{i}", "s:9", 1) for i in range(0, 9, 2)]
+    )
+    rows = [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs]
+    wedges = spark.createDataFrame(rows, "src string, dst string, w long")
+    m2 = sum(w for _, _, w in rows)
+    prev = None
+    for rounds in range(1, 5):
+        lbl = louvain_weighted_level(
+            wedges, rounds=rounds, move_class=F.col("id").startswith("c:")
+        )
+        q_num = (
+            weighted_community_summary(wedges, lbl, m2=m2)
+            .agg(F.sum("mod_num").alias("q"))
+            .collect()[0]["q"]
+        )
+        if prev is not None:
+            assert q_num >= prev, f"round {rounds}: {q_num} < {prev}"
+        prev = q_num
+
+
+def test_weighted_l1_heavy_weight_dominates(spark):
+    """Weight-awareness: two clusters tied by MANY light cross edges
+    vs FEW heavy intra edges — the weighted mover must group by the
+    heavy mass, which the unweighted 0/1 view would get wrong."""
+    from erkg_tutorials_spark.graph.louvain import louvain_weighted_level
+
+    # c:0,c:1 trade heavily with s:0; c:2,c:3 heavily with s:1;
+    # every customer also touches the other supplier once
+    pairs = (
+        [("c:0", "s:0", 20), ("c:1", "s:0", 20)]
+        + [("c:2", "s:1", 20), ("c:3", "s:1", 20)]
+        + [(f"c:{i}", "s:1", 1) for i in (0, 1)]
+        + [(f"c:{i}", "s:0", 1) for i in (2, 3)]
+    )
+    rows = [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs]
+    wedges = spark.createDataFrame(rows, "src string, dst string, w long")
+    lbl = louvain_weighted_level(
+        wedges, rounds=4, move_class=F.col("id").startswith("c:")
+    )
+    got = {r["id"]: r["lbl"] for r in lbl.collect()}
+    assert got["c:0"] == got["c:1"] == got["s:0"]
+    assert got["c:2"] == got["c:3"] == got["s:1"]
+    assert got["s:0"] != got["s:1"]
