@@ -265,6 +265,12 @@ HEADLINE = [
     # round-9: weighted level-1 Louvain over trade-count edge mass
     # (r8 VERDICT item 8)
     "g_louvain_weighted_l1",
+    # round-9: perceptual image near-dup dedup — real PPM decode ->
+    # aHash/dHash -> Hamming-banded LSH (r8 VERDICT item 1)
+    "dedup_image_phash_pairs",
+    # round-9: flood-safe collapse-first cluster assignment
+    # (r8 VERDICT item 5)
+    "dedup_flood_clusters",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -10,6 +10,15 @@ At 100 TB: the pair set is tiny relative to the corpus (that's the
 point of LSH blocking), so components run on pairs only; the final
 keep/drop verdict is one broadcast-or-shuffle join back onto the
 corpus. No full-corpus pairwise work anywhere.
+
+One exception to "pairs are tiny": a byte-identical duplicate FLOOD,
+whose pair set is d(d-1)/2 by contract. For that shape use the
+composed flood-safe path ``dedup.minhash.minhash_lsh_cluster_assign``
+(exact-hash collapse → rep-level pairs → components → members inherit
+the rep's component): identical verdicts to ``dedup_assign`` over the
+expanded pairs, O(d) rows end to end. The image tier routes the same
+way (``dedup/phash.py`` pairs → :func:`dedup_assign`, flood test in
+tests/test_phash.py).
 """
 
 from __future__ import annotations

@@ -115,6 +115,13 @@ def minhash_lsh_dedup(
     the NULL-jaccard exclusion of the uncollapsed plan). Output is
     row-identical to ``collapse_exact=False``; only the join work
     changes.
+
+    NOTE the pair-level CONTRACT is still quadratic under a flood: a
+    d-copy duplicate group returns d(d-1)/2 jaccard-1.0 rows by
+    definition. Flood-scale consumers who only need the keep/drop
+    verdict should route through :func:`minhash_lsh_cluster_assign`
+    (O(d) cluster rows, identical verdicts — see also
+    ``dedup/clusters.py``).
     """
     # small-file scans arrive as one input partition; fan out so the
     # shingling/md5 CPU work uses every core (trivial shuffle: ids+text)
@@ -194,3 +201,104 @@ def minhash_lsh_dedup(
         .where(F.lit(1.0) >= F.lit(threshold))  # constant-folds
     )
     return cross.unionByName(intra)
+
+
+def minhash_lsh_cluster_assign(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flood-to-clusters routing (r8 VERDICT item 5): the transitive
+    dedup verdict ``(id_col, cluster, is_canonical)`` computed WITHOUT
+    ever materializing pair-level rows — the scale-safe consumer the
+    pair API's docstring points flood traffic at.
+
+    ``minhash_lsh_dedup`` + ``dedup/clusters.dedup_assign`` produce the
+    same verdicts, but the pair contract forces a d-copy duplicate
+    flood to materialize d(d-1)/2 jaccard-1.0 rows first. Here the
+    exact-hash collapse runs FIRST, near-dup pairs + connected
+    components run over representatives only (work linear in DISTINCT
+    docs), and members inherit their representative's component — so a
+    flood contributes d cluster rows, never d²/2 pair rows.
+
+    Output is row-identical to the pair-expanded path: a component's
+    canonical id is its minimum member id, which equals the minimum
+    representative id because each representative is already the
+    minimum of its exact-duplicate group; groups too short to shingle
+    never pair (NULL jaccard in the base plan), so their members stay
+    singletons here too.
+    """
+    from erkg_tutorials_spark.graph.connected_components import (
+        connected_components,
+    )
+
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    keyed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+    groups = keyed.groupBy("_th").agg(F.min(id_col).alias("_rep"))
+    members = keyed.join(groups, "_th").select(
+        F.col(id_col).alias("_m"), "_rep"
+    )
+    reps_df = df.join(
+        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+
+    sh = shingles(reps_df, text_col, id_col, k).cache()
+    sig = minhash_signature(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    size_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    size_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    rep_pairs = (
+        inter.join(size_a, "id_a")
+        .join(size_b, "id_b")
+        .where(
+            # ROUNDED jaccard, matching minhash_lsh_dedup's pair filter
+            # exactly (a 0.4999996 must round up on both paths)
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    # components over representative pairs only (the tiny graph)
+    comp = connected_components(
+        rep_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).withColumnRenamed("id", "_rep")
+    # shingled groups: members inherit the rep's component (intra-group
+    # jaccard is exactly 1.0 by byte-identity); non-shingled groups
+    # never pair, so their members stay singletons
+    shingled_reps = sizes.where(F.col("n") > 0).select(
+        F.col(id_col).alias("_rep")
+    )
+    rep_cluster = shingled_reps.join(comp, "_rep", "left").select(
+        "_rep", F.coalesce("component", F.col("_rep")).alias("_cluster")
+    )
+    mem_cluster = members.join(rep_cluster, "_rep").select(
+        F.col("_m"), F.col("_cluster")
+    )
+    return (
+        df.select(id_col)
+        .join(mem_cluster, df[id_col] == F.col("_m"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_cluster", F.col(id_col)).alias("cluster"),
+            (F.col(id_col) == F.coalesce("_cluster", F.col(id_col))).alias(
+                "is_canonical"
+            ),
+        )
+    )

@@ -558,6 +558,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cluster", "is_canonical")
 
 
+# Same oracle as dedup_clusters ON PURPOSE (r8 VERDICT item 5): the
+# flood-safe composed path (exact-hash collapse -> rep-level pairs ->
+# components -> members inherit the rep's component, O(d) rows under a
+# d-copy flood) must reproduce the pair-expanded verdicts bit-for-bit.
+@register("dedup_flood_clusters", _dedup_clusters_oracle())
+def dedup_flood_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flood-safe dedup verdicts: collapse-first cluster assignment that never materializes pair-level rows, verdict-identical to dedup_clusters."""
+    from erkg_tutorials_spark.dedup.minhash import minhash_lsh_cluster_assign
+
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_cluster_assign(
+        t["documents"], k=5, num_hashes=8, bands=2, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # N2 — shape-rule NER (text/ner.py) over a corpus constructed from the
 # TPC-H name columns (the synthetic documents table is all-lowercase,

@@ -17,6 +17,7 @@ from erkg_tutorials_spark.plans import (
     linkingq,
     llmops,
     llmops2,
+    mediaq,
     ragops,
     relational,
     relational2,
@@ -42,6 +43,7 @@ _MODULES = (
     graphq,
     lifecycle,
     linkingq,
+    mediaq,
     textq,
     vectorq,
     eventsq,
