@@ -354,81 +354,16 @@ def sq8_grid_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_cosine_sq8", _SQ8_ORACLE)
 def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (int8) cosine top-k with integer dot products and rescale."""
-    from pyspark.sql import Window
+    from erkg_tutorials_spark.similarity.sq8 import cosine_knn_sq8
 
-    t = load_tables(spark, sf_dir)
-    v = t["embeddings"].select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
-    )
-    stats = sq8_grid_cached(spark, sf_dir)
-    # codes kept as BIGINT so the coarse dot/norms are exact integer
-    # arithmetic (values ≤ 255 → dot ≤ 64·255² ≈ 4.2M, no overflow)
-    coded = (
-        v.crossJoin(F.broadcast(stats))
-        .withColumn(
-            "code",
-            F.expr(
-                f"transform(sequence(0, {SQ8_DIM - 1}), i -> "
-                "CASE WHEN maxs[i] = mins[i] THEN 0L "
-                "ELSE cast(least(255, cast(floor(((emb[i] - mins[i])"
-                " / (maxs[i] - mins[i])) * 256.0) as int)) as bigint) END)"
-            ),
-        )
-        .withColumn(
-            "cnorm2",
-            F.expr("aggregate(zip_with(code, code, (x, y) -> x * y), 0L, (a, b) -> a + b)"),
-        )
-        .withColumn(
-            "en",
-            F.sqrt(
-                F.expr(
-                    "aggregate(zip_with(emb, emb, (x, y) -> x * y),"
-                    " cast(0.0 as double), (a, b) -> a + b)"
-                )
-            ),
-        )
-        .select("vec_id", "emb", "code", "cnorm2", "en")
-    )
-    q = coded.where(F.col("vec_id") < SQ8_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("code").alias("qcode"),
-        F.col("cnorm2").alias("qnorm2"),
-        F.col("en").alias("qen"),
-    )
-    coarse = (
-        coded.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "acos",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(code, qcode, (x, y) -> x * y), 0L, (a, b) -> a + b)"
-                )
-                / (F.sqrt(F.col("cnorm2")) * F.sqrt(F.col("qnorm2"))),
-                6,
-            ),
-        )
-    )
-    wc = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
-    cand = coarse.withColumn("crank", F.row_number().over(wc)).where(
-        F.col("crank") <= SQ8_CAND
-    )
-    rerank = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            F.expr(
-                "aggregate(zip_with(emb, qemb, (x, y) -> x * y),"
-                " cast(0.0 as double), (a, b) -> a + b)"
-            )
-            / (F.col("en") * F.col("qen")),
-            6,
-        ).alias("cosine"),
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return rerank.withColumn("rank", F.row_number().over(wr).cast("long")).where(
-        F.col("rank") <= SQ8_K
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return cosine_knn_sq8(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < SQ8_QUERIES),
+        grid=sq8_grid_cached(spark, sf_dir),
+        dim=SQ8_DIM,
+        cand=SQ8_CAND,
+        k=SQ8_K,
     )
 
 

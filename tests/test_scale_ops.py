@@ -369,3 +369,42 @@ class TestSrpEmbeddingLsh:
 
         assert srp_signs(4, 8) == srp_signs(4, 8)
         assert all(x in (1.0, -1.0) for row in srp_signs(4, 8) for x in row)
+
+
+class TestAnnRecall:
+    """r8 VERDICT item 2: recall@10 floors for the approximate tiers
+    against brute force on the real sf0.01 embeddings, plus the
+    monotone-in-work invariant. Measured values (SCALING.md "ANN
+    recall@10"): ivf@4=0.782, sq8@50=0.990, pq@100=0.832,
+    ivfpq@4/50=0.594 — floors sit comfortably below so ambient churn
+    in testdata regeneration doesn't flake, while a real regression
+    in k-means routing / coarse quantization / rerank plumbing
+    (the machinery the floors exercise end to end) still fails."""
+
+    @pytest.fixture(scope="class")
+    def recalls(self, spark):
+        from tools.ann_recall_experiment import measure
+
+        return measure(
+            spark,
+            "/root/testdata/sf0.01",
+            ivf_nprobes=(1, 4),
+            sq8_cands=(20, 50),
+            pq_reranks=(50, 100),
+            ivfpq_nprobes=(2, 4),
+        )
+
+    def test_ann_recall_floors(self, recalls):
+        assert recalls["ivf nprobe=4"] >= 0.65
+        assert recalls["sq8 cand=50"] >= 0.90
+        assert recalls["pq rerank=100"] >= 0.70
+        assert recalls["ivfpq nprobe=4 rerank=50"] >= 0.45
+
+    def test_ann_recall_monotone_in_work(self, recalls):
+        assert recalls["ivf nprobe=4"] >= recalls["ivf nprobe=1"]
+        assert recalls["sq8 cand=50"] >= recalls["sq8 cand=20"]
+        assert recalls["pq rerank=100"] >= recalls["pq rerank=50"]
+        assert (
+            recalls["ivfpq nprobe=4 rerank=50"]
+            >= recalls["ivfpq nprobe=2 rerank=50"]
+        )
