@@ -258,6 +258,31 @@ def _txn_record(root: str, batch_id: int, version: int) -> None:
     os.replace(tmp, _txn_path(root, batch_id))
 
 
+def _watermark_path(root: str) -> str:
+    return os.path.join(_txn_dir(root), "_repair_watermark.json")
+
+
+def _read_watermark(root: str) -> int:
+    try:
+        with open(_watermark_path(root)) as fh:
+            return int(json.load(fh)["version"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
+        return -1
+
+
+def _write_watermark(root: str, version: int) -> None:
+    # monotone: a racing scan that finished at an older head must not
+    # roll the mark back (a low mark only costs re-scanning, but keep
+    # the invariant tight anyway)
+    if version <= _read_watermark(root):
+        return
+    os.makedirs(_txn_dir(root), exist_ok=True)
+    tmp = _watermark_path(root) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, _watermark_path(root))
+
+
 def _txn_lookup(root: str, batch_id: int, versions: list[int]) -> int | None:
     """Idempotency check for the foreachBatch replay contract in O(1)
     on the common path: one stat of the ``_txns/<batch_id>.json``
@@ -265,27 +290,38 @@ def _txn_lookup(root: str, batch_id: int, versions: list[int]) -> int | None:
     a streaming run O(V^2) in driver file reads — the exact cost Delta
     avoids with its per-app txn actions). On a marker miss, a
     newest-first REPAIR scan materializes any marker lost in the crash
-    window between manifest link and marker write, stopping at the
-    first already-marked manifest: markers are written in commit
-    order, so everything older is covered, and the crash window only
-    ever exists at the then-head — which a newest-first scan reaches
-    before the stop. Pre-marker tables pay one full scan, then O(1)."""
+    window between manifest link and marker write.
+
+    The scan is bounded by a persisted repair WATERMARK rather than by
+    "stop at the first marked manifest" (the r8 scheme): with more
+    than one writer/stream committing batch_id-bearing versions, a
+    second writer's marked commit can land ABOVE a crashed commit's
+    unmarked manifest, and an early stop would miss it and let the
+    replay double-commit (r8 ADVICE). Every version <= watermark is
+    guaranteed marker-consistent (its manifest was read and its marker
+    materialized by a previous scan), so each miss-scan only reads the
+    manifests committed since the last scan — amortized O(1) per
+    commit, multi-writer safe."""
     try:
         with open(_txn_path(root, batch_id)) as fh:
             return json.load(fh)["version"]
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
+    wm = _read_watermark(root)
     found = None
     for v in reversed(versions):
+        if v <= wm:
+            break
         m = read_manifest(root, v)
         b = m.get("batch_id")
         if b is None:
             continue
-        if os.path.exists(_txn_path(root, b)):
-            break
-        _txn_record(root, b, v)
-        if b == batch_id:
-            found = v
+        if not os.path.exists(_txn_path(root, b)):
+            _txn_record(root, b, v)
+        if b == batch_id and found is None:
+            found = v  # newest-first: first hit is the newest commit
+    if versions:
+        _write_watermark(root, versions[-1])
     return found
 
 
@@ -834,7 +870,18 @@ def vacuum(
     publish a manifest whose files are gone. The default of 0 suits
     single-writer tables (every test/demo here); any deployment with
     concurrent writers should pass a threshold comfortably above the
-    longest write-to-commit gap (Delta defaults to 7 days)."""
+    longest write-to-commit gap (Delta defaults to 7 days).
+
+    ``_txns`` markers whose version is dropped are pruned with it
+    (r8 ADVICE: a surviving stale marker would make write_version's
+    fast path return a version whose manifest no longer exists).
+    Delta's setTransaction-retention semantics apply: pruning the
+    marker forfeits replay idempotence for THAT batch — safe because
+    the foreachBatch replay window only ever covers the newest
+    batches, whose versions vacuum keeps (``keep_versions`` >= 1 and
+    the head always survives); a replay of a vacuumed-away batch only
+    happens if the stream's checkpoint was deleted, where reprocessing
+    is expected."""
     import shutil
     import time
 
@@ -850,6 +897,29 @@ def vacuum(
     }
     for v in drop:
         os.remove(os.path.join(_manifest_dir(root), f"{v}.json"))
+    # prune markers AFTER their manifests are removed: a crash between
+    # the two steps must leave a stale marker (harmless, re-pruned next
+    # vacuum), never a missing marker for a still-live manifest (which
+    # would let a replay double-commit that batch)
+    dropped_set = set(drop)
+    try:
+        marker_files = os.listdir(_txn_dir(root))
+    except FileNotFoundError:
+        marker_files = []
+    for mf in marker_files:
+        if not mf.endswith(".json") or mf.startswith("_") or ".tmp." in mf:
+            continue
+        path = os.path.join(_txn_dir(root), mf)
+        try:
+            with open(path) as fh:
+                mv = int(json.load(fh)["version"])
+        except (OSError, json.JSONDecodeError, KeyError, ValueError):
+            continue
+        if mv in dropped_set:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
     data_root = os.path.join(root, "data")
     try:
         candidates = os.listdir(data_root)

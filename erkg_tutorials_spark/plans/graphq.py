@@ -1644,9 +1644,11 @@ def louvain_l1_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Level-1 Louvain label table, session-memoized: both community
     queries consume it, and at warehouse scale a community assignment
     IS a materialized artifact (rebuilt on data change, not per
-    query) — the trade_edges_fwd pattern."""
+    query) — the trade_edges_fwd pattern. Eager-build memo: Louvain
+    runs jobs (per-round localCheckpoints), so the build must happen
+    OUTSIDE memo.py's global lock (r8 ADVICE)."""
     from erkg_tutorials_spark.graph.louvain import louvain_one_level
-    from erkg_tutorials_spark.plans.memo import memoized
+    from erkg_tutorials_spark.plans.memo import memoized_eager as memoized
 
     return memoized(
         spark,
@@ -2161,3 +2163,80 @@ def g_louvain_weighted_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m2 = wedges.agg(F.sum("w")).collect()[0][0]  # scalar bound
     return weighted_community_summary(wedges, lbl, m2=m2)
+
+
+# ---------------------------------------------------------------------------
+# Node similarity (the GDS nodeSimilarity verb): pairwise Jaccard of
+# neighbor sets, here between SUPPLIERS (neighbor set = the customers
+# they serve). Reference analogue: the tutorials surface similar
+# entities via shared-neighborhood evidence (/root/reference/Readme.md
+# GDS tier); the candidate generation is a self-join on the LOW-degree
+# side of the bipartite graph (customers buy from a bounded number of
+# suppliers), so the pair fan-out is sum(d_c^2) with small bounded d_c
+# — linear in customers at 100 TB — instead of the hub-quadratic
+# supplier-side blow-up. Jaccard is exact integer micro-units:
+# |A∩B| from the common-neighbor count, |A∪B| = d1 + d2 - |A∩B|.
+# ---------------------------------------------------------------------------
+NODESIM_TOPK = 50
+
+
+def _nodesim_oracle() -> str:
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM raw GROUP BY s),
+    common AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM raw a JOIN raw b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    scored AS (
+      SELECT s1, s2, n_common,
+             CAST(d1.d + d2.d - n_common AS BIGINT) AS n_union,
+             CAST(ROUND(1000000.0 * n_common / (d1.d + d2.d - n_common))
+                  AS BIGINT) AS jaccard_micro
+      FROM common
+      JOIN deg d1 ON d1.s = common.s1
+      JOIN deg d2 ON d2.s = common.s2
+    )
+    SELECT s1, s2, n_common, n_union, jaccard_micro
+    FROM scored
+    ORDER BY jaccard_micro DESC, s1, s2 LIMIT {NODESIM_TOPK}
+    """
+
+
+@register("g_node_similarity", _nodesim_oracle())
+def g_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k supplier pairs by exact neighbor-set Jaccard (micro-units), candidates via a common-customer self-join on the bounded-degree side."""
+    e = trade_edges_fwd(spark, sf_dir)  # src = c:<custkey>, dst = s:<suppkey>
+    deg = e.groupBy("dst").agg(F.count("*").cast("long").alias("d"))
+    a = e.select(F.col("src").alias("cust"), F.col("dst").alias("s1"))
+    b = e.select(F.col("src").alias("cust"), F.col("dst").alias("s2"))
+    common = (
+        a.join(b, "cust")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    scored = (
+        common.join(deg.select(F.col("dst").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("dst").alias("s2"), F.col("d").alias("d2")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            (F.col("d1") + F.col("d2") - F.col("n_common")).alias("n_union"),
+            F.round(
+                F.lit(1000000.0)
+                * F.col("n_common")
+                / (F.col("d1") + F.col("d2") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_micro"), "s1", "s2"
+    ).limit(NODESIM_TOPK)

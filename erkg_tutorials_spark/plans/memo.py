@@ -84,6 +84,40 @@ def memoized(
         return df
 
 
+def memoized_eager(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """:func:`memoized` for build() callables that RUN Spark jobs
+    (iterative algorithms with localCheckpoint barriers — Louvain,
+    PageRank label tables). ``memoized`` holds the global lock across
+    build() on the documented premise that building is lazy plan
+    construction; an eager build under the lock would stall every
+    concurrent memo caller for the full job runtime (r8 ADVICE). Here
+    the build runs OUTSIDE the lock with double-checked insert: a
+    racing duplicate wastes one build, and the loser's cache handle is
+    unpersisted immediately so no storage is orphaned."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    with _LOCK:
+        _sweep(spark)
+        df = _MEMO.get(key)
+        if df is not None:
+            return df
+    built = build().cache()
+    with _LOCK:
+        existing = _MEMO.get(key)
+        if existing is not None:
+            try:
+                built.unpersist(blocking=False)
+            except Exception:
+                pass
+            return existing
+        _MEMO[key] = built
+        return built
+
+
 def install(
     spark: SparkSession,
     sf_dir: str,

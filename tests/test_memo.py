@@ -275,3 +275,65 @@ def test_catalog_declared_schema_matches_inference(spark):
         assert declared is not None, t
         inferred = spark.read.parquet(path).schema
         assert declared == inferred, f"{t}: {declared} != {inferred}"
+
+
+class TestMemoizedEager:
+    """memoized_eager (r8 ADVICE): eager builds (Louvain's per-round
+    localCheckpoints) run OUTSIDE the global lock so concurrent memo
+    users never block on them; a racing duplicate build's orphan cache
+    handle is unpersisted, not leaked."""
+
+    def test_build_runs_without_holding_global_lock(self, spark):
+        import threading
+
+        observed = []
+
+        def build():
+            # the memo lock must be acquirable from ANOTHER thread
+            # while this (eager, job-running) build is in flight; the
+            # probe runs off-thread because the RLock is reentrant on
+            # the build's own thread
+            done = threading.Event()
+            result = {}
+
+            def try_lock():
+                got = memo._LOCK.acquire(timeout=2.0)
+                if got:
+                    memo._LOCK.release()
+                result["got"] = got
+                done.set()
+
+            threading.Thread(target=try_lock).start()
+            assert done.wait(timeout=5.0)
+            observed.append(result["got"])
+            return spark.range(10).select(F.col("id").alias("n"))
+
+        memo.memoized_eager(spark, SF_DIR, "_test_eager_lock", build)
+        assert observed == [True]
+        memo.release(spark, name="_test_eager_lock")
+
+    def test_second_call_returns_cached_handle(self, spark):
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(7).select(F.col("id").alias("n"))
+
+        a = memo.memoized_eager(spark, SF_DIR, "_test_eager_once", build)
+        b = memo.memoized_eager(spark, SF_DIR, "_test_eager_once", build)
+        assert a is b and calls == [1]
+        memo.release(spark, name="_test_eager_once")
+
+    def test_race_loser_unpersists_orphan(self, spark):
+        """Simulate losing the double-checked insert: pre-install the
+        key mid-build; the later insert must return the winner and
+        unpersist its own freshly built handle."""
+        winner = spark.range(3).select(F.col("id").alias("n"))
+
+        def build():
+            memo.install(spark, SF_DIR, "_test_eager_race", winner)
+            return spark.range(5).select(F.col("id").alias("n"))
+
+        out = memo.memoized_eager(spark, SF_DIR, "_test_eager_race", build)
+        assert out.count() == 3  # the pre-installed winner, not ours
+        memo.release(spark, name="_test_eager_race")

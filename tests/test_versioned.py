@@ -241,3 +241,112 @@ def test_concurrent_commit_loser_raises_and_table_intact(spark, tmp_path):
     # retry after re-reading the log succeeds as version 2
     assert write_version(spark.range(5, 10), root, "append") == 2
     assert read_version(spark, root).count() == 10
+
+
+def test_buried_crash_window_repaired_under_interleaved_writers(spark, tmp_path):
+    """r8 ADVICE: with two writers/streams, a second writer's MARKED
+    commit can land above a crashed commit's unmarked manifest. The
+    old repair scan stopped at the first marked manifest and missed
+    the buried one, letting the replay double-commit. The watermark-
+    bounded scan must find and repair it."""
+    from erkg_tutorials_spark.lakehouse import versioned as V
+    from erkg_tutorials_spark.lakehouse.versioned import _txn_path
+
+    root = str(tmp_path / "t")
+    write_version(spark.range(0, 1), root, "append", batch_id=100)  # v0, stream A
+    # stream B commits v1 but crashes BEFORE its marker write
+    real_record = V._txn_record
+    V._txn_record = lambda r, b, v: None if b == 7 else real_record(r, b, v)
+    try:
+        write_version(spark.range(1, 2), root, "append", batch_id=7)  # v1
+    finally:
+        V._txn_record = real_record
+    assert not os.path.exists(_txn_path(root, 7))
+    # stream A then commits a MARKED version above the unmarked v1
+    write_version(spark.range(2, 3), root, "append", batch_id=101)  # v2
+    # replay of stream B's batch must be recognized, not re-committed
+    assert write_version(spark.range(99), root, "append", batch_id=7) == 1
+    assert committed_versions(root) == [0, 1, 2]
+    assert os.path.exists(_txn_path(root, 7))  # repaired
+
+
+def test_repair_scan_continues_past_marked_manifests(spark, tmp_path):
+    """The racing sub-case: writer A read the version list BEFORE
+    writer B's manifest linked, so A's miss-scan never saw B's
+    unmarked v1; A then commits a MARKED v2 above it. The replay of
+    B's batch must scan PAST the marked head (old code stopped there)
+    down to the watermark and find the buried commit."""
+    from erkg_tutorials_spark.lakehouse import versioned as V
+    from erkg_tutorials_spark.lakehouse.versioned import _txn_path
+
+    root = str(tmp_path / "t")
+    write_version(spark.range(0, 1), root, "append", batch_id=100)  # v0
+    real_record = V._txn_record
+    V._txn_record = lambda r, b, v: None if b == 7 else real_record(r, b, v)
+    try:
+        write_version(spark.range(1, 2), root, "append", batch_id=7)  # v1, crash
+    finally:
+        V._txn_record = real_record
+    # A's lookup raced: it saw a version list WITHOUT v1, so its scan
+    # repaired nothing — simulate by bypassing the lookup entirely
+    real_lookup = V._txn_lookup
+    V._txn_lookup = lambda r, b, vs: None
+    try:
+        write_version(spark.range(2, 3), root, "append", batch_id=101)  # v2, marked
+    finally:
+        V._txn_lookup = real_lookup
+    assert not os.path.exists(_txn_path(root, 7))
+    assert os.path.exists(_txn_path(root, 101))  # marked manifest above
+    assert write_version(spark.range(99), root, "append", batch_id=7) == 1
+    assert committed_versions(root) == [0, 1, 2]
+
+
+def test_repair_scan_is_watermark_bounded(spark, tmp_path):
+    """A marker-miss lookup must only read manifests committed since
+    the last scan (amortized O(1) per commit), not the whole history:
+    manifests below the persisted watermark are never re-opened."""
+    from erkg_tutorials_spark.lakehouse import versioned as V
+
+    root = str(tmp_path / "t")
+    for b in range(5):
+        write_version(spark.range(b, b + 1), root, "append", batch_id=b)
+    # first miss-lookup for an unseen batch scans history once and
+    # persists the watermark at the head
+    assert V._txn_lookup(root, 999, committed_versions(root)) is None
+    assert V._read_watermark(root) == 4
+    # subsequent miss-lookups must not open any manifest at or below
+    # the watermark
+    opened = []
+    real = V.read_manifest
+
+    def spying(root_, v):
+        opened.append(v)
+        return real(root_, v)
+
+    V.read_manifest, _ = spying, None
+    try:
+        assert V._txn_lookup(root, 998, committed_versions(root)) is None
+    finally:
+        V.read_manifest = real
+    assert opened == []
+
+
+def test_vacuum_prunes_markers_of_dropped_versions(spark, tmp_path):
+    """r8 ADVICE: a marker surviving its vacuumed manifest made the
+    fast path return a version with no manifest behind it. Vacuum now
+    prunes those markers (Delta setTransaction-retention semantics);
+    markers of surviving versions stay, so recent-batch replay
+    idempotence is untouched."""
+    from erkg_tutorials_spark.lakehouse.versioned import _txn_path, vacuum
+
+    root = str(tmp_path / "t")
+    for b in range(4):
+        write_version(spark.range(b, b + 1), root, "append", batch_id=b)
+    assert vacuum(root, keep_versions=2) == [0, 1]
+    assert not os.path.exists(_txn_path(root, 0))
+    assert not os.path.exists(_txn_path(root, 1))
+    assert os.path.exists(_txn_path(root, 2))
+    assert os.path.exists(_txn_path(root, 3))
+    # surviving batches still replay idempotently
+    assert write_version(spark.range(99), root, "append", batch_id=3) == 3
+    assert committed_versions(root) == [2, 3]

@@ -85,7 +85,71 @@ def build(spark) -> str:
     return dst
 
 
+DOCS_QUERIES = [
+    "dedup_minhash_lsh",
+    "simjoin_prefix_filter",
+    "dedup_clusters",
+    "e3_pretrain_shards",
+    "dsir_importance_sample",
+]
+
+
+def build_docs(spark) -> str:
+    """Key-shifted 10x step for the DOCUMENTS-based dedup/LLM family
+    (r8 VERDICT item 4). Each copy i shifts doc_id into a disjoint id
+    space AND suffixes every word with the copy index: a bijective
+    per-copy vocabulary map, so within-copy shingle/n-gram Jaccard
+    structure (and therefore the near-dup pair/cluster sets) is
+    preserved EXACTLY per copy while distinct docs, distinct shingles
+    and distinct band buckets all really grow 10x — no cross-copy
+    similarity, no shared vocab. (Copy>0 words no longer match the
+    English stopword list; e3's quality gate sees a shifted feature
+    distribution — documented, immaterial to the shuffle shape being
+    measured.)"""
+    from pyspark.sql import functions as F
+
+    dst = f"/tmp/erkg_sfstep_docs_{COPIES}x"
+    marker = os.path.join(dst, "_SCALED_OK")
+    if os.path.exists(marker):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for fname in os.listdir(SRC):
+        if not fname.endswith(".parquet"):
+            continue
+        src_path = os.path.join(SRC, fname)
+        if fname != "documents.parquet":
+            table_dir = os.path.join(dst, fname)
+            os.makedirs(table_dir)
+            try:
+                os.link(src_path, os.path.join(table_dir, "part-00000.parquet"))
+            except OSError:
+                shutil.copy(src_path, os.path.join(table_dir, "part-00000.parquet"))
+            continue
+        df = spark.read.parquet(src_path)
+        copies = [df]
+        for i in range(1, COPIES):
+            copies.append(
+                df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                .withColumn(
+                    "text",
+                    F.expr(
+                        f"array_join(transform(split(text, ' '),"
+                        f" w -> concat(w, '{i}')), ' ')"
+                    ),
+                )
+            )
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(dst, fname))
+    open(marker, "w").close()
+    return dst
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--docs"]:
+        return main_docs(sys.argv[2:] or DOCS_QUERIES)
     queries = sys.argv[1:] or DEFAULT_QUERIES
 
     from erkg_tutorials_spark.plans.graphq import (
@@ -123,6 +187,57 @@ def main() -> None:
             runs.append(time.time() - t0)
         out["queries"][name] = round(min(runs), 3)
         out["spread"][name] = [round(min(runs), 3), round(max(runs), 3)]
+    print(json.dumps(out))
+    spark.stop()
+
+
+def main_docs(queries: list[str]) -> None:
+    """Run the documents-family 10x step: base sf0.1 and the 10x
+    corpus in ONE process (same JVM warm-up), best-of-2 each, so the
+    printed ratio is apples-to-apples."""
+    from erkg_tutorials_spark.plans.registry import QUERIES
+    from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
+    from erkg_tutorials_spark.session import get_spark
+
+    spark = get_spark(
+        f"erkg-sfstep-docs-{COPIES}x", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from erkg_tutorials_spark.plans.memo import release
+
+    big = build_docs(spark)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM/codegen warm-up: run the base shared build once cold, discard
+    # the timing, release the memo, and time the warm rebuild — so the
+    # base/scaled shared-build comparison is not polluted by first-ever
+    # parquet-scan and codegen compilation costs
+    minhash_pairs_cached(spark, SRC).count()
+    release(spark, sf_dir=SRC)
+
+    out: dict = {
+        "copies": COPIES,
+        "sf_dir": big,
+        "base": {},
+        "scaled": {},
+        "ratio": {},
+        "shared_build_sec": {},
+    }
+    for label, d in (("base", SRC), ("scaled", big)):
+        t0 = time.time()
+        minhash_pairs_cached(spark, d).count()
+        out["shared_build_sec"][label] = round(time.time() - t0, 3)
+        for name in queries:
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.time() - t0)
+            out[label][name] = round(min(runs), 3)
+    for name in queries:
+        if out["base"][name] > 0:
+            out["ratio"][name] = round(out["scaled"][name] / out["base"][name], 2)
     print(json.dumps(out))
     spark.stop()
 
