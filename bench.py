@@ -271,6 +271,18 @@ HEADLINE = [
     # round-9: flood-safe collapse-first cluster assignment
     # (r8 VERDICT item 5)
     "dedup_flood_clusters",
+    # round-9: GDS nodeSimilarity — exact neighbor-set Jaccard via a
+    # common-customer self-join on the bounded-degree side
+    "g_node_similarity",
+    # round-9: MMR diversified retrieval (distributed top-N cut +
+    # unrolled integer-exact greedy re-rank)
+    "mmr_diversified_topk",
+    # round-9: SemDeDup-style cluster-balanced curation sample over
+    # the shared k-means centroids
+    "curation_cluster_sample",
+    # round-9: online near-dup ingest gate — stateless per-row MinHash
+    # stream-static band join vs the historical corpus index
+    "stream_neardup_verdicts",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -302,6 +314,7 @@ GRAPH_QUERIES = (
     "g_katz_top20",
     "g_eigenvector_top20",
     "g_louvain_weighted_l1",
+    "g_node_similarity",
 )
 
 

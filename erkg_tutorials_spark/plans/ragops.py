@@ -424,3 +424,178 @@ def chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+# diversified top-k retrieval: greedily pick the candidate maximizing
+# lambda*rel(d) - (1-lambda)*max_{s in selected} sim(d, s). The scale
+# split: candidate GENERATION is the distributed part (exact top-N
+# cosine cut over the full corpus — the knn broadcast pattern); the
+# greedy re-rank runs over the N-row candidate table as N unrolled
+# lazy DataFrame steps (no collect, no Python loop over rows). All
+# scoring is exact integer micro-cosine with integer MMR weights
+# (lambda = 0.7 -> 7*rel - 3*pen), so ranking never depends on float
+# accumulation order. Reference analogue: the tutorials' LanceDB ANN
+# search feeding entity disambiguation (dagster_icij/assets.py ANN
+# KB); MMR is the standard diversified-serving twist on that surface.
+# ---------------------------------------------------------------------------
+MMR_QUERY_ID = 0
+MMR_CAND = 16
+MMR_K = 5
+# integer MMR weights: lambda = 0.7 over micro-cosines
+MMR_W_REL = 7
+MMR_W_PEN = 3
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for t in range(2, MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, t)
+        )
+        steps.append(
+            f"""
+    sel{t - 1} AS ({prev_sel}),
+    s{t} AS (
+      SELECT c.vec_id, c.rel_micro,
+             CAST({MMR_W_REL} * c.rel_micro - {MMR_W_PEN} * MAX(s.sim_micro)
+                  AS BIGINT) AS score
+      FROM cand c
+      JOIN sim s ON s.ia = c.vec_id
+      JOIN sel{t - 1} z ON s.ib = z.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY c.vec_id, c.rel_micro
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS mmr_rank, vec_id, rel_micro,"
+        f" CAST(score AS BIGINT) AS score FROM s{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings
+    ),
+    q AS (SELECT ev AS qv, n AS qn FROM v WHERE vec_id = {MMR_QUERY_ID}),
+    rel AS (
+      SELECT v.vec_id,
+             CAST(ROUND(1000000 * list_dot_product(v.ev, q.qv) / (v.n * q.qn))
+                  AS BIGINT) AS rel_micro
+      FROM v CROSS JOIN q WHERE v.vec_id <> {MMR_QUERY_ID}
+    ),
+    cand AS (SELECT * FROM rel ORDER BY rel_micro DESC, vec_id LIMIT {MMR_CAND}),
+    cv AS (SELECT v.* FROM v JOIN cand USING (vec_id)),
+    sim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(ROUND(1000000 * list_dot_product(a.ev, b.ev) / (a.n * b.n))
+                  AS BIGINT) AS sim_micro
+      FROM cv a JOIN cv b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT vec_id, rel_micro,
+             CAST({MMR_W_REL} * rel_micro AS BIGINT) AS score
+      FROM cand ORDER BY score DESC, vec_id LIMIT 1
+    ),{",".join(steps)}
+    SELECT * FROM ({finals}) ORDER BY mmr_rank
+    """
+
+
+@register("mmr_diversified_topk", _mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-rank (integer micro-cosine, lambda=0.7) of the exact top-16 cosine candidates for one query vector; k=5 unrolled lazy selection steps."""
+    from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select(
+        "vec_id", _as_double("embedding").alias("ev")
+    ).withColumn("n", F.sqrt(_dot("ev", "ev")))
+    q = (
+        v.where(F.col("vec_id") == MMR_QUERY_ID)
+        .select(F.col("ev").alias("qv"), F.col("n").alias("qn"))
+    )
+
+    def micro(num, den):
+        return F.round(F.lit(1000000.0) * num / den).cast("long")
+
+    rel = (
+        v.where(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "ev",
+            "n",
+            micro(_dot("ev", "qv"), F.col("n") * F.col("qn")).alias("rel_micro"),
+        )
+    )
+    cand = rel.orderBy(F.desc("rel_micro"), "vec_id").limit(MMR_CAND)
+    # candidate table is MMR_CAND rows: pairwise sims stay tiny
+    a = cand.select(
+        F.col("vec_id").alias("ia"),
+        F.col("ev").alias("av"),
+        F.col("n").alias("an"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"),
+        F.col("ev").alias("bv"),
+        F.col("n").alias("bn"),
+    )
+    sim = (
+        a.crossJoin(b)
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            micro(
+                F.expr(
+                    "aggregate(zip_with(av, bv, (x, y) -> x * y),"
+                    " cast(0.0 as double), (acc, v) -> acc + v)"
+                ),
+                F.col("an") * F.col("bn"),
+            ).alias("sim_micro"),
+        )
+    )
+    cand_slim = cand.select("vec_id", "rel_micro")
+    step = (
+        cand_slim.select(
+            "vec_id",
+            "rel_micro",
+            (F.lit(MMR_W_REL) * F.col("rel_micro")).cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(1)
+    )
+    picks = [step.withColumn("mmr_rank", F.lit(1).cast("long"))]
+    selected = step.select("vec_id")
+    for t in range(2, MMR_K + 1):
+        pen = (
+            sim.join(selected.withColumnRenamed("vec_id", "ib"), "ib")
+            .groupBy("ia")
+            .agg(F.max("sim_micro").alias("pen"))
+        )
+        step = (
+            cand_slim.join(selected, "vec_id", "left_anti")
+            .join(pen, cand_slim.vec_id == pen.ia)
+            .select(
+                "vec_id",
+                "rel_micro",
+                (
+                    F.lit(MMR_W_REL) * F.col("rel_micro")
+                    - F.lit(MMR_W_PEN) * F.col("pen")
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+        )
+        picks.append(step.withColumn("mmr_rank", F.lit(t).cast("long")))
+        selected = selected.unionByName(step.select("vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("mmr_rank", "vec_id", "rel_micro", "score")

@@ -802,3 +802,50 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("last_cents_sum"),
         F.max("ts_sec").cast("long").alias("latest_ts_sec"),
     )
+
+
+def _neardup_oracle() -> str:
+    from erkg_tutorials_spark.plans.textq import MINHASH_PAIRS_CTE
+
+    return (
+        MINHASH_PAIRS_CTE
+        + """
+    SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS new_id,
+           CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS hist_id,
+           jaccard
+    FROM pairs WHERE (id_a % 2) <> (id_b % 2)
+    """
+    )
+
+
+@register("stream_neardup_verdicts", _neardup_oracle())
+def stream_neardup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup ingest gate: odd-id documents STREAMED through a
+    stateless per-row MinHash (array-expression signatures, no agg, no
+    watermark) and stream-static band-joined against the even-id
+    historical corpus's banded signature index, with exact shingle-set
+    Jaccard verification before emission (streaming/neardup.py).
+
+    The oracle is the BATCH pair set (textq.MINHASH_PAIRS_CTE — the
+    identical hash family) restricted to cross-parity pairs: equality
+    proves the online detector finds exactly the near-dup pairs the
+    batch corpus-wide dedup would have found between the arriving docs
+    and the corpus — no extra candidates, none missed, same jaccard
+    values. A pair colliding in both LSH bands emits twice in append
+    mode; the post-drain distinct collapses it (the batch plan's
+    candidate distinct, applied after the sink)."""
+    from erkg_tutorials_spark.catalog import load_tables
+    from erkg_tutorials_spark.streaming.neardup import (
+        historical_band_index,
+        neardup_verdicts_stream,
+        read_documents_stream,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    index = historical_band_index(docs.where(F.col("doc_id") % 2 == 0))
+    arriving = read_documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % 2 == 1
+    )
+    verdicts = neardup_verdicts_stream(arriving, index, threshold=0.5)
+    sink = _drain(verdicts, "stream_neardup_verdicts", "append")
+    return sink.distinct()

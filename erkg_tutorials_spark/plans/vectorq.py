@@ -529,3 +529,86 @@ def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=PQ_K,
         candidates=candidates,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced curation sample (the SemDeDup/DataComp curation
+# move, public papers: Abbas et al. 2023; Gadre et al. 2023): assign
+# every embedding to its nearest trained k-means centroid, then cap
+# each cluster at a fixed quota chosen by a deterministic hash rank —
+# trimming over-represented (near-duplicate-dense) semantic regions
+# while keeping sparse regions intact. Output is the per-cluster
+# manifest (n_total, n_kept, kept-set fingerprint), the shape a shard
+# writer consumes. Reuses the SAME memoized centroids as the IVF
+# family, so training cost is shared and the unrolled Lloyd CTE keeps
+# the whole pipeline under the full hash oracle.
+# Scale notes (100 TB): assignment is a broadcast(centroids) argmax —
+# map-side; the quota is a per-cluster row_number window (shuffle on
+# cell). A pathologically dominant cluster would make that window's
+# sort wide — at that scale swap the exact rank for a hash-threshold
+# keep (skey < quota/n_total quantile), which is shuffle-free; the
+# exact rank is kept here because the manifest fingerprint must be
+# deterministic for the oracle gate.
+# ---------------------------------------------------------------------------
+CURATION_QUOTA = 40
+
+_CURATION_ORACLE = _kmeans_cent_cte() + f"""
+    assign_scored AS (
+      SELECT v.vec_id, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ROUND(list_dot_product(v.emb, c.cvec)
+               / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC, c.cent_id) AS rn
+      FROM v CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM assign_scored WHERE rn = 1),
+    keyed AS (
+      SELECT cell, vec_id,
+             CAST(('0x' || substr(md5('sample:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS skey
+      FROM assigned
+    ),
+    ranked AS (
+      SELECT cell, skey,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY skey, vec_id) AS rk
+      FROM keyed
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rk <= {CURATION_QUOTA} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(bit_xor(CASE WHEN rk <= {CURATION_QUOTA} THEN skey ELSE 0 END) AS BIGINT) AS kept_fp
+    FROM ranked GROUP BY cell
+"""
+
+
+@register("curation_cluster_sample", _CURATION_ORACLE)
+def curation_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus subsample: nearest-centroid assignment, per-cluster hash-rank quota, per-cluster kept-set manifest."""
+    from pyspark.sql import Window
+    from erkg_tutorials_spark.similarity.ivf import ivf_cells
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent = ivf_centroids_cached(spark, sf_dir)
+    cells = ivf_cells(
+        emb,
+        cent.select(
+            F.col("cent_id").alias("vec_id"), F.col("cvec").alias("embedding")
+        ),
+    )
+    keyed = cells.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('sample:', CAST(vec_id AS STRING))),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ).alias("skey"),
+    )
+    w = Window.partitionBy("cell").orderBy("skey", "vec_id")
+    ranked = keyed.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("rk") <= CURATION_QUOTA, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.expr(f"bit_xor(CASE WHEN rk <= {CURATION_QUOTA} THEN skey ELSE 0 END)")
+        .cast("long")
+        .alias("kept_fp"),
+    )
