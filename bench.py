@@ -283,6 +283,12 @@ HEADLINE = [
     # round-9: online near-dup ingest gate — stateless per-row MinHash
     # stream-static band join vs the historical corpus index
     "stream_neardup_verdicts",
+    # round-9: GraphSAGE-style fixed-fanout neighbor sampling (GNN
+    # training-data pipeline)
+    "g_neighbor_sample",
+    # round-9: eval-contamination audit — near-dup pairs crossing the
+    # md5-coin train/val/test split
+    "split_leakage_audit",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

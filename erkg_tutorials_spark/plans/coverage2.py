@@ -697,3 +697,79 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs") - 1).cast("long").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval leakage audit: near-dup pairs that CROSS split
+# boundaries. Deduplicating before splitting is the rule; this is the
+# verifier a training-data pipeline runs to prove it — every MinHash
+# near-dup pair whose two docs landed in different splits is a
+# potential eval-contamination channel (the document-level twin of
+# the n-gram `text_contamination` probe). Composes the two existing
+# oracles verbatim: the MinHash pair set (textq) and the md5-coin
+# split (split_assign above), so the audit is itself hash-gated.
+# Scale notes (100 TB): the pair set is tiny (∝ true near-dups); the
+# split columns are two broadcast-friendly id-keyed joins against it
+# — the documents table is scanned only for (doc_id), pruned columns.
+# ---------------------------------------------------------------------------
+def _leakage_oracle() -> str:
+    from erkg_tutorials_spark.plans.textq import MINHASH_PAIRS_CTE
+
+    expr = f"((({_NIB.format(p=13)}) * 16 + ({_NIB.format(p=14)})) * 16 + ({_NIB.format(p=15)})) * 16 + ({_NIB.format(p=16)})"
+    return (
+        MINHASH_PAIRS_CTE
+        + f""",
+    hsplit AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN ({expr}) % 100 < 80 THEN 'train'
+                  WHEN ({expr}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM hsplit
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.id_a
+    JOIN splits sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    """
+    )
+
+
+@register("split_leakage_audit", _leakage_oracle())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit: MinHash near-dup pairs whose documents fall in different train/val/test splits."""
+    from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
+
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 13, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    splits = t["documents"].select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = minhash_pairs_cached(spark, sf_dir)
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )

@@ -2240,3 +2240,107 @@ def g_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jaccard_micro"), "s1", "s2"
     ).limit(NODESIM_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE-style neighbor fanout sampling (Hamilton et al. 2017,
+# public paper): the data-pipeline half of GNN training — for each
+# seed, draw a bounded number of 1-hop neighbors, then per sampled
+# (seed, supplier) instance a bounded number of 2-hop neighbors,
+# giving the fixed-fanout computation tree a trainer consumes.
+# Draws are deterministic hash ranks (md5 over the edge identity,
+# seed-dependent at hop 2 so repeated suppliers get independent
+# draws), replayable in SQL. Scale notes (100 TB): both hops are
+# top-k-per-group windows; hop 1 partitions by seed (bounded by the
+# seed's degree), hop 2 by (seed, supplier) — the fan-in before that
+# window is |hop1 samples| x deg(supplier), which is the true GNN
+# sampling cost everywhere; hub suppliers are the skew risk and the
+# standard mitigation (pre-truncating each supplier's neighbor list
+# to a per-NODE top-M >= fanout sample superset, computed once, then
+# re-ranking per instance) drops in as one extra window over the
+# edge table without changing this query's output.
+# ---------------------------------------------------------------------------
+NS_FANOUT1 = 3
+NS_FANOUT2 = 2
+
+
+def _neighbor_sample_oracle() -> str:
+    return (
+        _EDGE_CTE
+        + f""",
+    h1 AS (
+      SELECT seeds.id AS seed, r.s AS node,
+             ROW_NUMBER() OVER (
+               PARTITION BY seeds.id
+               ORDER BY md5('ns1:' || seeds.id || '|' || r.s), r.s
+             ) AS rk
+      FROM raw r JOIN seeds ON r.c = seeds.id
+    ),
+    hop1 AS (SELECT seed, node FROM h1 WHERE rk <= {NS_FANOUT1}),
+    h2 AS (
+      SELECT hop1.seed, hop1.node AS via, r.c AS node,
+             ROW_NUMBER() OVER (
+               PARTITION BY hop1.seed, hop1.node
+               ORDER BY md5('ns2:' || hop1.seed || '|' || hop1.node || '|' || r.c), r.c
+             ) AS rk
+      FROM raw r JOIN hop1 ON r.s = hop1.node
+    ),
+    hop2 AS (SELECT seed, via, node FROM h2 WHERE rk <= {NS_FANOUT2})
+    SELECT seed, CAST(1 AS BIGINT) AS hop, seed AS via, node FROM hop1
+    UNION ALL
+    SELECT seed, CAST(2 AS BIGINT) AS hop, via, node FROM hop2
+    """
+    )
+
+
+@register("g_neighbor_sample", _neighbor_sample_oracle())
+def g_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop fixed-fanout (3, 2) neighbor sampling per seed customer: deterministic md5-rank draws, seed-dependent at hop 2."""
+    t = load_tables(spark, sf_dir)
+    fwd = trade_edges_fwd(spark, sf_dir)  # src = c:<custkey>, dst = s:<suppkey>
+    seeds = seed_customers(t)
+    w1 = Window.partitionBy("seed").orderBy("draw1", "node")
+    hop1 = (
+        fwd.join(seeds, fwd.src == seeds.id)
+        .select(
+            F.col("id").alias("seed"),
+            F.col("dst").alias("node"),
+            F.md5(F.concat(F.lit("ns1:"), F.col("id"), F.lit("|"), F.col("dst"))).alias(
+                "draw1"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= NS_FANOUT1)
+        .select("seed", "node")
+    )
+    rev = fwd.select(F.col("dst").alias("s"), F.col("src").alias("c"))
+    w2 = Window.partitionBy("seed", "via").orderBy("draw2", "node")
+    hop2 = (
+        rev.join(hop1.withColumnRenamed("node", "via"), rev.s == F.col("via"))
+        .select(
+            "seed",
+            "via",
+            F.col("c").alias("node"),
+            F.md5(
+                F.concat(
+                    F.lit("ns2:"),
+                    F.col("seed"),
+                    F.lit("|"),
+                    F.col("via"),
+                    F.lit("|"),
+                    F.col("c"),
+                )
+            ).alias("draw2"),
+        )
+        .withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= NS_FANOUT2)
+        .select("seed", "via", "node")
+    )
+    return hop1.select(
+        "seed",
+        F.lit(1).cast("long").alias("hop"),
+        F.col("seed").alias("via"),
+        "node",
+    ).unionByName(
+        hop2.select("seed", F.lit(2).cast("long").alias("hop"), "via", "node")
+    )

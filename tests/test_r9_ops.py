@@ -234,3 +234,87 @@ class TestStreamNearDup:
         for doc_id, bands_ in per_doc.items():
             if doc_id not in batch_sig:
                 assert all(v is None for v in bands_.values())
+
+
+class TestNeighborSample:
+    def test_fanout_bounds_and_edge_validity(self, spark):
+        from erkg_tutorials_spark.plans.graphq import (
+            NS_FANOUT1,
+            NS_FANOUT2,
+            trade_edges_fwd,
+        )
+
+        rows = QUERIES["g_neighbor_sample"](spark, SF_DIR).collect()
+        assert rows
+        hop1 = [r for r in rows if r.hop == 1]
+        hop2 = [r for r in rows if r.hop == 2]
+        assert hop1 and hop2
+        per_seed: dict = {}
+        for r in hop1:
+            assert r.via == r.seed and r.node.startswith("s:")
+            per_seed[r.seed] = per_seed.get(r.seed, 0) + 1
+        assert max(per_seed.values()) <= NS_FANOUT1
+        per_inst: dict = {}
+        for r in hop2:
+            assert r.node.startswith("c:") and r.via.startswith("s:")
+            k = (r.seed, r.via)
+            per_inst[k] = per_inst.get(k, 0) + 1
+        assert max(per_inst.values()) <= NS_FANOUT2
+        # hop-2 draws hang off sampled hop-1 instances only
+        h1set = {(r.seed, r.node) for r in hop1}
+        assert all((r.seed, r.via) in h1set for r in hop2)
+        # every sampled edge is a real edge
+        edges = {
+            (r.src, r.dst) for r in trade_edges_fwd(spark, SF_DIR).collect()
+        }
+        assert all((r.seed, r.node) in edges for r in hop1)
+        assert all((r.node, r.via) in edges for r in hop2)
+
+    def test_draws_deterministic_and_seed_dependent(self, spark):
+        a = sorted(map(tuple, QUERIES["g_neighbor_sample"](spark, SF_DIR).collect()))
+        b = sorted(map(tuple, QUERIES["g_neighbor_sample"](spark, SF_DIR).collect()))
+        assert a == b
+        # hop-2 samples from one shared supplier must differ across
+        # seeds somewhere (independent per-instance draws) — if every
+        # shared supplier always yielded the same 2 customers, the
+        # seed-dependent hash would be pointless. Only assert when a
+        # supplier is actually shared with enough neighbors to differ.
+        rows = [r for r in QUERIES["g_neighbor_sample"](spark, SF_DIR).collect() if r[1] == 2]
+        by_via: dict = {}
+        for seed, _hop, via, node in rows:
+            by_via.setdefault(via, {}).setdefault(seed, set()).add(node)
+        shared = {v: m for v, m in by_via.items() if len(m) >= 2}
+        if shared:
+            assert any(
+                len({frozenset(s) for s in m.values()}) > 1
+                for m in shared.values()
+            )
+
+
+class TestSplitLeakageAudit:
+    def test_rows_are_cross_split_neardups(self, spark):
+        rows = QUERIES["split_leakage_audit"](spark, SF_DIR).collect()
+        assert rows, "sf0.001 plants cross-split near-dups"
+        pair_set = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+        }
+        for r in rows:
+            assert r.split_a != r.split_b
+            assert {r.split_a, r.split_b} <= {"train", "val", "test"}
+            assert r.jaccard >= 0.5
+            assert pair_set.get((r.id_a, r.id_b)) == r.jaccard
+
+    def test_split_labels_match_split_assign_coins(self, spark):
+        """The audit must use the exact md5-coin split of split_assign
+        (same doc never in two different splits across queries)."""
+        import hashlib
+
+        rows = QUERIES["split_leakage_audit"](spark, SF_DIR).collect()
+
+        def coin(doc_id: int) -> str:
+            b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[12:16], 16) % 100
+            return "train" if b < 80 else ("val" if b < 90 else "test")
+
+        for r in rows:
+            assert coin(r.id_a) == r.split_a and coin(r.id_b) == r.split_b
