@@ -75,6 +75,63 @@ def _checkpointed_rdd_id(df: DataFrame) -> int | None:
     return None
 
 
+_warned_sever_failure = False
+
+
+def _sever_origin(df: DataFrame) -> DataFrame:
+    """Rebuild a checkpointed DataFrame as a bare LogicalRDD, dropping
+    the origin stats/constraints payload ``Dataset.localCheckpoint``
+    stores alongside the truncated lineage.
+
+    Measured failure mode (tools/ckpt_blowup_probe.py shape): a loop
+    state whose next version references the previous checkpoint TWICE
+    (pointer doubling ``p∘p``, PageRank's ``rank ⋈ contrib(rank)``)
+    doubles that stored payload per generation — the two references
+    re-alias through fresh ExprIds, so the sets never dedupe — and
+    ``localCheckpoint`` wall time turns exponential in chain depth:
+    flat ~0.1 s/step through ~14 generations, then 0.5 → 1 → 2.5 → 6.3
+    → 18 → 56 s with ZERO jobs running (pure driver time between the
+    materialization jobs; Spark 4.1.2, REST-confirmed). Wrapping the
+    already-materialized internal RDD in a fresh LogicalRDD via
+    ``internalCreateDataFrame`` drops the payload: the same 25-deep
+    doubling loop stays flat at 0.10 s/step.
+
+    Trade-off: the rebuilt node also loses the checkpoint's output
+    partitioning/ordering metadata, so a consumer that could have
+    reused the state's partitioning may add an exchange — irrelevant
+    for the loop states here, which are re-joined (usually broadcast)
+    every round anyway. Fails open: any reflection failure returns the
+    original checkpointed frame (correct, just exponential-prone) and
+    warns once.
+    """
+    global _warned_sever_failure
+    try:
+        jdf = df._jdf
+        plan = jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            raise ValueError(
+                f"unexpected plan shape {plan.getClass().getName()}"
+            )
+        # wrap the PERSISTED internal RDD itself (plan.rdd()), not
+        # queryExecution().toRdd() — the latter is a codegen-derived
+        # child whose id the release path could never unpersist
+        jdf2 = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            plan.rdd(), jdf.schema(), False
+        )
+        return DataFrame(jdf2, df.sparkSession)
+    except Exception as exc:  # e.g. Spark Connect, or a renamed private API
+        if not _warned_sever_failure:
+            _warned_sever_failure = True
+            warnings.warn(
+                f"CheckpointChain could not sever checkpoint origin ({exc!r});"
+                " iterative loops that reference a checkpoint twice per round"
+                " may degrade exponentially past ~14 rounds",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return df
+
+
 class CheckpointChain:
     """Eager localCheckpoint that frees the previous round's blocks.
 
@@ -92,8 +149,9 @@ class CheckpointChain:
         self._lock = threading.Lock()  # consistency only; see class docstring
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        out = df.localCheckpoint(eager=True)
-        rid = _checkpointed_rdd_id(out)
+        ck = df.localCheckpoint(eager=True)
+        rid = _checkpointed_rdd_id(ck)
+        out = _sever_origin(ck)
         jsc = out.sparkSession.sparkContext._jsc
         with self._lock:
             jmap = jsc.getPersistentRDDs()

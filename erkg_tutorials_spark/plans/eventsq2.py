@@ -1,0 +1,266 @@
+"""Event-analytics surface, wave 2: CUSUM changepoint detection and
+sequential-pattern mining (PrefixSpan-style, bounded length) over the
+events table — the monitoring/mining verbs a training-data pipeline
+runs against its ingest telemetry.
+
+Both stay exact-integer (or integer-ratio) end to end so the DuckDB
+oracles are full hash matches, following the repo's exact-math oracle
+discipline (functions/exact_math.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erkg_tutorials_spark.catalog import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over per-type daily event counts.
+#
+# The one-sided CUSUM recurrence S_t = max(0, S_{t-1} + x_t - μ - k)
+# is not a window function, but its reflection identity is:
+#   S_t = P_t - min(0, min_{j≤t} P_j),  P_t = Σ_{i≤t} (x_i - μ - k)
+# i.e. one running sum + one running min — two ordered windows per
+# key, no recursion, no UDF. At 100 TB this is a single shuffle on
+# event_type and two sorted window passes over tiny per-type daily
+# series (days-per-type rows, not events).
+#
+# Exactness: μ = s/n and k = μ/4 are rationals, so everything is
+# multiplied through by 4n: y' = 4n·x − 5·s is a BIGINT, the threshold
+# 2μ scales to h' = 8·s, and the oracle hash-matches bit for bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM d GROUP BY 1
+    ),
+    y AS (
+      SELECT d.event_type, d.day, 4 * st.n * d.x - 5 * st.s AS yv,
+             8 * st.s AS h
+      FROM d JOIN st USING (event_type)
+    ),
+    p AS (
+      SELECT *, CAST(SUM(yv) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+      FROM y
+    ),
+    cus AS (
+      SELECT event_type, day, h,
+             pf - LEAST(0, MIN(pf) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM p
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY cusum DESC, day) AS rn
+      FROM cus
+    )
+    SELECT event_type, day, cusum AS cusum_scaled,
+           cusum > h AS flagged, CAST(rn AS BIGINT) AS rnk
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 CUSUM peaks per event type over daily counts (reflection identity: running sum minus running min, exact 4n-scaled integers), with the 2-mean threshold flag."""
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["events"]
+        .groupBy(
+            "event_type", F.expr("ts_sec div 86400").alias("day")
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    st = d.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    y = d.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        (4 * F.col("n") * F.col("x") - 5 * F.col("s")).alias("yv"),
+        (8 * F.col("s")).alias("h"),
+    )
+    ow = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus = y.withColumn("pf", F.sum("yv").over(ow)).select(
+        "event_type",
+        "day",
+        "h",
+        (
+            F.col("pf")
+            - F.least(F.lit(0).cast("long"), F.min("pf").over(ow))
+        ).alias("cusum"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.desc("cusum"), F.asc("day")
+    )
+    return (
+        cus.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            "day",
+            F.col("cusum").alias("cusum_scaled"),
+            (F.col("cusum") > F.col("h")).alias("flagged"),
+            F.col("rn").cast("long").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern mining (PrefixSpan-style, lengths 2 and 3): which
+# ordered event-type subsequences (not necessarily contiguous) occur in
+# at least MIN_SUPPORT_PCT of users' histories. The itemset twin is
+# basket_association_rules; this is the SEQUENCE miner.
+#
+# Encoding: per-user position ranks (ROW_NUMBER over (ts_ns, event_id))
+# reduce subsequence-existence to integer comparisons on per-(user,
+# type) min/max positions — a→b exists iff min_pos(a) < max_pos(b),
+# a→b→c iff some b-occurrence sits strictly between min_pos(a) and
+# max_pos(c). No per-user sequence materialization, no UDF.
+#
+# Scale: the pair stage joins two |users|×|types| aggregate tables on
+# user (|types| is a small fixed vocabulary, so the fan-out per user is
+# |types|² — constant); the triple stage additionally touches each raw
+# occurrence once per (a, c) pair — O(|events|·|types|²) with map-side
+# combine into the distinct-user count. One shuffle each on user_id.
+# ---------------------------------------------------------------------------
+MIN_SUPPORT_PCT = 30
+
+
+def _seq_oracle() -> str:
+    return f"""
+    WITH occ AS MATERIALIZED (
+      SELECT user_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id)
+                  AS BIGINT) AS pos
+      FROM events
+    ),
+    agg AS MATERIALIZED (
+      SELECT user_id, event_type, MIN(pos) AS minp, MAX(pos) AS maxp
+      FROM occ GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM occ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM agg a JOIN agg b ON a.user_id = b.user_id
+      WHERE a.minp < b.maxp
+      GROUP BY 1, 2
+    ),
+    triples AS (
+      SELECT a.event_type AS ta, o.event_type AS tb, c.event_type AS tc,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM agg a
+      JOIN occ o ON o.user_id = a.user_id AND o.pos > a.minp
+      JOIN agg c ON c.user_id = a.user_id AND c.maxp > o.pos
+      GROUP BY 1, 2, 3
+    ),
+    unioned AS (
+      SELECT ta || '>' || tb AS pattern, CAST(2 AS INTEGER) AS length,
+             n_users
+      FROM pairs
+      UNION ALL
+      SELECT ta || '>' || tb || '>' || tc AS pattern,
+             CAST(3 AS INTEGER) AS length, n_users
+      FROM triples
+    )
+    SELECT pattern, length, n_users,
+           ROUND(n_users * 100.0 / tot.nu, 2) AS support_pct
+    FROM unioned CROSS JOIN tot
+    WHERE n_users * 100 >= {MIN_SUPPORT_PCT} * tot.nu
+    """
+
+
+@register("seq_pattern_mining", _seq_oracle())
+def seq_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ordered event-type subsequences of length 2 and 3 (PrefixSpan-style support mining over per-user position ranks, >=30% user support)."""
+    t = load_tables(spark, sf_dir)
+    ow = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    occ = t["events"].select(
+        "user_id",
+        "event_type",
+        F.row_number().over(ow).cast("long").alias("pos"),
+    )
+    agg = occ.groupBy("user_id", "event_type").agg(
+        F.min("pos").alias("minp"), F.max("pos").alias("maxp")
+    )
+    tot = occ.agg(
+        F.count_distinct("user_id").cast("long").alias("nu")
+    )
+    a = agg.select(
+        "user_id", F.col("event_type").alias("ta"), F.col("minp").alias("aminp")
+    )
+    b = agg.select(
+        "user_id", F.col("event_type").alias("tb"), F.col("maxp").alias("bmaxp")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("aminp") < F.col("bmaxp"))
+        .groupBy("ta", "tb")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.concat_ws(">", "ta", "tb").alias("pattern"),
+            F.lit(2).alias("length"),
+            "n_users",
+        )
+    )
+    o = occ.select(
+        "user_id", F.col("event_type").alias("tb"), F.col("pos").alias("bpos")
+    )
+    c = agg.select(
+        "user_id", F.col("event_type").alias("tc"), F.col("maxp").alias("cmaxp")
+    )
+    triples = (
+        a.join(o, "user_id")
+        .where(F.col("bpos") > F.col("aminp"))
+        .join(c, "user_id")
+        .where(F.col("cmaxp") > F.col("bpos"))
+        .groupBy("ta", "tb", "tc")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.concat_ws(">", "ta", "tb", "tc").alias("pattern"),
+            F.lit(3).alias("length"),
+            "n_users",
+        )
+    )
+    unioned = pairs.unionByName(triples).crossJoin(F.broadcast(tot))
+    return unioned.where(
+        F.col("n_users") * 100 >= MIN_SUPPORT_PCT * F.col("nu")
+    ).select(
+        "pattern",
+        "length",
+        "n_users",
+        F.round(F.col("n_users") * 100.0 / F.col("nu"), 2).alias(
+            "support_pct"
+        ),
+    )

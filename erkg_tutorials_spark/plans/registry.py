@@ -11,7 +11,9 @@ from erkg_tutorials_spark.plans import (
     coverage,
     coverage2,
     eventsq,
+    eventsq2,
     graphq,
+    graphq2,
     lakeops,
     lifecycle,
     linkingq,
@@ -28,6 +30,7 @@ from erkg_tutorials_spark.plans import (
     temporal,
     textq,
     vectorq,
+    vectorq2,
 )
 
 _MODULES = (
@@ -41,12 +44,15 @@ _MODULES = (
     llmops2,
     ragops,
     graphq,
+    graphq2,
     lifecycle,
     linkingq,
     mediaq,
     textq,
     vectorq,
+    vectorq2,
     eventsq,
+    eventsq2,
     streamq,
     temporal,
     analytics,
