@@ -49,6 +49,11 @@ def luby_mis(edges_sym: DataFrame, rounds: int = 6) -> DataFrame:
     act = chain(pri.select("id"))
     out: DataFrame | None = None
     for r in range(rounds):
+        # converged: nothing active means every later round selects
+        # nothing — identical output to the oracle's full unrolling
+        # (its remaining sel CTEs are empty), without the jobs
+        if act.isEmpty():
+            break
         a_src = F.broadcast(act.select(F.col("id").alias("src")))
         a_dst = F.broadcast(act.select(F.col("id").alias("dst")))
         p_dst = F.broadcast(
@@ -80,7 +85,8 @@ def luby_mis(edges_sym: DataFrame, rounds: int = 6) -> DataFrame:
         act = chain(
             act.join(sel, "id", "left_anti").join(rem, "id", "left_anti")
         )
-    assert out is not None
+    if out is None:  # vertexless input: empty set, same schema
+        out = pri.select("id").limit(0).withColumn("round", F.lit(0))
     return out
 
 

@@ -78,6 +78,11 @@ def boruvka_forest(
         # the chosen-edge table is O(#components) — checkpoint it once,
         # it feeds both the pick output and the parent-pointer merge
         ch = ch.localCheckpoint(eager=True)
+        # converged: no component has an outgoing edge, so every later
+        # phase is a no-op — identical output to the oracle's full
+        # unrolling (its remaining pk CTEs are empty), without the jobs
+        if ch.isEmpty():
+            break
         pk = (
             ch.select("ea", "eb", "w")
             .distinct()
@@ -123,7 +128,10 @@ def boruvka_forest(
                 F.broadcast(p.select(F.col("c").alias("comp"), "p")), "comp"
             ).select("id", F.col("p").alias("comp"))
         )
-    assert picked is not None
+    if picked is None:  # edgeless input: empty forest, same schema
+        picked = (
+            e.select("ea", "eb", "w").limit(0).withColumn("round", F.lit(0))
+        )
     return picked.select(
         F.col("ea").alias("edge_a"),
         F.col("eb").alias("edge_b"),

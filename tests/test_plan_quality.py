@@ -71,6 +71,12 @@ class TestNoPythonInHotPath:
         "multimodal_decode",
         "multimodal_frame_sample",
         "multimodal_resize",
+        # perceptual hashing decodes binary image payloads — the Arrow
+        # batch boundary is the codec itself, same tier as
+        # multimodal_decode; everything after the 64-bit signatures
+        # (banding, Hamming verify, clustering) is JVM-side
+        "dedup_image_phash",
+        "dedup_image_phash_pairs",
         # Misra-Gries candidate pass: bounded O(K) state per partition
         # is the point — a JVM groupBy would shuffle every distinct key.
         "heavy_hitters_users",
@@ -371,3 +377,48 @@ class TestR8Plans:
         plan = plan_of(QUERIES["e1_senzing_lifecycle"](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestR9Plans:
+    def test_mst_final_output_no_cartesian_or_python(self, spark):
+        """The Borůvka forest's visible plan (union of per-phase picks
+        over checkpointed choice tables) must stay JVM-only with no
+        cartesian product; the in-round label broadcasts are asserted
+        by the round-time measurements in SCALING.md."""
+        plan = plan_of(QUERIES["g_mst_forest"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_mis_final_output_no_cartesian_or_python(self, spark):
+        plan = plan_of(QUERIES["g_mis_luby"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_cusum_two_windows_one_shuffle_family(self, spark):
+        """CUSUM = groupBy(type, day) + per-type stats broadcast + two
+        ordered windows — everything shuffles on event_type-rooted
+        keys; the per-type stats table must broadcast, not shuffle the
+        daily series a second time."""
+        plan = plan_of(QUERIES["events_cusum_changepoint"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_seq_patterns_total_broadcast(self, spark):
+        """The 1-row total-users table must broadcast into the support
+        filter (BroadcastNestedLoopJoin over a single row), and the
+        pair/triple joins must be hash joins on user_id, never a
+        cartesian."""
+        plan = plan_of(QUERIES["seq_pattern_mining"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+
+    def test_kcenter_selected_centers_broadcast(self, spark):
+        """Every k-center step broadcasts ONE vector onto the corpus
+        (BroadcastNestedLoopJoin of a 1-row frame); the corpus side
+        never shuffles."""
+        plan = plan_of(QUERIES["coreset_kcenter"](spark, SF_DIR))
+        assert "Exchange hashpartitioning" not in plan, plan
+
+    def test_ndcg_gt_join_is_hash_on_query_and_neighbor(self, spark):
+        plan = plan_of(QUERIES["retrieval_ndcg_eval"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
