@@ -323,3 +323,112 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return media.mapInPandas(sample, schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio tier (r9): REAL RIFF/WAV encode → decode round-trip, pure
+# stdlib (wave + struct) + numpy PCM vectorization — the first
+# non-stub audio codec path. The synth writes genuine 16-bit mono PCM
+# WAV containers; the analyzer re-parses them with the stdlib reader
+# and extracts exact-integer features, so the oracle (which recomputes
+# the features straight from the sample formula) proves the
+# encode→container→decode cycle is lossless.
+# ---------------------------------------------------------------------------
+AUDIO_SAMPLE_RATE = 8000
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("max_frame_energy", LongType()),
+    ]
+)
+
+
+def synth_wav_payloads(ids: DataFrame) -> DataFrame:
+    """(media_id) → (media_id, payload): a real WAV container per id.
+
+    Sample i of media m is the deterministic 16-bit integer
+    ``((m*31 + i*17) % 65536) - 32768``; n_samples = 256 + (m % 128)*2.
+    Executor-side via mapInPandas — payload bytes never touch the
+    driver.
+    """
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for m in pdf["media_id"]:
+                n = 256 + (int(m) % 128) * 2
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(m) * 31 + i * 17) % 65536) - 32768
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(AUDIO_SAMPLE_RATE)
+                    w.writeframes(s.astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.mapInPandas(
+        synth,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def audio_features(media: DataFrame, frame: int = 64) -> DataFrame:
+    """Exact-integer PCM features from WAV payloads: sample count and
+    rate from the container header, energy (Σs²), peak |s|, zero
+    crossings (sign(0) counts as positive), and the max energy over
+    non-overlapping ``frame``-sample frames. All BIGINT — no float in
+    the pipeline, so the SQL oracle hash-matches bit for bit."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+            for m, payload in zip(pdf["media_id"], pdf["payload"]):
+                with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    pcm = w.readframes(n)
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                neg = s < 0
+                n_frames = n // frame
+                fe = (
+                    (s[: n_frames * frame] ** 2)
+                    .reshape(n_frames, frame)
+                    .sum(axis=1)
+                    if n_frames
+                    else np.zeros(1, dtype=np.int64)
+                )
+                out["media_id"].append(int(m))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["sum_sq"].append(int((s * s).sum()))
+                out["peak_abs"].append(int(np.abs(s).max()) if n else 0)
+                out["zero_crossings"].append(
+                    int((neg[:-1] != neg[1:]).sum())
+                )
+                out["max_frame_energy"].append(int(fe.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)

@@ -212,3 +212,68 @@ def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(
         planted_media(spark, sf_dir), max_hamming=PHASH_MAX_HAMMING
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio features (r9): a REAL WAV encode → container → decode cycle on
+# the executors (multimodal/media.py audio tier). The oracle never
+# sees a WAV byte — it recomputes the features straight from the
+# deterministic sample formula — so a hash match proves the stdlib
+# round-trip through the RIFF container is lossless, not just that two
+# engines agree on arithmetic. All features are exact BIGINTs.
+# ---------------------------------------------------------------------------
+_AUDIO_ORACLE = """
+    WITH ids AS MATERIALIZED (
+      SELECT doc_id AS media_id,
+             CAST(256 + (doc_id % 128) * 2 AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS MATERIALIZED (
+      SELECT media_id, n, i,
+             ((media_id * 31 + i * 17) % 65536) - 32768 AS sv
+      FROM (SELECT media_id, n, UNNEST(range(n)) AS i FROM ids)
+    ),
+    feat AS (
+      SELECT media_id,
+             CAST(MAX(n) AS BIGINT) AS n_samples,
+             CAST(SUM(sv * sv) AS BIGINT) AS sum_sq,
+             CAST(MAX(ABS(sv)) AS BIGINT) AS peak_abs
+      FROM s GROUP BY media_id
+    ),
+    zc AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN (sv < 0) <> (nxt < 0) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS zero_crossings
+      FROM (SELECT media_id, sv,
+                   LEAD(sv) OVER (PARTITION BY media_id ORDER BY i) AS nxt
+            FROM s)
+      WHERE nxt IS NOT NULL
+      GROUP BY media_id
+    ),
+    fr AS (
+      SELECT media_id, CAST(MAX(fe) AS BIGINT) AS max_frame_energy
+      FROM (
+        SELECT media_id, i // 64 AS f, CAST(SUM(sv * sv) AS BIGINT) AS fe
+        FROM s WHERE i < (n // 64) * 64
+        GROUP BY 1, 2
+      ) GROUP BY media_id
+    )
+    SELECT f.media_id, CAST(8000 AS INTEGER) AS sample_rate,
+           f.n_samples, f.sum_sq, f.peak_abs,
+           zc.zero_crossings, fr.max_frame_energy
+    FROM feat f JOIN zc USING (media_id) JOIN fr USING (media_id)
+"""
+
+
+@register("multimodal_audio_features", _AUDIO_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PCM audio features (energy, peak, zero crossings, max frame energy) via a real stdlib WAV encode->decode round-trip in Arrow mapInPandas."""
+    from erkg_tutorials_spark.multimodal.media import (
+        audio_features,
+        synth_wav_payloads,
+    )
+
+    ids = load_tables(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("media_id")
+    )
+    return audio_features(synth_wav_payloads(ids))

@@ -77,6 +77,9 @@ class TestNoPythonInHotPath:
         # (banding, Hamming verify, clustering) is JVM-side
         "dedup_image_phash",
         "dedup_image_phash_pairs",
+        # real WAV encode→decode round-trip: both Arrow passes ARE the
+        # audio codec tier (multimodal/media.py synth + analyzer)
+        "multimodal_audio_features",
         # Misra-Gries candidate pass: bounded O(K) state per partition
         # is the point — a JVM groupBy would shuffle every distinct key.
         "heavy_hitters_users",
