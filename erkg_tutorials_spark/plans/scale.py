@@ -548,3 +548,134 @@ def pyds_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout keys — the locality-better successor to the
+# Z-order key above (the layout Databricks liquid clustering moved to:
+# a Hilbert walk never jumps across the space the way Morton's
+# bit-interleave does at quadrant seams, so per-file min/max extents
+# are tighter and data skipping prunes more). The classic xy2d bit
+# loop is unrolled into HBITS levels of pure CASE/&/arithmetic — one
+# dialect-free SQL string drives BOTH engines, so parity is by
+# construction ((3·rx) XOR ry is enumerated as a CASE, no dialect
+# bit-xor needed). Same output shape as zorder_clustering for a
+# like-for-like extent comparison (tests/test_scale_patterns.py
+# asserts Hilbert's mean extent beats Morton's on the same bucketing).
+# ---------------------------------------------------------------------------
+HBITS = 8
+
+
+def _hilbert_level_exprs(s: int, n1: int) -> tuple[str, str, str]:
+    """(new_x, new_y, d_increment) expressions for one xy2d level,
+    referencing columns ``x``, ``y``; shared Spark/DuckDB syntax."""
+    rx1 = f"(x & {s}) > 0"
+    ry1 = f"(y & {s}) > 0"
+    d_inc = f"""{s * s} * (CASE
+      WHEN NOT ({rx1}) AND NOT ({ry1}) THEN 0
+      WHEN NOT ({rx1}) THEN 1
+      WHEN {ry1} THEN 2
+      ELSE 3 END)"""
+    new_x = f"""CASE WHEN {ry1} THEN x
+      WHEN {rx1} THEN {n1} - y
+      ELSE y END"""
+    new_y = f"""CASE WHEN {ry1} THEN y
+      WHEN {rx1} THEN {n1} - x
+      ELSE x END"""
+    return new_x, new_y, d_inc
+
+
+def _hilbert_ctes(base: str) -> str:
+    """CTE chain h0..h{HBITS} computing the Hilbert index d of the
+    bucketed (x, y) in ``base`` (which must expose o_orderkey, bx, by,
+    x, y)."""
+    n1 = (1 << HBITS) - 1
+    parts = [f"h0 AS (SELECT o_orderkey, bx, by, x, y, 0 AS d FROM {base})"]
+    for lvl in range(HBITS):
+        s = 1 << (HBITS - 1 - lvl)
+        nx, ny, dinc = _hilbert_level_exprs(s, n1)
+        parts.append(f"""
+    h{lvl + 1} AS (
+      SELECT o_orderkey, bx, by,
+             {nx} AS x,
+             {ny} AS y,
+             d + {dinc} AS d
+      FROM h{lvl}
+    )""")
+    return ",\n    ".join(parts)
+
+
+def hilbert_xy2d(x: int, y: int, bits: int = HBITS) -> int:
+    """Pure-Python reference xy2d (test helper)."""
+    n1 = (1 << bits) - 1
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n1 - x, n1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+@register(
+    "hilbert_clustering",
+    f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS bx,
+             datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS by,
+             o_custkey % 256 AS x,
+             datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS y
+      FROM orders
+    ),
+    {_hilbert_ctes('b')}
+    SELECT CAST(d >> 6 AS BIGINT) AS hrange,
+           COUNT(*) AS n_rows,
+           MIN(bx) AS min_x, MAX(bx) AS max_x,
+           MIN(by) AS min_y, MAX(by) AS max_y
+    FROM h{HBITS} GROUP BY 1
+    """,
+)
+def hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same two bucketed columns as zorder_clustering, with per-bucket min/max pruning extents."""
+    n1 = (1 << HBITS) - 1
+    o = load_tables(spark, sf_dir)["orders"]
+    cur = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("bx"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256).alias(
+            "by"
+        ),
+    ).select(
+        "o_orderkey",
+        "bx",
+        "by",
+        F.col("bx").alias("x"),
+        F.col("by").alias("y"),
+        F.lit(0).alias("d"),
+    )
+    for lvl in range(HBITS):
+        s = 1 << (HBITS - 1 - lvl)
+        nx, ny, dinc = _hilbert_level_exprs(s, n1)
+        cur = cur.select(
+            "o_orderkey",
+            "bx",
+            "by",
+            F.expr(nx).alias("x"),
+            F.expr(ny).alias("y"),
+            F.expr(f"d + {dinc}").alias("d"),
+        )
+    return cur.groupBy(
+        F.shiftright(F.col("d"), 6).cast("long").alias("hrange")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("bx").alias("min_x"),
+        F.max("bx").alias("max_x"),
+        F.min("by").alias("min_y"),
+        F.max("by").alias("max_y"),
+    )
