@@ -289,6 +289,23 @@ HEADLINE = [
     # round-9: eval-contamination audit — near-dup pairs crossing the
     # md5-coin train/val/test split
     "split_leakage_audit",
+    # round-9 wave 2: spanning-forest + independent-set GDS verbs
+    "g_mst_forest",
+    "g_mis_luby",
+    "g_pagerank_incremental",
+    # round-9 wave 2: CUSUM changepoints and PrefixSpan-style patterns
+    "events_cusum_changepoint",
+    "seq_pattern_mining",
+    # round-9 wave 2: curation coreset + retrieval-quality eval
+    "coreset_kcenter",
+    "retrieval_ndcg_eval",
+    # round-9 wave 2: real WAV round-trip audio features
+    "multimodal_audio_features",
+    # round-9 wave 2: Hilbert layout key (liquid-clustering shape)
+    "hilbert_clustering",
+    # round-9 wave 2: warm-start PageRank maintenance (6 base + 3
+    # delta iterations; the per-batch cost is phase 2 only)
+    "g_pagerank_incremental",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -321,6 +338,9 @@ GRAPH_QUERIES = (
     "g_eigenvector_top20",
     "g_louvain_weighted_l1",
     "g_node_similarity",
+    "g_mst_forest",
+    "g_mis_luby",
+    "g_pagerank_incremental",
 )
 
 

@@ -48,6 +48,7 @@ def pagerank(
     broadcast_ranks: bool | None = None,
     tune_loop_confs: bool = True,
     pre: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (``[namespace,] id, rank``); ranks sum to 1 per namespace.
 
@@ -112,7 +113,28 @@ def pagerank(
             )
             .cache()
         )
-    ranks = verts.select(*ns, "id", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
+    if init_ranks is not None:
+        # warm start (incremental maintenance): carry a prior rank
+        # vector into the new graph; vertices the prior never saw
+        # start at the uniform mass. The damped iteration contracts
+        # toward the new fixpoint from ANY start — a warm one just
+        # needs fewer rounds per maintenance batch.
+        ranks = verts.join(
+            init_ranks.select(
+                *ns, "id", F.col("rank").alias("rank0")
+            ),
+            ns + ["id"],
+            "left",
+        ).select(
+            *ns,
+            "id",
+            "n",
+            F.coalesce("rank0", F.lit(1.0) / F.col("n")).alias("rank"),
+        )
+    else:
+        ranks = verts.select(
+            *ns, "id", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+        )
 
     # global graphs: |ranks| = |V| ≪ |E| — broadcasting the rank vector
     # makes each iteration's rank⋈edges a map-side join over the cached
