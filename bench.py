@@ -293,6 +293,7 @@ HEADLINE = [
     "g_mst_forest",
     "g_mis_luby",
     "g_pagerank_incremental",
+    "g_diameter_bound",
     # round-9 wave 2: CUSUM changepoints and PrefixSpan-style patterns
     "events_cusum_changepoint",
     "seq_pattern_mining",
@@ -306,6 +307,9 @@ HEADLINE = [
     # round-9 wave 2: warm-start PageRank maintenance (6 base + 3
     # delta iterations; the per-batch cost is phase 2 only)
     "g_pagerank_incremental",
+    # round-9 wave 2: Benford DQ audit + double-BFS diameter bound
+    "dq_benford_digits",
+    "g_diameter_bound",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -341,6 +345,7 @@ GRAPH_QUERIES = (
     "g_mst_forest",
     "g_mis_luby",
     "g_pagerank_incremental",
+    "g_diameter_bound",
 )
 
 

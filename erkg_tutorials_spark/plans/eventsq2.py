@@ -264,3 +264,90 @@ def seq_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic data-quality screen for
+# fabricated or truncated numeric feeds (naturally-grown monetary
+# amounts follow log10(1+1/d); synthetic uniform ones do not). The
+# digit is extracted from exact integer cents via string length (no
+# float log on data), and the Benford expectations are inlined
+# integer ppm constants, so the whole audit is exact arithmetic.
+# One groupBy on a 9-value key; at 100 TB the map-side combine
+# reduces everything before one tiny exchange.
+# ---------------------------------------------------------------------------
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_oracle() -> str:
+    vals = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())
+    return f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+    ),
+    digits AS (
+      SELECT c // CAST(POWER(10, LENGTH(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+               AS digit
+      FROM cents WHERE c > 0
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    exp_tbl(digit, expected_ppm) AS (VALUES {vals})
+    SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(ROUND(COALESCE(o.n_obs, 0) * 1000000.0 / tot.n, 0) AS BIGINT)
+             AS obs_ppm,
+           CAST(ROUND(COALESCE(o.n_obs, 0) * 1000000.0 / tot.n, 0) AS BIGINT)
+             - e.expected_ppm AS delta_ppm
+    FROM exp_tbl e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
+    """
+
+
+@register("dq_benford_digits", _benford_oracle())
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed vs expected ppm per leading digit, exact integer arithmetic end to end."""
+    t = load_tables(spark, sf_dir)
+    cents = t["orders"].select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    ).where(F.col("c") > 0)
+    digits = cents.select(
+        (
+            F.col("c")
+            / F.pow(
+                F.lit(10.0), F.length(F.col("c").cast("string")) - 1
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp_rows = [(d, p) for d, p in _BENFORD_PPM.items()]
+    exp_tbl = digits.sparkSession.createDataFrame(
+        exp_rows, "digit long, expected_ppm long"
+    )
+    joined = (
+        exp_tbl.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
+            "expected_ppm",
+            F.round(
+                F.coalesce("n_obs", F.lit(0).cast("long"))
+                * 1000000.0
+                / F.col("n"),
+                0,
+            )
+            .cast("long")
+            .alias("obs_ppm"),
+        )
+    )
+    return joined.withColumn(
+        "delta_ppm", F.col("obs_ppm") - F.col("expected_ppm")
+    )

@@ -196,3 +196,123 @@ def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Diameter lower bound via the classic double-BFS sweep: BFS from a
+# hash-picked start, then BFS from the farthest vertex found — the
+# second eccentricity is the standard tight diameter lower bound
+# (exact on trees, near-exact on most real graphs). Each BFS is a
+# min-relaxation over the cached edge table (the CC label-prop shape);
+# unreached vertices stay absent, so the bound is per-component of the
+# start vertex. Early-exit: in unweighted BFS a vertex's distance is
+# final on first assignment, so the loop stops when the reached set
+# stops growing.
+# ---------------------------------------------------------------------------
+BFS_ROUNDS = 10
+
+
+def _bfs_chain(p: str, rounds: int, init: str) -> str:
+    parts = [f"""
+    {p}d0 AS MATERIALIZED ({init})"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    {p}d{i} AS MATERIALIZED (
+      SELECT id, MIN(d) AS d FROM (
+        SELECT id, d FROM {p}d{i - 1}
+        UNION ALL
+        SELECT e.dst AS id, p.d + 1 AS d
+        FROM {p}d{i - 1} p JOIN edges e ON e.src = p.id
+      ) u GROUP BY id
+    )""")
+    return ",".join(parts)
+
+
+def _diameter_oracle() -> str:
+    R = BFS_ROUNDS
+    return (
+        _SYM_EDGES_CTE
+        + """,
+    src0 AS MATERIALIZED (
+      SELECT id FROM verts ORDER BY md5('diam:' || id), id LIMIT 1
+    ),"""
+        + _bfs_chain("a", R, "SELECT id, 0 AS d FROM src0")
+        + f""",
+    far1 AS MATERIALIZED (
+      SELECT id, d FROM ad{R} ORDER BY d DESC, id LIMIT 1
+    ),"""
+        + _bfs_chain("b", R, "SELECT id, 0 AS d FROM far1")
+        + f""",
+    far2 AS MATERIALIZED (
+      SELECT id, d FROM bd{R} ORDER BY d DESC, id LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS phase, s.id AS source,
+           f.id AS farthest, CAST(f.d AS BIGINT) AS ecc
+    FROM src0 s CROSS JOIN far1 f
+    UNION ALL
+    SELECT CAST(2 AS INTEGER) AS phase, f1.id AS source,
+           f2.id AS farthest, CAST(f2.d AS BIGINT) AS ecc
+    FROM far1 f1 CROSS JOIN far2 f2
+    """
+    )
+
+
+def _bfs(edges: DataFrame, src_1row: DataFrame, rounds: int) -> DataFrame:
+    """Min-relax BFS distances from a 1-row source frame."""
+    from pyspark.sql import functions as F
+
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
+    d = chain(src_1row.select("id", F.lit(0).alias("d")))
+    n_prev = d.count()
+    for _ in range(rounds):
+        relax = d.select(F.col("id").alias("src"), "d").join(
+            edges, "src"
+        ).select(F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
+        d = chain(
+            d.unionByName(relax).groupBy("id").agg(F.min("d").alias("d"))
+        )
+        n = d.count()
+        if n == n_prev:  # BFS layers final once the reach stops growing
+            break
+        n_prev = n
+    return d
+
+
+@register("g_diameter_bound", _diameter_oracle())
+def g_diameter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-BFS diameter lower bound of the trade graph: eccentricity from a hash-picked start, then from its farthest vertex (phase, source, farthest, ecc)."""
+    from pyspark.sql import functions as F
+
+    edges = trade_edges_sym(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    src0 = (
+        verts.orderBy(F.md5(F.concat(F.lit("diam:"), F.col("id"))), "id")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    ad = _bfs(edges, src0, BFS_ROUNDS)
+    far1 = (
+        ad.orderBy(F.desc("d"), F.asc("id")).limit(1)
+        .localCheckpoint(eager=True)
+    )
+    bd = _bfs(edges, far1.select("id"), BFS_ROUNDS)
+    far2 = bd.orderBy(F.desc("d"), F.asc("id")).limit(1)
+    p1 = src0.crossJoin(
+        far1.select(F.col("id").alias("farthest"), F.col("d").alias("ecc"))
+    ).select(
+        F.lit(1).alias("phase"),
+        F.col("id").alias("source"),
+        "farthest",
+        F.col("ecc").cast("long").alias("ecc"),
+    )
+    p2 = far1.select(F.col("id").alias("source")).crossJoin(
+        far2.select(F.col("id").alias("farthest"), F.col("d").alias("ecc"))
+    ).select(
+        F.lit(2).alias("phase"),
+        "source",
+        "farthest",
+        F.col("ecc").cast("long").alias("ecc"),
+    )
+    return p1.unionByName(p2)
