@@ -351,3 +351,205 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn(
         "delta_ppm", F.col("obs_ppm") - F.col("expected_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (moving-average STL-lite) of the
+# per-type daily count series: trend = centered 7-day moving sum
+# (only where the window is fully populated), seasonal = day-of-week
+# mean of the detrended series, remainder = what's left. Everything
+# stays in scaled integers — detrended d7 = 7·x − trend7_sum carries
+# an implicit /7, the residual carries an implicit /(7·s_cnt) — so the
+# oracle hash-matches exactly (no float MA, no float means).
+#
+# Scale: one groupBy(event_type, day) over the raw events (map-side
+# combinable), then two window passes over the tiny per-type daily
+# series and one broadcast-size (type × 7)-row seasonal join. The
+# expensive input shuffle is the same single shuffle CUSUM pays.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_decompose",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT *,
+             CAST(SUM(x) OVER w AS BIGINT) AS w_sum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, day, x,
+             CASE WHEN w_cnt = 7 THEN w_sum END AS trend7_sum,
+             CASE WHEN w_cnt = 7 THEN 7 * x - w_sum END AS d7,
+             day % 7 AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(d7) AS BIGINT) AS s_sum,
+             CAST(COUNT(d7) AS BIGINT) AS s_cnt
+      FROM det GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.day, t.x, t.trend7_sum, t.d7, t.dow,
+           s.s_sum, s.s_cnt,
+           t.d7 * s.s_cnt - s.s_sum AS resid_scaled
+    FROM det t JOIN seas s
+      ON s.event_type = t.event_type AND s.dow = t.dow
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average seasonal decomposition of per-type daily counts: centered 7-day trend sum, day-of-week seasonal mean, scaled-integer residual."""
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["events"]
+        .groupBy("event_type", F.expr("ts_sec div 86400").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-3, 3)
+    )
+    tr = d.withColumn("w_sum", F.sum("x").over(w).cast("long")).withColumn(
+        "w_cnt", F.count("*").over(w).cast("long")
+    )
+    full = F.col("w_cnt") == 7
+    det = tr.select(
+        "event_type",
+        "day",
+        "x",
+        F.when(full, F.col("w_sum")).alias("trend7_sum"),
+        F.when(full, 7 * F.col("x") - F.col("w_sum")).alias("d7"),
+        (F.col("day") % 7).alias("dow"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.sum("d7").cast("long").alias("s_sum"),
+        F.count("d7").cast("long").alias("s_cnt"),
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "x",
+        "trend7_sum",
+        "d7",
+        "dow",
+        "s_sum",
+        "s_cnt",
+        (F.col("d7") * F.col("s_cnt") - F.col("s_sum")).alias(
+            "resid_scaled"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the per-type daily count series, lags
+# 1..7 — the diagnostic that tells an ingest-monitoring pipeline
+# whether its volume series has weekly structure worth a seasonal
+# model. Exactness: with n days and total s per type, the scaled
+# deviation dev_t = n·x_t − s is a BIGINT carrying an implicit /n, so
+# num_k = Σ dev_t·dev_{t+k} and den = Σ dev_t² are exact integers and
+# the lag-k autocorrelation is num/den with the scaling cancelled.
+# Magnitude bound: |dev| ≤ n·max(x), so num ≤ days·(n·max_x)² —
+# ~3e15 even at sf100 for this series shape, inside BIGINT.
+#
+# Scale: the lag pairs come from ONE self-join of the tiny per-type
+# daily table on (event_type, 1 ≤ Δday ≤ 7) — days-per-type rows, not
+# events — so the only event-scale work is the same daily-count
+# shuffle the other monitoring verbs share.
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+
+@register(
+    "events_autocorrelation",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM d GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n * d.x - d.s AS dv
+      FROM (SELECT d.*, st.n, st.s FROM d JOIN st USING (event_type)) d
+    ),
+    den AS (
+      SELECT event_type, CAST(SUM(dv * dv) AS BIGINT) AS den_scaled
+      FROM dev GROUP BY 1
+    ),
+    num AS (
+      SELECT a.event_type, b.day - a.day AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.dv * b.dv) AS BIGINT) AS num_scaled
+      FROM dev a JOIN dev b
+        ON b.event_type = a.event_type
+       AND b.day > a.day AND b.day <= a.day + {ACF_MAX_LAG}
+      GROUP BY 1, 2
+    )
+    SELECT n.event_type, n.lag, n.n_pairs, n.num_scaled, d.den_scaled
+    FROM num n JOIN den d USING (event_type)
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer autocorrelation of per-type daily counts at lags 1..7: scaled deviation products (num_scaled/den_scaled carries the lag-k ACF)."""
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["events"]
+        .groupBy("event_type", F.expr("ts_sec div 86400").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    st = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = d.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("x") - F.col("s")).alias("dv"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den_scaled")
+    )
+    a = dev.select(
+        "event_type", F.col("day").alias("a_day"), F.col("dv").alias("a_dv")
+    )
+    b = dev.select(
+        "event_type", F.col("day").alias("b_day"), F.col("dv").alias("b_dv")
+    )
+    num = (
+        a.join(
+            b,
+            [
+                a.event_type == b.event_type,
+                b.b_day > a.a_day,
+                b.b_day <= a.a_day + ACF_MAX_LAG,
+            ],
+        )
+        .select(
+            a.event_type.alias("event_type"),
+            (F.col("b_day") - F.col("a_day")).alias("lag"),
+            (F.col("a_dv") * F.col("b_dv")).alias("prod"),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("prod").cast("long").alias("num_scaled"),
+        )
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type", "lag", "n_pairs", "num_scaled", "den_scaled"
+    )

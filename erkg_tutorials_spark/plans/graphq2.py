@@ -8,6 +8,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from erkg_tutorials_spark.graph.coloring import (
+    greedy_coloring,
+    greedy_coloring_sql,
+)
 from erkg_tutorials_spark.graph.mis import luby_mis, luby_mis_sql
 from erkg_tutorials_spark.graph.mst import boruvka_forest, boruvka_forest_sql
 from erkg_tutorials_spark.plans.graphq import (
@@ -316,3 +320,27 @@ def g_diameter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ecc").cast("long").alias("ecc"),
     )
     return p1.unionByName(p2)
+
+
+# ---------------------------------------------------------------------------
+# Greedy graph coloring: one (near-)maximal independent set per color
+# over the shrinking uncolored pool — Luby-layered, per-color salted
+# priorities. See graph/coloring.py for semantics and the 100 TB notes.
+# ---------------------------------------------------------------------------
+COLORING_COLORS = 5
+COLORING_ROUNDS = 4
+
+
+@register(
+    "g_greedy_coloring",
+    greedy_coloring_sql(
+        _SYM_EDGES_CTE, colors=COLORING_COLORS, rounds=COLORING_ROUNDS
+    ),
+)
+def g_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy distributed coloring of the trade graph via layered hash-derandomized Luby MIS rounds (id, color)."""
+    return greedy_coloring(
+        trade_edges_sym(spark, sf_dir),
+        colors=COLORING_COLORS,
+        rounds=COLORING_ROUNDS,
+    )

@@ -528,3 +528,189 @@ def er_resolve_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(is_c, key)).alias("golden_custkey"),
         F.min(F.when(~is_c, key)).alias("golden_suppkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality audit for the record-linkage pipeline (Christen
+# 2012's standard metrics, public textbook): pairs completeness
+# PC = |M ∩ C| / |M| (how many TRUE matches the blocking keeps) and
+# reduction ratio RR = 1 − |C| / (|A|·|B|) (how much of the cross
+# product it prunes), reported for the production FS blocking scheme
+# (nation, ent_num % FS_BLOCK_MOD) next to a plausible-but-weak
+# alternative (nation, $2000 balance band). The ground truth on this
+# fixture is exact record-number equality — the signal the FS scorer
+# is built around (fs_record_linkage above).
+#
+# Scale: |C| is NEVER materialized — per-block side counts join on
+# the block key (supplier side is dim-sized, broadcast) and Σ nₐ·n_b
+# gives the candidate count; the caught-matches join is keyed on the
+# record number, so the work tracks |M|, not |A|×|B|.
+# ---------------------------------------------------------------------------
+BQ_BAND_CENTS = 200_000
+
+
+def _bq_oracle() -> str:
+    return f"""
+    WITH a AS (
+      SELECT c_custkey,
+             CAST(substring(c_name, position('#' IN c_name) + 1, 9)
+                  AS BIGINT) AS num,
+             c_nationkey AS nk,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer
+    ),
+    b AS (
+      SELECT s_suppkey,
+             CAST(substring(s_name, position('#' IN s_name) + 1, 9)
+                  AS BIGINT) AS num,
+             s_nationkey AS nk,
+             CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM supplier
+    ),
+    tot AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a)
+           * (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS total_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM a JOIN b ON a.num = b.num) AS n_true
+    ),
+    akeys AS (
+      SELECT 'nk_mod' AS scheme, nk, num % {FS_BLOCK_MOD} AS k2,
+             CAST(COUNT(*) AS BIGINT) AS na
+      FROM a GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT 'nk_balband', nk, cents // {BQ_BAND_CENTS},
+             CAST(COUNT(*) AS BIGINT)
+      FROM a GROUP BY 1, 2, 3
+    ),
+    bkeys AS (
+      SELECT 'nk_mod' AS scheme, nk, num % {FS_BLOCK_MOD} AS k2,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM b GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT 'nk_balband', nk, cents // {BQ_BAND_CENTS},
+             CAST(COUNT(*) AS BIGINT)
+      FROM b GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT ak.scheme, CAST(SUM(ak.na * bk.nb) AS BIGINT) AS n_candidates
+      FROM akeys ak JOIN bkeys bk
+        ON bk.scheme = ak.scheme AND bk.nk = ak.nk AND bk.k2 = ak.k2
+      GROUP BY 1
+    ),
+    caught AS (
+      SELECT s.scheme, CAST(COUNT(*) AS BIGINT) AS n_caught
+      FROM (
+        SELECT 'nk_mod' AS scheme, a.num
+        FROM a JOIN b ON a.num = b.num
+         AND a.nk = b.nk AND a.num % {FS_BLOCK_MOD} = b.num % {FS_BLOCK_MOD}
+        UNION ALL
+        SELECT 'nk_balband', a.num
+        FROM a JOIN b ON a.num = b.num
+         AND a.nk = b.nk
+         AND a.cents // {BQ_BAND_CENTS} = b.cents // {BQ_BAND_CENTS}
+      ) s GROUP BY 1
+    )
+    SELECT c.scheme, c.n_candidates,
+           t.n_true, COALESCE(g.n_caught, 0) AS n_caught, t.total_pairs,
+           CAST(ROUND(COALESCE(g.n_caught, 0) * 1000000.0 / t.n_true, 0)
+                AS BIGINT) AS pc_ppm,
+           CAST(ROUND((t.total_pairs - c.n_candidates) * 1000000.0
+                / t.total_pairs, 0) AS BIGINT) AS rr_ppm
+    FROM cand c LEFT JOIN caught g ON g.scheme = c.scheme CROSS JOIN tot t
+    """
+
+
+@register("er_blocking_quality", _bq_oracle())
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for record linkage: pairs completeness and reduction ratio (ppm) of the FS blocking scheme vs a balance-band alternative."""
+    t = load_tables(spark, sf_dir)
+
+    def side(df, name, nk, bal):
+        return df.select(
+            F.substring(F.substring_index(F.col(name), "#", -1), 1, 9)
+            .cast("bigint")
+            .alias("num"),
+            F.col(nk).alias("nk"),
+            F.round(F.col(bal) * 100, 0).cast("bigint").alias("cents"),
+        )
+
+    a = side(t["customer"], "c_name", "c_nationkey", "c_acctbal")
+    b = side(t["supplier"], "s_name", "s_nationkey", "s_acctbal")
+    # truncation toward zero matches DuckDB `//` on the possibly-
+    # negative band key — same device as the k-anonymity gate
+    band = lambda c: (c / F.lit(BQ_BAND_CENTS)).cast("bigint")  # noqa: E731
+
+    def keys(df, tag):
+        base = df.select(
+            "nk",
+            (F.col("num") % FS_BLOCK_MOD).alias("mod_k"),
+            band(F.col("cents")).alias("band_k"),
+        )
+        m = base.groupBy("nk", F.col("mod_k").alias("k2")).agg(
+            F.count("*").cast("long").alias(tag)
+        ).withColumn("scheme", F.lit("nk_mod"))
+        v = base.groupBy("nk", F.col("band_k").alias("k2")).agg(
+            F.count("*").cast("long").alias(tag)
+        ).withColumn("scheme", F.lit("nk_balband"))
+        return m.unionByName(v)
+
+    cand = (
+        keys(a, "na")
+        .join(F.broadcast(keys(b, "nb")), ["scheme", "nk", "k2"])
+        .groupBy("scheme")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long")
+             .alias("n_candidates"))
+    )
+    tot = (
+        a.agg(F.count("*").cast("long").alias("n_a"))
+        .crossJoin(b.agg(F.count("*").cast("long").alias("n_b")))
+        .select((F.col("n_a") * F.col("n_b")).alias("total_pairs"))
+    )
+    # ground truth: exact record-number equality (supplier side is
+    # dim-sized -> broadcast hash join keyed on num)
+    m = a.select(
+        F.col("num").alias("anum"), F.col("nk").alias("ank"),
+        F.col("cents").alias("acents"),
+    ).join(
+        F.broadcast(
+            b.select(
+                F.col("num").alias("bnum"), F.col("nk").alias("bnk"),
+                F.col("cents").alias("bcents"),
+            )
+        ),
+        F.col("anum") == F.col("bnum"),
+    )
+    n_true = m.agg(F.count("*").cast("long").alias("n_true"))
+    c_mod = m.where(
+        (F.col("ank") == F.col("bnk"))
+        & (F.col("anum") % FS_BLOCK_MOD == F.col("bnum") % FS_BLOCK_MOD)
+    ).agg(F.count("*").cast("long").alias("n_caught")).withColumn(
+        "scheme", F.lit("nk_mod")
+    )
+    c_band = m.where(
+        (F.col("ank") == F.col("bnk"))
+        & (band(F.col("acents")) == band(F.col("bcents")))
+    ).agg(F.count("*").cast("long").alias("n_caught")).withColumn(
+        "scheme", F.lit("nk_balband")
+    )
+    caught = c_mod.unionByName(c_band)
+    return (
+        cand.join(F.broadcast(caught), "scheme", "left")
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "scheme",
+            "n_candidates",
+            "n_true",
+            F.coalesce("n_caught", F.lit(0).cast("long")).alias("n_caught"),
+            "total_pairs",
+            F.round(
+                F.coalesce("n_caught", F.lit(0).cast("long"))
+                * 1000000.0 / F.col("n_true"), 0,
+            ).cast("long").alias("pc_ppm"),
+            F.round(
+                (F.col("total_pairs") - F.col("n_candidates"))
+                * 1000000.0 / F.col("total_pairs"), 0,
+            ).cast("long").alias("rr_ppm"),
+        )
+    )

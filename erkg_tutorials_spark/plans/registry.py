@@ -8,6 +8,7 @@ from erkg_tutorials_spark.plans import (
     analytics,
     analytics2,
     analytics3,
+    privacyq,
     coverage,
     coverage2,
     eventsq,
@@ -20,6 +21,7 @@ from erkg_tutorials_spark.plans import (
     llmops,
     llmops2,
     mediaq,
+    privacyq,
     ragops,
     relational,
     relational2,
@@ -58,6 +60,7 @@ _MODULES = (
     analytics,
     analytics2,
     analytics3,
+    privacyq,
     coverage,
     coverage2,
 )

@@ -1014,3 +1014,119 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return counts.where(F.col("n_words") > 0).withColumn("flesch", flesch)
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture divergence: how far each source domain's unigram
+# distribution sits from the whole corpus — the diagnostic a data-
+# mixing pipeline (DoReMi / DSIR-style domain weighting, public
+# papers) reads before reweighting sources. The metric is the χ²
+# divergence Σ_w (p_w − q_w)²/q_w (p = domain, q = corpus), which —
+# unlike KL — needs no logarithm, so it stays in exact integers:
+# probabilities are ppm-rounded BIGINTs (the repo's standard
+# ROUND(x·10⁶/N) device) and each term is integer division by the
+# q_ppm floor. Tokens the domain never emits contribute q_w exactly,
+# folded in WITHOUT materializing a vocab×domain grid:
+#   χ²(d) = Σ_{w∈d} (p−q)²//max(q,1) + (Q_tot − Σ_{w∈d} q).
+#
+# Scale: token-keyed groupBys (map-side combinable) + one broadcast
+# of the per-domain totals; the corpus vocab table joins the domain
+# counts on the token key — no cross product anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_domain_divergence",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    corpus AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corpus),
+    vocab AS (
+      SELECT w, c,
+             CAST(ROUND(c * 1000000.0 / nn.n, 0) AS BIGINT) AS q_ppm
+      FROM corpus CROSS JOIN nn
+    ),
+    qtot AS (SELECT CAST(SUM(q_ppm) AS BIGINT) AS q_total FROM vocab),
+    dom AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cd
+      FROM toks GROUP BY source, w
+    ),
+    dn AS (
+      SELECT source, CAST(SUM(cd) AS BIGINT) AS nd FROM dom GROUP BY source
+    ),
+    terms AS (
+      SELECT d.source,
+             CAST(ROUND(d.cd * 1000000.0 / dn.nd, 0) AS BIGINT) AS p_ppm,
+             v.q_ppm
+      FROM dom d JOIN dn USING (source) JOIN vocab v ON v.w = d.w
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS vocab_overlap,
+             CAST(SUM((p_ppm - q_ppm) * (p_ppm - q_ppm)
+                      // GREATEST(q_ppm, 1)) AS BIGINT) AS chi2_present,
+             CAST(SUM(q_ppm) AS BIGINT) AS q_present
+      FROM terms GROUP BY source
+    )
+    SELECT a.source, dn.nd AS n_tokens, a.vocab_overlap,
+           a.chi2_present + (q.q_total - a.q_present) AS chi2_scaled_ppm
+    FROM agg a JOIN dn ON dn.source = a.source CROSS JOIN qtot q
+    """,
+)
+def corpus_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared unigram divergence of each source domain vs the whole corpus (exact ppm integers; absent-token mass folded in without a vocab grid)."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    corpus = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    nn = corpus.agg(F.sum("c").cast("long").alias("n"))
+    vocab = corpus.crossJoin(F.broadcast(nn)).select(
+        "w",
+        F.round(F.col("c") * 1000000.0 / F.col("n"), 0)
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    qtot = vocab.agg(F.sum("q_ppm").cast("long").alias("q_total"))
+    dom = toks.groupBy("source", "w").agg(
+        F.count("*").cast("long").alias("cd")
+    )
+    dn = dom.groupBy("source").agg(F.sum("cd").cast("long").alias("nd"))
+    terms = (
+        dom.join(F.broadcast(dn), "source")
+        .join(vocab, "w")
+        .select(
+            "source",
+            F.round(F.col("cd") * 1000000.0 / F.col("nd"), 0)
+            .cast("long")
+            .alias("p_ppm"),
+            "q_ppm",
+        )
+    )
+    diff = F.col("p_ppm") - F.col("q_ppm")
+    agg = terms.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab_overlap"),
+        F.sum(
+            (diff * diff / F.greatest(F.col("q_ppm"), F.lit(1)))
+            .cast("long")
+        ).cast("long").alias("chi2_present"),
+        F.sum("q_ppm").cast("long").alias("q_present"),
+    )
+    return (
+        agg.join(F.broadcast(dn), "source")
+        .crossJoin(F.broadcast(qtot))
+        .select(
+            "source",
+            F.col("nd").alias("n_tokens"),
+            "vocab_overlap",
+            (
+                F.col("chi2_present")
+                + (F.col("q_total") - F.col("q_present"))
+            ).alias("chi2_scaled_ppm"),
+        )
+    )

@@ -321,3 +321,121 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_micro") * 1.0 / F.lit(_IDCG_MICRO), 6
         ).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (the in-batch-
+# negatives upgrade every retrieval/embedding trainer runs — DPR,
+# Karpukhin et al. 2020; sentence-transformers' mine_hard_negatives —
+# public work): for each query vector, the top-k most cosine-similar
+# vectors with a DIFFERENT label are its hard negatives, reported
+# next to the query's best same-label (positive) cosine so the
+# pos−neg margin is visible per pair. Negatives with a positive or
+# tiny margin are the training signal; large margins are easy
+# negatives a curriculum can drop.
+#
+# Scale: identical shape to knn_cosine_bruteforce — broadcast the
+# small query set against the partitioned corpus, fold dot products
+# JVM-side (zip_with + aggregate, in-order so both engines agree),
+# per-query top-k via window over the tiny scored slice. The label
+# filter prunes BEFORE ranking, so negatives-per-query work tracks
+# the corpus scan it already pays. 6dp rounding before ranking keeps
+# ordering engine-stable (similarity/knn.py's device).
+# ---------------------------------------------------------------------------
+HARDNEG_QUERIES = 10
+HARDNEG_K = 5
+
+
+@register(
+    "hardneg_mining",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS vn
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, emb AS qv, vn AS qn
+      FROM v WHERE vec_id < {HARDNEG_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, q.qlabel, v.vec_id AS neighbor_id,
+             v.label AS nlabel,
+             ROUND(list_dot_product(v.emb, q.qv) / (v.vn * q.qn), 6)
+               AS cosine
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> q.query_id
+    ),
+    best_pos AS (
+      SELECT query_id, MAX(cosine) AS best_pos_cosine
+      FROM scored WHERE nlabel = qlabel GROUP BY query_id
+    ),
+    negs AS (
+      SELECT query_id, neighbor_id, nlabel, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored WHERE nlabel <> qlabel
+    )
+    SELECT n.query_id, n.neighbor_id,
+           CAST(n.nlabel AS BIGINT) AS neg_label, n.cosine,
+           CAST(n.rank AS BIGINT) AS rank,
+           p.best_pos_cosine,
+           ROUND(p.best_pos_cosine - n.cosine, 6) AS margin
+    FROM negs n JOIN best_pos p USING (query_id)
+    WHERE n.rank <= {HARDNEG_K}
+    """,
+)
+def hardneg_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, top-k most-similar different-label vectors with the best-positive cosine and pos-neg margin."""
+    from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+
+    t = load_tables(spark, sf_dir)
+    v = (
+        t["embeddings"]
+        .select("vec_id", "label", _as_double("embedding").alias("cv"))
+        .withColumn("cn", F.sqrt(_dot("cv", "cv")))
+    )
+    q = v.where(F.col("vec_id") < HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("cv").alias("qv"),
+        F.col("cn").alias("qn"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+            F.round(
+                _dot("cv", "qv") / (F.col("cn") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    best_pos = (
+        scored.where(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("best_pos_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    negs = (
+        scored.where(F.col("nlabel") != F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= HARDNEG_K)
+    )
+    return negs.join(F.broadcast(best_pos), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.col("nlabel").cast("long").alias("neg_label"),
+        "cosine",
+        "rank",
+        "best_pos_cosine",
+        F.round(F.col("best_pos_cosine") - F.col("cosine"), 6).alias(
+            "margin"
+        ),
+    )

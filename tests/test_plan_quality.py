@@ -425,3 +425,64 @@ class TestR9Plans:
         plan = plan_of(QUERIES["retrieval_ndcg_eval"](spark, SF_DIR))
         assert "CartesianProduct" not in plan, plan
         assert "Python" not in plan, plan
+
+
+class TestR9Wave3Plans:
+    def test_coloring_final_output_no_cartesian_or_python(self, spark):
+        """The layered-MIS coloring's visible plan (union of per-color
+        checkpointed selections) must stay JVM-only with no cartesian;
+        the in-round active/priority broadcasts follow the MIS gate."""
+        plan = plan_of(QUERIES["g_greedy_coloring"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_seasonal_decompose_seasonal_table_broadcasts(self, spark):
+        """Decomposition = one groupBy(type, day) + two windows + a
+        (type × 7)-row seasonal join, which must broadcast — never a
+        second shuffle of the daily series."""
+        plan = plan_of(QUERIES["events_seasonal_decompose"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_acf_stats_broadcast_lag_join_not_cartesian(self, spark):
+        """The per-type stats and denominator tables broadcast; the
+        lag self-join is keyed on event_type (hash or broadcast) with
+        the 1..7 day-range as a join filter — never a cartesian."""
+        plan = plan_of(QUERIES["events_autocorrelation"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_dp_noisy_counts_jvm_only_single_shuffle(self, spark):
+        """The geometric mechanism is pure column arithmetic on the
+        grouped table: exactly the count's own shuffle, no Python
+        boundary, no join at all."""
+        plan = plan_of(QUERIES["dp_noisy_counts"](spark, SF_DIR))
+        assert "Python" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_blocking_quality_dim_side_broadcasts(self, spark):
+        """Candidate counting joins per-block count tables (supplier
+        side dim-sized, broadcast); the ground-truth join is keyed on
+        the record number. No cartesian anywhere — the |A|x|B| cross
+        product exists only as arithmetic on two 1-row counts."""
+        plan = plan_of(QUERIES["er_blocking_quality"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_domain_divergence_totals_broadcast(self, spark):
+        """Token-keyed groupBys plus broadcasts of the per-domain and
+        corpus totals; the vocab join is hash-keyed on the token."""
+        plan = plan_of(QUERIES["corpus_domain_divergence"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_hardneg_query_side_broadcasts(self, spark):
+        """Same shape as knn_cosine_bruteforce: the small query set
+        broadcasts onto the partitioned corpus (nested-loop over a
+        broadcast, not a shuffled cartesian) and scoring stays JVM-side
+        (zip_with/aggregate folds)."""
+        plan = plan_of(QUERIES["hardneg_mining"](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan

@@ -1,0 +1,197 @@
+"""Semantic invariants for the r9 wave-3 operators — the oracle gate
+proves Spark==DuckDB; these prove the shared computation means what
+it claims at test scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from erkg_tutorials_spark.session import get_spark
+
+    return get_spark()
+
+
+class TestSeasonalDecompose:
+    def test_residuals_cancel_within_each_seasonal_cell(self, spark):
+        """By construction Σ_{days in (type, dow)} resid_scaled = 0
+        exactly: the seasonal mean absorbs the detrended mass. An
+        exact-integer identity, so == 0, not ≈."""
+        from erkg_tutorials_spark.plans.eventsq2 import (
+            events_seasonal_decompose,
+        )
+
+        rows = events_seasonal_decompose(spark, SF_DIR).collect()
+        cells: dict = {}
+        for r in rows:
+            if r.resid_scaled is not None:
+                cells.setdefault((r.event_type, r.dow), []).append(
+                    r.resid_scaled
+                )
+        assert cells
+        for k, v in cells.items():
+            assert sum(v) == 0, (k, v)
+
+    def test_trend_only_on_full_windows(self, spark):
+        """trend7_sum is NULL exactly on days without the full ±3-day
+        window — no partial-window leakage at series edges."""
+        from erkg_tutorials_spark.plans.eventsq2 import (
+            events_seasonal_decompose,
+        )
+
+        rows = events_seasonal_decompose(spark, SF_DIR).collect()
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        for recs in by_type.values():
+            days = {r.day for r in recs}
+            for r in recs:
+                full = all(
+                    r.day + o in days for o in range(-3, 4)
+                )
+                assert (r.trend7_sum is not None) == full, r
+
+
+class TestAutocorrelation:
+    def test_matches_pure_python_acf(self, spark):
+        """num/den reproduce the textbook scaled ACF on the collected
+        daily series (exact integers, so == not ≈)."""
+        from erkg_tutorials_spark.plans.eventsq2 import (
+            events_autocorrelation,
+        )
+        from erkg_tutorials_spark.catalog import load_tables
+        from pyspark.sql import functions as F
+
+        d = (
+            load_tables(spark, SF_DIR)["events"]
+            .groupBy("event_type", F.expr("ts_sec div 86400").alias("day"))
+            .count()
+            .collect()
+        )
+        series: dict = {}
+        for r in d:
+            series.setdefault(r.event_type, {})[r.day] = r["count"]
+        got = events_autocorrelation(spark, SF_DIR).collect()
+        assert got
+        for r in got:
+            xs = series[r.event_type]
+            n, s = len(xs), sum(xs.values())
+            dev = {t: n * x - s for t, x in xs.items()}
+            den = sum(v * v for v in dev.values())
+            pairs = [
+                (a, a + r.lag) for a in dev if a + r.lag in dev
+            ]
+            num = sum(dev[a] * dev[b] for a, b in pairs)
+            assert (r.n_pairs, r.num_scaled, r.den_scaled) == (
+                len(pairs),
+                num,
+                den,
+            ), r
+
+    def test_lags_one_through_seven(self, spark):
+        from erkg_tutorials_spark.plans.eventsq2 import (
+            ACF_MAX_LAG,
+            events_autocorrelation,
+        )
+
+        lags = {
+            r.lag for r in events_autocorrelation(spark, SF_DIR).collect()
+        }
+        assert lags == set(range(1, ACF_MAX_LAG + 1))
+
+
+class TestDpNoisyCounts:
+    def test_noise_distribution_shape(self, spark):
+        """Over many keys the deterministic geometric draws behave
+        like the mechanism: symmetric-ish, mode at zero with mass
+        near the theoretical 1/3, and n_noisy = n_true + noise."""
+        from erkg_tutorials_spark.plans.privacyq import dp_noisy_counts
+
+        rows = dp_noisy_counts(spark, SF_DIR).collect()
+        assert all(r.n_noisy == r.n_true + r.noise for r in rows)
+        noises = [r.noise for r in rows]
+        assert len(noises) >= 50
+        p0 = sum(1 for z in noises if z == 0) / len(noises)
+        assert 0.15 < p0 < 0.55  # theoretical 1/3, loose at n~150
+        assert min(noises) < 0 < max(noises)
+        assert abs(sum(noises)) <= 3 * len(noises) ** 0.5 * 2  # E=0, sd≈1.4
+
+    def test_epsilon_ln2_ratio_bound_exhaustive(self):
+        """The mechanism's privacy claim, checked against the exact
+        pmf: a two-sided geometric with alpha=1/2 satisfies
+        P(Z=z)/P(Z=z+1) = 2 = e^eps with eps = ln 2 — verified on the
+        exact difference-of-geometrics pmf used here (G in [0, 59],
+        the 60-bit truncation)."""
+        from fractions import Fraction
+
+        g = [Fraction(1, 2 ** (k + 1)) for k in range(60)]
+        g[59] += 1 - sum(g)  # u=0 fold, as documented
+        pmf: dict = {}
+        for i, pi in enumerate(g):
+            for j, pj in enumerate(g):
+                pmf[i - j] = pmf.get(i - j, Fraction(0)) + pi * pj
+        for z in range(0, 40):
+            ratio = pmf[z] / pmf[z + 1]
+            assert Fraction(2) * Fraction(999, 1000) < ratio <= Fraction(2)
+
+
+class TestBlockingQuality:
+    def test_balband_never_beats_the_production_scheme(self, spark):
+        """caught(balband) ⊆ caught(nk_mod) structurally: equal nums
+        imply equal mods, so nk_mod catches every same-nation true
+        match; the band scheme needs band agreement on top."""
+        from erkg_tutorials_spark.plans.linkingq import er_blocking_quality
+
+        rows = {r.scheme: r for r in
+                er_blocking_quality(spark, SF_DIR).collect()}
+        assert set(rows) == {"nk_mod", "nk_balband"}
+        assert rows["nk_mod"].pc_ppm >= rows["nk_balband"].pc_ppm
+        for r in rows.values():
+            assert 0 <= r.n_caught <= r.n_true
+            assert 0 < r.rr_ppm < 1_000_000
+            assert r.n_candidates < r.total_pairs
+
+
+class TestDomainDivergence:
+    def test_nonnegative_and_bounded_overlap(self, spark):
+        from erkg_tutorials_spark.plans.textq import (
+            corpus_domain_divergence,
+        )
+
+        rows = corpus_domain_divergence(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r.chi2_scaled_ppm >= 0, r
+            assert 0 < r.vocab_overlap
+            assert r.n_tokens > 0
+
+
+class TestHardNegMining:
+    def test_negatives_have_different_labels_and_margins(self, spark):
+        from erkg_tutorials_spark.plans.vectorq2 import (
+            HARDNEG_K,
+            hardneg_mining,
+        )
+        from erkg_tutorials_spark.catalog import load_tables
+
+        labels = {
+            r.vec_id: r.label
+            for r in load_tables(spark, SF_DIR)["embeddings"]
+            .select("vec_id", "label")
+            .collect()
+        }
+        rows = hardneg_mining(spark, SF_DIR).collect()
+        assert rows
+        by_q: dict = {}
+        for r in rows:
+            assert labels[r.neighbor_id] == r.neg_label
+            assert labels[r.query_id] != r.neg_label
+            assert abs((r.best_pos_cosine - r.cosine) - r.margin) < 2e-6
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, HARDNEG_K + 1)), q
