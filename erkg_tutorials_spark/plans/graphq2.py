@@ -344,3 +344,204 @@ def g_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
         colors=COLORING_COLORS,
         rounds=COLORING_ROUNDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002, public paper): the Pearson
+# correlation of endpoint degrees over all ordered edges — the one-
+# number answer to "do hubs attach to hubs?". On a symmetric edge
+# table the two marginals coincide, so the correlation is the exact
+# RATIONAL num/den with
+#   num = M·Σjk − (Σj)²,  den = M·Σj² − (Σj)²
+# (j, k = endpoint degrees, M = ordered edge count) — no square root,
+# no float. Sums run in DECIMAL(38,0) (the HLL device) because
+# M·Σjk overflows BIGINT once degree mass passes ~sf1; the final num/
+# den fit BIGINT and r_ppm is the usual rounded ratio. The trade
+# graph is bipartite customer↔supplier, so r is strongly negative —
+# high-degree suppliers attach to low-degree customers.
+#
+# Scale: degree table = one groupBy(src); endpoint join = two hash
+# joins of edges against the degree table (dst side is the same
+# table re-keyed); one global aggregate. No window, no cross product.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_degree_assortativity",
+    _SYM_EDGES_CTE
+    + """,
+    deg AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY src
+    ),
+    ek AS (
+      SELECT da.k AS j, db.k AS k
+      FROM edges e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+             CAST(SUM(CAST(j AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sj,
+             CAST(SUM(CAST(j AS DECIMAL(38,0)) * CAST(j AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sjj,
+             CAST(SUM(CAST(j AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sjk
+      FROM ek
+    )
+    SELECT CAST(m AS BIGINT) AS m_edges,
+           CAST(sj AS BIGINT) AS s_deg,
+           CAST(m * sjk - sj * sj AS BIGINT) AS num_scaled,
+           CAST(m * sjj - sj * sj AS BIGINT) AS den_scaled,
+           CAST(ROUND((m * sjk - sj * sj) * 1000000.0
+                / (m * sjj - sj * sj), 0) AS BIGINT) AS r_ppm
+    FROM s
+    """,
+)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph: exact-rational Pearson correlation of endpoint degrees over ordered edges (num/den + ppm)."""
+    from pyspark.sql import functions as F
+
+    edges = trade_edges_sym(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("k")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ek = (
+        edges.join(deg.select(F.col("id").alias("src"),
+                              F.col("k").alias("j")), "src")
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("k").alias("kk")),
+            "dst",
+        )
+        .select("j", "kk")
+    )
+    s = ek.agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum(dec("j")).cast("decimal(38,0)").alias("sj"),
+        F.sum(dec("j") * dec("j")).cast("decimal(38,0)").alias("sjj"),
+        F.sum(dec("j") * dec("kk")).cast("decimal(38,0)").alias("sjk"),
+    )
+    num = F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj")
+    return s.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.col("sj").cast("long").alias("s_deg"),
+        num.cast("long").alias("num_scaled"),
+        den.cast("long").alias("den_scaled"),
+        F.round(
+            num.cast("double") * 1000000.0 / den.cast("double"), 0
+        ).cast("long").alias("r_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (Mann 1945 / Kendall 1975, public): the
+# nonparametric "is this series trending?" statistic an ingest
+# monitor runs beside CUSUM (changepoints) and the ACF (seasonality).
+# S = Σ_{i<j} sign(x_j − x_i) over the per-type daily counts, with
+# the tie-corrected variance kept as the exact 18-scaled integer
+# var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5). Pure integers end to end.
+#
+# Scale: the pairwise upper triangle is over the DAILY table (days²
+# per type, not events²) — the same tiny-series contract as the ACF's
+# range self-join; the tie term is one groupBy over the same table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mann_kendall",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY 1
+    ),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM d
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+        FROM d GROUP BY event_type, x
+      ) g WHERE t > 1 GROUP BY event_type
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+             - COALESCE(t.tie_term, 0) AS var18
+    FROM n JOIN s USING (event_type)
+    LEFT JOIN ties t ON t.event_type = n.event_type
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic per event type over daily counts: exact S plus the 18-scaled tie-corrected variance."""
+    from pyspark.sql import functions as F
+
+    from erkg_tutorials_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["events"]
+        .groupBy("event_type", F.expr("ts_sec div 86400").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    a = d.select("event_type", F.col("day").alias("a_day"),
+                 F.col("x").alias("a_x"))
+    b = d.select("event_type", F.col("day").alias("b_day"),
+                 F.col("x").alias("b_x"))
+    s = (
+        a.join(b, ["event_type"])
+        .where(F.col("b_day") > F.col("a_day"))
+        .select(
+            "event_type",
+            F.when(F.col("b_x") > F.col("a_x"), 1)
+            .when(F.col("b_x") < F.col("a_x"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sgn").cast("long").alias("s_stat"))
+    )
+    n = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    ties = (
+        d.groupBy("event_type", "x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tie_term")
+        )
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.coalesce("tie_term", F.lit(0).cast("long"))
+            ).alias("var18"),
+        )
+    )

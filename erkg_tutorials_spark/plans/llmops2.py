@@ -891,3 +891,93 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(DSIR_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture planning (the multilingual-sampling rule
+# of XLM-R / mT5, public papers: p_i ∝ (n_i/N)^(1/τ), here τ = 2):
+# given per-source token mass, produce the sampling weights, the
+# token budget each source should contribute, and the epoch (repeat)
+# factor that implies — the planning table a data-mixing pipeline
+# materializes before building shards (the static complement to
+# dsir_importance_sample's per-document reweighting).
+#
+# Exactness: the per-source sqrt is one IEEE-correctly-rounded call
+# on an integer (identical in both engines), immediately ROUND()ed to
+# a BIGINT; every sum/ratio after that is integer arithmetic, so no
+# float accumulation order can differ. Budget = 2× corpus tokens.
+#
+# Scale: token counting is the usual explode+groupBy (map-side
+# combinable); everything after is a |sources|-row table.
+# ---------------------------------------------------------------------------
+MIX_TAU_BUDGET_X = 2
+
+
+@register(
+    "mixture_temperature_weights",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(lower(text), ' ')) AS nt
+      FROM documents
+    ),
+    src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ),
+    sq AS (
+      SELECT *, CAST(ROUND(sqrt(n_tokens), 0) AS BIGINT) AS s
+      FROM src
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS ss
+      FROM sq
+    )
+    SELECT q.source, q.n_docs, q.n_tokens,
+           CAST(ROUND(q.n_tokens * 1000000.0 / t.nn, 0) AS BIGINT)
+             AS p_raw_ppm,
+           CAST(ROUND(q.s * 1000000.0 / t.ss, 0) AS BIGINT) AS w_ppm,
+           ({MIX_TAU_BUDGET_X} * t.nn
+            * CAST(ROUND(q.s * 1000000.0 / t.ss, 0) AS BIGINT)) // 1000000
+             AS tokens_target,
+           (({MIX_TAU_BUDGET_X} * t.nn
+             * CAST(ROUND(q.s * 1000000.0 / t.ss, 0) AS BIGINT))
+            // 1000000) * 1000 // q.n_tokens AS epochs_x1000
+    FROM sq q CROSS JOIN tot t
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau=2) source mixture plan: sampling weights, per-source token budgets, and epoch factors from exact integer arithmetic."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "source",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("nt"),
+    )
+    src = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    sq = src.withColumn(
+        "s", F.round(F.sqrt(F.col("n_tokens")), 0).cast("long")
+    )
+    tot = sq.agg(
+        F.sum("n_tokens").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+    )
+    w_ppm = F.round(F.col("s") * 1000000.0 / F.col("ss"), 0).cast("long")
+    target = (
+        (F.lit(MIX_TAU_BUDGET_X) * F.col("nn") * w_ppm) / F.lit(1000000)
+    ).cast("long")
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1000000.0 / F.col("nn"), 0)
+        .cast("long")
+        .alias("p_raw_ppm"),
+        w_ppm.alias("w_ppm"),
+        target.alias("tokens_target"),
+        (target * 1000 / F.col("n_tokens")).cast("long")
+        .alias("epochs_x1000"),
+    )

@@ -90,8 +90,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    EVENTS_SCHEMA_NANOS,
     dedup_stream,
     read_events_stream,
+    with_event_time,
 )
 from erkg_tutorials_spark.streaming.joins import attribution_stream
 from erkg_tutorials_spark.streaming.sessionize import sessionize_stream
@@ -849,3 +852,192 @@ def stream_neardup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts = neardup_verdicts_stream(arriving, index, threshold=0.5)
     sink = _drain(verdicts, "stream_neardup_verdicts", "append")
     return sink.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data DROP, made observable and oracle-able: the feed
+# is split into two files — everything except the oldest day's
+# purchases (on-time) and that oldest-day purchase slice (~29 days
+# LATE) — and processed as two AvailableNow runs over ONE checkpoint,
+# the production restart pattern. Run 1 drains the on-time file; its
+# final no-data batch advances the watermark to max(on-time event
+# time) − 90 min and flushes every closed window to the sink. Run 2
+# restarts from the checkpoint (watermark RESTORED, the state-store
+# contract), picks up the late file, and drops every row below the
+# watermark — numRowsDroppedByWatermark == |late slice|, pinned in
+# tests/test_sources_streaming.py. The union of both runs' sinks is
+# therefore exactly the closed on-time windows (window end ≤ final
+# watermark), which the oracle replays in plain SQL: had even one
+# late row been accepted, its ~29-day-old window (far below the
+# watermark) would have been emitted immediately and broken the hash.
+#
+# Why not one run with maxFilesPerTrigger=1: when both files are
+# available at query START, AvailableNow plans the batches up front
+# and the watermark does not advance between them (measured on this
+# engine: batch 1 sees wm=0 for filtering, dropped=0) — the restart
+# path is the semantics a production incremental backfill actually
+# runs, with the watermark carried by the checkpoint.
+#
+# At 100 TB this is the production shape for watermarked rollups
+# (bounded state, late drops accounted); the two-file feed is the
+# test's determinism device, not a contract.
+# ---------------------------------------------------------------------------
+LATE_WM_US = 5_400 * 1_000_000  # 90 min, deliberately not hour-aligned
+
+
+def _late_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file feed derived from events.parquet, fingerprinted and
+    reused (the repo's /tmp layout convention): ontime.parquet and
+    late.parquet."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    safe = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+    name = f"late_{safe}_{st.st_size}_{int(st.st_mtime)}"
+    root = "/tmp/erkg_stream_latefeed"
+    feed = f"{root}/{name}"
+    if _os.path.isdir(feed) and _os.path.exists(f"{feed}/_READY"):
+        return feed
+    try:
+        for entry in _os.listdir(root):
+            if entry.startswith(f"late_{safe}_") and entry != name:
+                _shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    # ts may be ns-long (legacy) or µs timestamp; day in either case
+    day = (
+        F.expr("ts div 86400000000000")
+        if "bigint" in dict(ev.dtypes)["ts"]
+        else F.expr("unix_timestamp(ts) div 86400")
+    )
+    ev = ev.withColumn("_day", day)
+    d0 = ev.agg(F.min("_day")).collect()[0][0]  # scalar bound, metadata-sized
+    is_late = (F.col("_day") == F.lit(d0)) & (
+        F.col("event_type") == "purchase"
+    )
+    _os.makedirs(feed, exist_ok=True)
+    for tag, pred in (("ontime", ~is_late), ("late", is_late)):
+        stage = f"{feed}/_stage_{tag}"
+        ev.where(pred).drop("_day").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [p for p in _os.listdir(stage) if p.endswith(".parquet")][0]
+        _os.replace(f"{stage}/{part}", f"{feed}/{tag}.parquet")
+        _shutil.rmtree(stage, ignore_errors=True)
+    with open(f"{feed}/_READY", "w") as fh:
+        fh.write("ok")
+    return feed
+
+
+def _late_rollup(spark: SparkSession, feed: str, glob: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql.types import LongType as _Long
+
+    batch_ts = spark.read.parquet(
+        _os.path.join(feed, "ontime.parquet")
+    ).schema["ts"].dataType
+    schema = (
+        EVENTS_SCHEMA_NANOS
+        if isinstance(batch_ts, _Long)
+        else EVENTS_SCHEMA
+    )
+    events = with_event_time(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(feed)
+    )
+    return (
+        events.withWatermark("event_time", "90 minutes")
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def _run_late_phases(spark: SparkSession, sf_dir: str):
+    """(emitted-rows DataFrame, phase-2 progress list) — shared by the
+    registry query and the drop-accounting test. foreachBatch parquet
+    sink: the memory sink refuses checkpoint recovery, and the
+    restart IS the point here."""
+    import os as _os
+    import shutil as _shutil
+
+    feed = _late_feed_dir(spark, sf_dir)
+    seq = next(_SINK_SEQ)
+    ckpt = f"{feed}/_ckpt_{seq}"
+    out = f"{feed}/_out_{seq}"
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    _shutil.rmtree(out, ignore_errors=True)
+    _os.makedirs(out)
+
+    def _sink(df: DataFrame, _bid: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        progress = None
+        for glob, tag in (("ontime.parquet", "p1"), ("*.parquet", "p2")):
+            q = (
+                _late_rollup(spark, feed, glob)
+                .writeStream.foreachBatch(_sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if tag == "p2":
+                progress = list(q.recentProgress)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    emitted = spark.read.schema(
+        "hour_epoch BIGINT, event_type STRING, n_events BIGINT"
+    ).parquet(out)
+    # pin the rows driver-side so the caller outlives _out cleanup of
+    # LATER invocations (same lifecycle as the memory sink queries)
+    emitted = spark.createDataFrame(emitted.collect(), emitted.schema)
+    _shutil.rmtree(out, ignore_errors=True)
+    return emitted, progress
+
+
+@register(
+    "stream_late_data_drop",
+    f"""
+    WITH et AS (
+      SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ),
+    mind AS (SELECT MIN(day) AS d0 FROM et),
+    ontime AS (
+      SELECT et.* FROM et CROSS JOIN mind
+      WHERE NOT (day = d0 AND event_type = 'purchase')
+    ),
+    wm AS (SELECT MAX(us) - {LATE_WM_US} AS wm_us FROM ontime),
+    win AS (
+      SELECT (us // 3600000000) * 3600 AS hour_epoch, event_type,
+             (us // 3600000000 + 1) * 3600000000 AS wend_us
+      FROM ontime
+    )
+    SELECT hour_epoch, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM win CROSS JOIN wm WHERE wend_us <= wm_us
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly rollup across a checkpoint restart whose second run delivers a day of ~29-days-late purchases: the union of both runs' append output equals the closed on-time windows — the late slice was dropped at the watermark."""
+    emitted, _ = _run_late_phases(spark, sf_dir)
+    return emitted

@@ -1130,3 +1130,93 @@ def corpus_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_scaled_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split near-duplicate leakage — the contamination audit a
+# training pipeline runs AFTER splitting: a test/val document that is
+# a near-duplicate of a train document inflates eval scores (Lee et
+# al. 2021, "Deduplicating Training Data Makes Language Models
+# Better", public paper). Pure composition of two memoized artifacts:
+# the MinHash-LSH near-dup pair table (dedup_minhash_lsh) and the
+# deterministic md5 split coins (split_assign, coverage2.py) — pairs
+# whose endpoints land in different splits ARE the leakage, reported
+# pair-level with both split labels so the worst offenders (highest
+# jaccard) sort to the top of any triage.
+#
+# Scale: the pair table is the already-LSH-pruned near-dup set (not
+# the corpus square) and the split label is scan-side hash
+# arithmetic — two broadcast-size hash joins of pair endpoints
+# against (doc_id, split). The exact-dedup complement
+# (split_leakage_audit) catches byte-identical leakage; this one
+# catches the paraphrase-distance tail.
+# ---------------------------------------------------------------------------
+
+
+def _split_bucket_cte() -> str:
+    """(doc_id, split) CTE — same md5-nibble coins as split_assign's
+    oracle (coverage2._split_oracle), shared so the two can't drift."""
+    from erkg_tutorials_spark.plans.coverage2 import _NIB
+
+    expr = (
+        f"((({_NIB.format(p=13)}) * 16 + ({_NIB.format(p=14)})) * 16"
+        f" + ({_NIB.format(p=15)})) * 16 + ({_NIB.format(p=16)})"
+    )
+    return f"""
+    hsplit AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN ({expr}) % 100 < 80 THEN 'train'
+                  WHEN ({expr}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM hsplit
+    )"""
+
+
+@register(
+    "split_neardup_leakage",
+    MINHASH_PAIRS_CTE
+    + ","
+    + _split_bucket_cte()
+    + """
+    SELECT p.id_a, p.id_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.id_a
+    JOIN splits sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate contamination: MinHash-LSH near-dup pairs whose endpoints fall in different train/val/test splits."""
+    pairs = minhash_pairs_cached(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 13, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

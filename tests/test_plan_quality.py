@@ -486,3 +486,36 @@ class TestR9Wave3Plans:
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+class TestR9Wave4Plans:
+    def test_assortativity_two_hash_joins_one_aggregate(self, spark):
+        """Edges join the degree table twice (hash, keyed on the
+        endpoint) and collapse to one row — no window, no cartesian,
+        all JVM."""
+        plan = plan_of(QUERIES["g_degree_assortativity"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_mann_kendall_pairs_keyed_on_event_type(self, spark):
+        """The upper-triangle pair join runs over the tiny per-type
+        daily table, keyed on event_type — never a cartesian over
+        events."""
+        plan = plan_of(QUERIES["events_mann_kendall"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_neardup_leakage_split_sides_broadcast(self, spark):
+        """The near-dup pair table (already LSH-pruned) joins two
+        broadcast (doc_id, split) projections — no corpus-square
+        anywhere beyond what the memoized pair build already gated."""
+        plan = plan_of(QUERIES["split_neardup_leakage"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_mixture_totals_broadcast(self, spark):
+        """Token counting is the only corpus-scale stage; the
+        |sources|-row table cross-joins one broadcast totals row."""
+        plan = plan_of(QUERIES["mixture_temperature_weights"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan

@@ -173,3 +173,48 @@ class TestSlidingAndDedupStreams:
         q.awaitTermination()
         n_unique = events.select("event_id").distinct().count()
         assert spark.table("dedup_feed_test").count() == n_unique
+
+
+class TestLateDataDrop:
+    def test_dropped_row_accounting_and_emission_boundary(self, spark):
+        """The checkpoint-restart phase 2 must drop EXACTLY the late
+        slice (numRowsDroppedByWatermark == |oldest-day purchases|)
+        and emit nothing new; phase 1's emission stops at the
+        watermark boundary (no window end beyond max(on-time) − 90m).
+        """
+        import os
+
+        from pyspark.sql import functions as F
+
+        from erkg_tutorials_spark.plans.streamq import (
+            LATE_WM_US,
+            _late_feed_dir,
+            _run_late_phases,
+        )
+        from tests.conftest import SF_DIR
+
+        emitted, progress = _run_late_phases(spark, SF_DIR)
+        feed = _late_feed_dir(spark, SF_DIR)
+        late = spark.read.parquet(os.path.join(feed, "late.parquet"))
+        n_late = late.count()
+        assert n_late > 0
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in p["stateOperators"]
+        )
+        assert dropped == n_late, (dropped, n_late)
+        ontime = spark.read.parquet(os.path.join(feed, "ontime.parquet"))
+        ts_type = dict(ontime.dtypes)["ts"]
+        max_us = (
+            ontime.agg(F.max(F.expr(
+                "ts div 1000" if ts_type == "bigint"
+                else "unix_micros(cast(ts as timestamp))"
+            ))).collect()[0][0]
+        )
+        wm_us = max_us - LATE_WM_US
+        rows = emitted.collect()
+        assert rows
+        assert all(
+            (r.hour_epoch + 3600) * 1_000_000 <= wm_us for r in rows
+        )

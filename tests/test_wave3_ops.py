@@ -195,3 +195,120 @@ class TestHardNegMining:
             by_q.setdefault(r.query_id, []).append(r.rank)
         for q, ranks in by_q.items():
             assert sorted(ranks) == list(range(1, HARDNEG_K + 1)), q
+
+
+class TestDegreeAssortativity:
+    def test_matches_pure_python_newman_formula(self, spark):
+        from erkg_tutorials_spark.plans.graphq2 import g_degree_assortativity
+        from erkg_tutorials_spark.plans.graphq import trade_edges_sym
+
+        edges = [
+            (r.src, r.dst)
+            for r in trade_edges_sym(spark, SF_DIR).collect()
+        ]
+        deg: dict = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        m = len(edges)
+        sj = sum(deg[s] for s, _ in edges)
+        sjj = sum(deg[s] ** 2 for s, _ in edges)
+        sjk = sum(deg[s] * deg[d] for s, d in edges)
+        row = g_degree_assortativity(spark, SF_DIR).collect()[0]
+        assert row.m_edges == m and row.s_deg == sj
+        assert row.num_scaled == m * sjk - sj * sj
+        assert row.den_scaled == m * sjj - sj * sj
+
+    def test_bipartite_trade_graph_is_disassortative(self, spark):
+        from erkg_tutorials_spark.plans.graphq2 import g_degree_assortativity
+
+        row = g_degree_assortativity(spark, SF_DIR).collect()[0]
+        assert row.den_scaled > 0
+        assert -1_000_000 <= row.r_ppm < 0, row
+
+
+class TestMannKendall:
+    def test_matches_pure_python_statistic(self, spark):
+        from erkg_tutorials_spark.plans.graphq2 import events_mann_kendall
+        from erkg_tutorials_spark.catalog import load_tables
+        from pyspark.sql import functions as F
+
+        d = (
+            load_tables(spark, SF_DIR)["events"]
+            .groupBy("event_type", F.expr("ts_sec div 86400").alias("day"))
+            .count()
+            .collect()
+        )
+        series: dict = {}
+        for r in d:
+            series.setdefault(r.event_type, {})[r.day] = r["count"]
+        for row in events_mann_kendall(spark, SF_DIR).collect():
+            xs = [x for _, x in sorted(series[row.event_type].items())]
+            n = len(xs)
+            s = sum(
+                (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            ties: dict = {}
+            for x in xs:
+                ties[x] = ties.get(x, 0) + 1
+            tie_term = sum(
+                t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+            )
+            assert row.n_days == n and row.s_stat == s
+            assert row.var18 == n * (n - 1) * (2 * n + 5) - tie_term
+
+
+class TestSplitNeardupLeakage:
+    def test_pairs_cross_splits_and_come_from_neardup_table(self, spark):
+        import hashlib
+
+        from erkg_tutorials_spark.plans.textq import (
+            minhash_pairs_cached,
+            split_neardup_leakage,
+        )
+
+        def split_of(doc_id: int) -> str:
+            b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[12:16], 16) % 100
+            return "train" if b < 80 else ("val" if b < 90 else "test")
+
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_pairs_cached(spark, SF_DIR).collect()
+        }
+        rows = split_neardup_leakage(spark, SF_DIR).collect()
+        for r in rows:
+            assert (r.id_a, r.id_b) in pairs
+            assert r.split_a == split_of(r.id_a)
+            assert r.split_b == split_of(r.id_b)
+            assert r.split_a != r.split_b
+        # and it is exactly the cross-split subset, nothing dropped
+        expect = {
+            (a, b) for a, b in pairs if split_of(a) != split_of(b)
+        }
+        assert {(r.id_a, r.id_b) for r in rows} == expect
+
+
+class TestMixtureTemperature:
+    def test_weights_flatten_toward_uniform_and_budget_consistent(
+        self, spark
+    ):
+        from erkg_tutorials_spark.plans.llmops2 import (
+            MIX_TAU_BUDGET_X,
+            mixture_temperature_weights,
+        )
+
+        rows = mixture_temperature_weights(spark, SF_DIR).collect()
+        assert len(rows) > 1
+        total_w = sum(r.w_ppm for r in rows)
+        assert abs(total_w - 1_000_000) <= len(rows)  # per-row rounding
+        # tau=2 flattens: the spread of w is strictly inside the
+        # spread of p_raw (sqrt compresses ratios)
+        assert max(r.w_ppm for r in rows) <= max(r.p_raw_ppm for r in rows)
+        assert min(r.w_ppm for r in rows) >= min(r.p_raw_ppm for r in rows)
+        nn = sum(r.n_tokens for r in rows)
+        for r in rows:
+            assert r.tokens_target == (
+                MIX_TAU_BUDGET_X * nn * r.w_ppm
+            ) // 1_000_000
+            assert r.epochs_x1000 == r.tokens_target * 1000 // r.n_tokens
