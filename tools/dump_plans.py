@@ -142,6 +142,33 @@ SHOWCASE = [
         "endpoints of the edge scan for the intra-community count — the "
         "edge table never shuffles.",
     ),
+    (
+        "g_degree_assortativity",
+        "Assortativity (r9): the degree table joins both edge endpoints "
+        "as hash joins and collapses to ONE row in DECIMAL(38,0) partial+"
+        "final aggregation - no window, no cartesian, no sqrt.",
+    ),
+    (
+        "dp_noisy_counts",
+        "DP geometric mechanism (r9): pure column arithmetic (md5 -> conv "
+        "-> bin -> length) on the grouped table - exactly the count's own "
+        "exchange, no join, no Python boundary.",
+    ),
+    (
+        "split_neardup_leakage",
+        "Cross-split leakage (r9): the memoized LSH pair table joins two "
+        "broadcast (doc_id, split) projections; the split key is scan-side "
+        "hash arithmetic, so the only corpus-scale work remains the "
+        "memoized pair build.",
+    ),
+    (
+        "hardneg_mining",
+        "Hard-negative mining (r9): knn-bruteforce shape - the 10-row "
+        "query set broadcasts onto the partitioned corpus "
+        "(BroadcastNestedLoopJoin), scoring is a JVM zip_with/aggregate "
+        "fold, and the label filter prunes before the per-query top-k "
+        "window.",
+    ),
 ]
 
 
