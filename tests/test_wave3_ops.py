@@ -312,3 +312,43 @@ class TestMixtureTemperature:
                 MIX_TAU_BUDGET_X * nn * r.w_ppm
             ) // 1_000_000
             assert r.epochs_x1000 == r.tokens_target * 1000 // r.n_tokens
+
+
+class TestDiameterBoundFrontierBfs:
+    def test_matches_pure_python_double_bfs(self, spark):
+        """The frontier rewrite must reproduce the exact double-BFS
+        eccentricities of a pure-python BFS from the same hash-picked
+        start (determinism + correctness in one check)."""
+        import hashlib
+        from collections import deque
+
+        from erkg_tutorials_spark.plans.graphq import trade_edges_sym
+        from erkg_tutorials_spark.plans.graphq2 import g_diameter_bound
+
+        adj: dict = {}
+        for r in trade_edges_sym(spark, SF_DIR).collect():
+            adj.setdefault(r.src, []).append(r.dst)
+
+        def bfs(s):
+            d = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                for v in adj[u]:
+                    if v not in d:
+                        d[v] = d[u] + 1
+                        q.append(v)
+            return d
+
+        src0 = min(
+            adj, key=lambda v: (hashlib.md5(f"diam:{v}".encode()).hexdigest(), v)
+        )
+        da = bfs(src0)
+        far1 = min(da, key=lambda v: (-da[v], v))
+        db = bfs(far1)
+        far2 = min(db, key=lambda v: (-db[v], v))
+        rows = {r.phase: r for r in g_diameter_bound(spark, SF_DIR).collect()}
+        assert rows[1].source == src0 and rows[1].farthest == far1
+        assert rows[1].ecc == da[far1]
+        assert rows[2].source == far1 and rows[2].farthest == far2
+        assert rows[2].ecc == db[far2]
