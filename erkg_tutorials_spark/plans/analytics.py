@@ -1305,3 +1305,55 @@ def hll_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_intersect_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (the third OLAP grouping API next to CUBE and
+# ROLLUP): an asymmetric set list CUBE can't express without waste —
+# (year, status), (year, priority), (year), () — with GROUPING_ID
+# disambiguating the null-as-total rows. One pass, Spark expands the
+# sets inside a single Expand+HashAggregate (no N-scan union).
+# ---------------------------------------------------------------------------
+@register(
+    "olap_grouping_sets",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           o_orderstatus,
+           o_orderpriority,
+           GROUPING(EXTRACT(year FROM o_orderdate), o_orderstatus,
+                    o_orderpriority) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) / 100.0 AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (EXTRACT(year FROM o_orderdate), o_orderstatus),
+      (EXTRACT(year FROM o_orderdate), o_orderpriority),
+      (EXTRACT(year FROM o_orderdate)),
+      ()
+    )
+    """,
+)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric GROUPING SETS over orders: (year,status), (year,priority), (year), () with GROUPING_ID and exact-cents revenue."""
+    o = load_tables(spark, sf_dir)["orders"]
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               o_orderstatus,
+               o_orderpriority,
+               CAST(grouping_id(year(o_orderdate), o_orderstatus,
+                                o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    / 100.0 AS DOUBLE) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS (
+          (year(o_orderdate), o_orderstatus),
+          (year(o_orderdate), o_orderpriority),
+          (year(o_orderdate)),
+          ()
+        )
+        """
+    )
