@@ -1192,31 +1192,30 @@ def _split_bucket_cte() -> str:
 def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split near-duplicate contamination: MinHash-LSH near-dup pairs whose endpoints fall in different train/val/test splits."""
     pairs = minhash_pairs_cached(spark, sf_dir)
-    docs = load_tables(spark, sf_dir)["documents"]
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 13, 4),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    splits = docs.select(
-        "doc_id",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
-    sa = splits.select(
-        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
-    )
-    sb = splits.select(
-        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
-    )
+
+    def split_of(idc):
+        # pure hash arithmetic on the pair endpoints — no join with a
+        # per-document table (a |docs|-row side is not broadcastable
+        # at 100 TB, and the coins need only the id)
+        bucket = (
+            F.conv(
+                F.substring(F.md5(idc.cast("string")), 13, 4), 16, 10
+            ).cast("long")
+            % 100
+        )
+        return (
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+        )
+
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            split_of(F.col("id_a")).alias("split_a"),
+            split_of(F.col("id_b")).alias("split_b"),
+        )
         .where(F.col("split_a") != F.col("split_b"))
-        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )

@@ -505,13 +505,15 @@ class TestR9Wave4Plans:
         assert "CartesianProduct" not in plan, plan
         assert "Python" not in plan, plan
 
-    def test_neardup_leakage_split_sides_broadcast(self, spark):
-        """The near-dup pair table (already LSH-pruned) joins two
-        broadcast (doc_id, split) projections — no corpus-square
-        anywhere beyond what the memoized pair build already gated."""
+    def test_neardup_leakage_is_pure_projection_on_pairs(self, spark):
+        """The split coins are hash arithmetic on the pair endpoints —
+        the visible plan over the memoized pair table must contain NO
+        join at all (a |docs|-row split side would not broadcast at
+        100 TB)."""
         plan = plan_of(QUERIES["split_neardup_leakage"](spark, SF_DIR))
-        assert "BroadcastHashJoin" in plan, plan
-        assert "CartesianProduct" not in plan, plan
+        above_cache = plan.split("InMemoryTableScan", 1)[0]
+        assert "Join" not in above_cache, plan
+        assert "Python" not in above_cache, plan
 
     def test_mixture_totals_broadcast(self, spark):
         """Token counting is the only corpus-scale stage; the
