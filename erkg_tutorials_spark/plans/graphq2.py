@@ -339,26 +339,22 @@ def g_diameter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Greedy graph coloring: one (near-)maximal independent set per color
-# over the shrinking uncolored pool — Luby-layered, per-color salted
-# priorities. See graph/coloring.py for semantics and the 100 TB notes.
+# Greedy graph coloring: Jones-Plassmann priority rounds — every
+# round, each uncolored local-priority-minimum takes the smallest
+# color its colored neighbors haven't used. One pass fills all color
+# classes concurrently. See graph/coloring.py for the 100 TB notes.
 # ---------------------------------------------------------------------------
-COLORING_COLORS = 5
-COLORING_ROUNDS = 4
+COLORING_ROUNDS = 10
 
 
 @register(
     "g_greedy_coloring",
-    greedy_coloring_sql(
-        _SYM_EDGES_CTE, colors=COLORING_COLORS, rounds=COLORING_ROUNDS
-    ),
+    greedy_coloring_sql(_SYM_EDGES_CTE, rounds=COLORING_ROUNDS),
 )
 def g_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy distributed coloring of the trade graph via layered hash-derandomized Luby MIS rounds (id, color)."""
+    """Greedy distributed coloring of the trade graph via hash-derandomized Jones-Plassmann rounds (id, color)."""
     return greedy_coloring(
-        trade_edges_sym(spark, sf_dir),
-        colors=COLORING_COLORS,
-        rounds=COLORING_ROUNDS,
+        trade_edges_sym(spark, sf_dir), rounds=COLORING_ROUNDS
     )
 
 
@@ -370,9 +366,12 @@ def g_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RATIONAL num/den with
 #   num = M·Σjk − (Σj)²,  den = M·Σj² − (Σj)²
 # (j, k = endpoint degrees, M = ordered edge count) — no square root,
-# no float. Sums run in DECIMAL(38,0) (the HLL device) because
-# M·Σjk overflows BIGINT once degree mass passes ~sf1; the final num/
-# den fit BIGINT and r_ppm is the usual rounded ratio. The trade
+# ALL arithmetic runs exactly in DECIMAL(38,0)/HUGEINT (the HLL
+# device): M·Σjk overflows BIGINT already at the 10x sf0.1 step
+# (measured, -1.02e19) and fits 38 digits to beyond sf100. num/den
+# are emitted as DOUBLEs - the nearest conversion from the SAME exact
+# integer is bit-identical in both engines, and below 2^53 (every
+# driver scale) the doubles ARE the exact integers. The trade
 # graph is bipartite customer↔supplier, so r is strongly negative —
 # high-degree suppliers attach to low-degree customers.
 #
@@ -404,10 +403,10 @@ def g_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(m AS BIGINT) AS m_edges,
            CAST(sj AS BIGINT) AS s_deg,
-           CAST(m * sjk - sj * sj AS BIGINT) AS num_scaled,
-           CAST(m * sjj - sj * sj AS BIGINT) AS den_scaled,
-           CAST(ROUND((m * sjk - sj * sj) * 1000000.0
-                / (m * sjj - sj * sj), 0) AS BIGINT) AS r_ppm
+           CAST(m * sjk - sj * sj AS DOUBLE) AS num_scaled,
+           CAST(m * sjj - sj * sj AS DOUBLE) AS den_scaled,
+           CAST(ROUND(CAST(m * sjk - sj * sj AS DOUBLE) * 1000000.0
+                / CAST(m * sjj - sj * sj AS DOUBLE), 0) AS BIGINT) AS r_ppm
     FROM s
     """,
 )
@@ -440,8 +439,8 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("m").cast("long").alias("m_edges"),
         F.col("sj").cast("long").alias("s_deg"),
-        num.cast("long").alias("num_scaled"),
-        den.cast("long").alias("den_scaled"),
+        num.cast("double").alias("num_scaled"),
+        den.cast("double").alias("den_scaled"),
         F.round(
             num.cast("double") * 1000000.0 / den.cast("double"), 0
         ).cast("long").alias("r_ppm"),

@@ -1,6 +1,6 @@
-"""Semantic invariants for the layered-Luby greedy coloring
+"""Semantic invariants for the Jones-Plassmann greedy coloring
 (plans/graphq2.py::g_greedy_coloring) — the oracle gate proves
-Spark==DuckDB on the same (colors × rounds) unrolling; these tests
+Spark==DuckDB on the same fixed-round unrolling; these tests
 prove the unrolling computes a REAL coloring at test scale: proper
 (no edge monochromatic), total (every vertex colored within the fixed
 layer budget), and layer-wise independent.
@@ -64,10 +64,11 @@ class TestGreedyColoring:
 
     def test_uses_few_colors_on_bipartite_trade_graph(self, coloring):
         """The trade graph is customer↔supplier bipartite (χ=2); the
-        greedy layering may exceed 2 but must stay within the fixed
-        budget with room to spare — a regression here means the MIS
-        layers stopped being near-maximal."""
-        from erkg_tutorials_spark.plans.graphq2 import COLORING_COLORS
+        greedy choice may exceed 2 but must stay far inside the bit-
+        mask budget — a regression here means the priority rounds
+        stopped breaking symmetry."""
+        from erkg_tutorials_spark.graph.coloring import MAX_COLORS
 
+        assert None not in coloring.values()
         used = max(coloring.values()) + 1
-        assert used <= COLORING_COLORS
+        assert used <= MAX_COLORS // 2

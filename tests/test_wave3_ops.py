@@ -215,8 +215,10 @@ class TestDegreeAssortativity:
         sjk = sum(deg[s] * deg[d] for s, d in edges)
         row = g_degree_assortativity(spark, SF_DIR).collect()[0]
         assert row.m_edges == m and row.s_deg == sj
-        assert row.num_scaled == m * sjk - sj * sj
-        assert row.den_scaled == m * sjj - sj * sj
+        # doubles by contract (DECIMAL->DOUBLE emission); exact at
+        # this scale because the integers sit far below 2^53
+        assert row.num_scaled == float(m * sjk - sj * sj)
+        assert row.den_scaled == float(m * sjj - sj * sj)
 
     def test_bipartite_trade_graph_is_disassortative(self, spark):
         from erkg_tutorials_spark.plans.graphq2 import g_degree_assortativity
