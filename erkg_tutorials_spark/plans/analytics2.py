@@ -821,3 +821,125 @@ def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qkey",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style removal spans (Lee et al. 2021 §4.1, public
+# paper: drop substrings shared verbatim across documents): the
+# per-document transform built on the cross-doc duplicated-5-gram
+# table above. Every occurrence of a gram that appears in ≥ 2
+# distinct documents marks word positions [i, i+4]; overlapping and
+# back-to-back marks merge into maximal removal spans by the classic
+# gaps-and-islands device (a new island starts where the start
+# exceeds the running max end of PRIOR marks — one ordered window per
+# doc, exclusive upper frame, exactly like events_gaps_islands).
+#
+# Scale: grams and marks stay partitioned by doc; the only cross-doc
+# motion is the gram-keyed duplicate count (map-side combinable) and
+# the gram-keyed semi-join back onto occurrences — the shape the
+# suffix-array original cannot parallelize and this formulation can.
+# ---------------------------------------------------------------------------
+
+
+def _substring_spans_oracle() -> str:
+    from erkg_tutorials_spark.plans.llmops import _POS_CTE
+
+    n = _NGRAM_N
+    leads = " || ' ' || ".join(
+        ["term"] + [f"LEAD(term, {k}) OVER w" for k in range(1, n)]
+    )
+    return _POS_CTE + f"""
+    , g AS (
+      SELECT doc_id, i, {leads} AS gram,
+             LEAD(term, {n - 1}) OVER w AS t_last
+      FROM pos
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    occ AS (SELECT doc_id, i, gram FROM g WHERE t_last IS NOT NULL),
+    dup AS (
+      SELECT gram FROM occ GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marks AS (
+      SELECT o.doc_id, o.i AS s, o.i + {n - 1} AS e
+      FROM occ o JOIN dup d ON d.gram = o.gram
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) THEN 1 ELSE 0 END AS brk
+      FROM marks
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(island AS BIGINT) AS island,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_marks,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_words
+    FROM grp GROUP BY doc_id, island
+    """
+
+
+@register("dedup_substring_spans", _substring_spans_oracle())
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal spans: maximal merged word-position intervals covered by cross-document duplicated 5-grams, per document."""
+    from erkg_tutorials_spark.plans.llmops import _positions
+
+    pos = _positions(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    parts = [F.col("term")] + [
+        F.lead("term", k).over(w) for k in range(1, _NGRAM_N)
+    ]
+    occ = pos.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.lead("term", _NGRAM_N - 1).over(w).isNotNull(),
+            F.concat_ws(" ", *parts),
+        ).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    marks = occ.join(dup, "gram").select(
+        "doc_id",
+        F.col("i").alias("s"),
+        (F.col("i") + _NGRAM_N - 1).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = marks.withColumn(
+        "brk",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(wprev), F.lit(-1).cast("long")),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = isl.withColumn(
+        "island", F.sum("brk").over(wrun).cast("long")
+    )
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("s").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+        F.count("*").cast("long").alias("n_marks"),
+        (F.max("e") - F.min("s") + 1).cast("long").alias("span_words"),
+    )

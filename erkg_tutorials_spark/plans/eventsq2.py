@@ -553,3 +553,143 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return num.join(F.broadcast(den), "event_type").select(
         "event_type", "lag", "n_pairs", "num_scaled", "den_scaled"
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles from a fixed-grid histogram — the one-pass,
+# MERGEABLE scale path next to the exact sort-based
+# events_value_quantiles/exact_percentiles_orders: per-partition
+# 64-bin counts merge by addition (the property t-digest/KLL trade
+# determinism for; a fixed grid keeps bit-exact determinism instead),
+# so at 100 TB the only shuffle is 64 counters per key. Estimation
+# error is bounded by one bin width; the bound is asserted against
+# the exact quantiles in tests. All arithmetic is the same double
+# expression tree in both engines (grid edges from min/max, linear
+# interpolation inside the hit bin), rounded to 6dp at the end.
+# ---------------------------------------------------------------------------
+HIST_BINS = 64
+HIST_QS = (25, 50, 75, 90)
+
+
+@register(
+    "approx_quantiles_histogram",
+    f"""
+    WITH v AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS val FROM events
+    ),
+    st AS (
+      SELECT event_type, MIN(val) AS mn, MAX(val) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    ),
+    binned AS (
+      SELECT v.event_type,
+             LEAST({HIST_BINS - 1}, GREATEST(0, CAST(FLOOR(
+               (v.val - st.mn) * {HIST_BINS} / (st.mx - st.mn)
+             ) AS BIGINT))) AS bin
+      FROM v JOIN st USING (event_type)
+    ),
+    hist AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+      FROM hist
+    ),
+    qs AS (
+      SELECT q FROM (VALUES {", ".join(f"({q})" for q in HIST_QS)}) t(q)
+    ),
+    tgt AS (
+      SELECT st.event_type, qs.q,
+             CAST(st.n * qs.q AS BIGINT) AS num, st.n, st.mn, st.mx
+      FROM st CROSS JOIN qs
+    ),
+    hit AS (
+      SELECT t.event_type, t.q, t.mn, t.mx, c.bin, c.c, c.cc,
+             c.cc - c.c AS prev
+      FROM tgt t JOIN cum c ON c.event_type = t.event_type
+      WHERE c.cc * 100 >= t.num AND (c.cc - c.c) * 100 < t.num
+    )
+    SELECT event_type, CAST(q AS BIGINT) AS q,
+           ROUND(mn + (bin + (
+             (CAST(q AS DOUBLE) / 100.0) * (
+               SELECT n FROM st s WHERE s.event_type = hit.event_type
+             ) - prev
+           ) / c) * (mx - mn) / {HIST_BINS}, 6) AS est
+    FROM hit
+    """,
+)
+def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type value quantiles (p25/50/75/90) from a mergeable fixed 64-bin histogram with linear in-bin interpolation."""
+    t = load_tables(spark, sf_dir)
+    v = t["events"].select(
+        "event_type", F.col("value").cast("double").alias("val")
+    )
+    st = v.groupBy("event_type").agg(
+        F.min("val").alias("mn"),
+        F.max("val").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    binned = v.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(
+                    (F.col("val") - F.col("mn"))
+                    * HIST_BINS
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("long"),
+            ),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cc", F.sum("c").over(wc).cast("long"))
+    # literal quantile list as a JVM-side explode (a createDataFrame
+    # literal would plan an applySchemaToPythonRDD scan)
+    qs = v.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q).cast("long") for q in HIST_QS])
+        ).alias("q")
+    )
+    tgt = st.crossJoin(F.broadcast(qs)).select(
+        "event_type",
+        "q",
+        (F.col("n") * F.col("q")).cast("long").alias("num"),
+        "n",
+        "mn",
+        "mx",
+    )
+    hit = tgt.join(cum, "event_type").where(
+        (F.col("cc") * 100 >= F.col("num"))
+        & ((F.col("cc") - F.col("c")) * 100 < F.col("num"))
+    )
+    return hit.select(
+        "event_type",
+        F.col("q").cast("long").alias("q"),
+        F.round(
+            F.col("mn")
+            + (
+                F.col("bin")
+                + (
+                    F.col("q").cast("double") / 100.0 * F.col("n")
+                    - (F.col("cc") - F.col("c"))
+                )
+                / F.col("c")
+            )
+            * (F.col("mx") - F.col("mn"))
+            / HIST_BINS,
+            6,
+        ).alias("est"),
+    )

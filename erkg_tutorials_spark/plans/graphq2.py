@@ -560,3 +560,102 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var18"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the trade-count weighted graph: identical
+# damped power iteration to g5_pagerank_top20, but each neighbor's
+# share is its edge weight over the source's total weight instead of
+# 1/out_degree — the GDS relationshipWeightProperty variant. The
+# symmetric weighted graph has no danglers (pre-checked by the
+# unweighted family's invariants) so the dangling term is omitted on
+# both sides, exactly as in the unweighted oracle. 6dp rounding at
+# the very end absorbs double summation-order noise (the family's
+# established device: partial sums sit ~1e-13 off, 7 orders below
+# the rounding grain).
+#
+# Scale: the per-edge weight share w/ws joins once (loop-invariant,
+# memoized weighted edge table); every iteration is then one
+# ranks⋈edges hash join + one map-side-combinable contrib sum — the
+# unweighted loop's exact shuffle shape, same checkpoint chain.
+# ---------------------------------------------------------------------------
+WPR_ITERS = 6
+
+
+def _wpr_oracle() -> str:
+    parts = [
+        _WSYM_EDGES_CTE.rstrip()
+        + """,
+    wverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM wedges),
+    wnn AS MATERIALIZED (SELECT COUNT(*) AS n FROM wverts),
+    wsrc AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS ws FROM wedges GROUP BY src
+    ),
+    wed AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w, s.ws FROM wedges e JOIN wsrc s USING (src)
+    ),
+    wpr0 AS MATERIALIZED (
+      SELECT id, 1.0::DOUBLE / nn.n AS rank FROM wverts CROSS JOIN wnn nn
+    )"""
+    ]
+    for i in range(1, WPR_ITERS + 1):
+        parts.append(f"""
+    wpr{i} AS MATERIALIZED (
+      SELECT v.id,
+             0.15::DOUBLE / nn.n
+               + (1.0::DOUBLE - 0.15::DOUBLE)
+                 * COALESCE(c.contrib, 0.0::DOUBLE) AS rank
+      FROM wverts v CROSS JOIN wnn nn LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank * e.w / e.ws) AS contrib
+        FROM wpr{i - 1} p JOIN wed e ON p.id = e.src
+        GROUP BY e.dst
+      ) c ON c.id = v.id
+    )""")
+    return ",".join(parts) + f"""
+    SELECT id, ROUND(rank, 6) AS rank FROM wpr{WPR_ITERS}
+    ORDER BY rank DESC, id ASC LIMIT 20
+    """
+
+
+@register("g_pagerank_weighted", _wpr_oracle())
+def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 weighted PageRank over trade-count edge weights: neighbor shares are w/sum(w) per source instead of 1/out-degree."""
+    from pyspark.sql import functions as F
+
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+    from erkg_tutorials_spark.plans.graphq import trade_wedges_sym
+
+    e = trade_wedges_sym(spark, sf_dir)
+    ws = e.groupBy("src").agg(F.sum("w").cast("long").alias("ws"))
+    ed = e.join(ws, "src").select(
+        "src", "dst", (F.col("w") / F.col("ws")).alias("share")
+    ).localCheckpoint(eager=True)
+    verts = ed.select(F.col("src").alias("id")).distinct()
+    nn = verts.count()  # scalar vertex count, metadata-sized
+    chain = CheckpointChain()
+    rank = chain(verts.withColumn("rank", F.lit(1.0 / nn)))
+    for _ in range(WPR_ITERS):
+        contrib = (
+            rank.join(ed, rank.id == ed.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("share")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = chain(
+            verts.join(contrib, "id", "left").select(
+                "id",
+                (
+                    F.lit(0.15 / nn)
+                    + F.lit(0.85)
+                    * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return (
+        rank.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )

@@ -521,3 +521,29 @@ class TestR9Wave4Plans:
         plan = plan_of(QUERIES["mixture_temperature_weights"](spark, SF_DIR))
         assert "CartesianProduct" not in plan, plan
         assert "Python" not in plan, plan
+
+
+class TestR9Wave5Plans:
+    def test_weighted_pagerank_final_output_jvm_only(self, spark):
+        """The visible plan (TakeOrdered over the checkpointed final
+        rank state) must stay JVM-only with no cartesian; the
+        loop-invariant share table is a localCheckpoint."""
+        plan = plan_of(QUERIES["g_pagerank_weighted"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_substring_spans_doc_partitioned_windows(self, spark):
+        """Grams/marks/islands stay doc-partitioned; the only cross-
+        doc motion is the gram-keyed dup count + semi-join — no
+        cartesian, no Python."""
+        plan = plan_of(QUERIES["dedup_substring_spans"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_histogram_quantiles_stats_broadcast(self, spark):
+        """The per-type (min, max, n) table broadcasts onto the value
+        scan for binning; everything downstream is 64-counter keyed."""
+        plan = plan_of(QUERIES["approx_quantiles_histogram"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan

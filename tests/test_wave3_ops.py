@@ -354,3 +354,136 @@ class TestDiameterBoundFrontierBfs:
         assert rows[1].ecc == da[far1]
         assert rows[2].source == far1 and rows[2].farthest == far2
         assert rows[2].ecc == db[far2]
+
+
+class TestWeightedPagerank:
+    def test_matches_pure_python_weighted_iteration(self, spark):
+        from erkg_tutorials_spark.plans.graphq import trade_wedges_sym
+        from erkg_tutorials_spark.plans.graphq2 import (
+            WPR_ITERS,
+            g_pagerank_weighted,
+        )
+
+        rows = trade_wedges_sym(spark, SF_DIR).collect()
+        ws: dict = {}
+        for r in rows:
+            ws[r.src] = ws.get(r.src, 0) + r.w
+        verts = sorted(ws)
+        n = len(verts)
+        rank = {v: 1.0 / n for v in verts}
+        for _ in range(WPR_ITERS):
+            contrib: dict = {}
+            for r in rows:
+                contrib[r.dst] = contrib.get(r.dst, 0.0) + rank[r.src] * (
+                    r.w / ws[r.src]
+                )
+            rank = {
+                v: 0.15 / n + 0.85 * contrib.get(v, 0.0) for v in verts
+            }
+        top = sorted(
+            ((round(rv, 6), v) for v, rv in rank.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        got = [
+            (r.rank, r.id) for r in g_pagerank_weighted(spark, SF_DIR).collect()
+        ]
+        for (er, ev), (gr, gv) in zip(top, got):
+            assert ev == gv
+            assert abs(er - gr) <= 2e-6, (ev, er, gr)
+
+
+class TestSubstringSpans:
+    def test_matches_pure_python_islands(self, spark):
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.analytics2 import (
+            _NGRAM_N,
+            dedup_substring_spans,
+        )
+
+        docs = {
+            r.doc_id: r.text.lower().split(" ")
+            for r in load_tables(spark, SF_DIR)["documents"].collect()
+        }
+        occ: dict = {}
+        for d, wlist in docs.items():
+            for i in range(len(wlist) - _NGRAM_N + 1):
+                occ.setdefault(
+                    " ".join(wlist[i : i + _NGRAM_N]), set()
+                ).add(d)
+        dup = {g for g, ds in occ.items() if len(ds) >= 2}
+        expect = set()
+        for d, wlist in docs.items():
+            marks = [
+                (i + 1, i + _NGRAM_N)
+                for i in range(len(wlist) - _NGRAM_N + 1)
+                if " ".join(wlist[i : i + _NGRAM_N]) in dup
+            ]
+            spans = []
+            for s, e in marks:
+                if spans and s <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+                else:
+                    spans.append((s, e))
+            for s, e in spans:
+                expect.add((d, s, e))
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup_substring_spans(spark, SF_DIR).collect()
+        }
+        assert got == expect
+
+    def test_spans_disjoint_and_minimum_width(self, spark):
+        from erkg_tutorials_spark.plans.analytics2 import (
+            _NGRAM_N,
+            dedup_substring_spans,
+        )
+
+        rows = dedup_substring_spans(spark, SF_DIR).collect()
+        assert rows
+        by_doc: dict = {}
+        for r in rows:
+            assert r.span_words >= _NGRAM_N
+            assert r.span_end - r.span_start + 1 == r.span_words
+            by_doc.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end)
+            )
+        for spans in by_doc.values():
+            spans.sort()
+            for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+                assert s2 > e1  # maximal merge: no touching islands
+
+
+class TestApproxQuantilesHistogram:
+    def test_within_one_bin_of_exact_and_monotone(self, spark):
+        import math
+
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.plans.eventsq2 import (
+            HIST_BINS,
+            approx_quantiles_histogram,
+        )
+
+        vals: dict = {}
+        for r in (
+            load_tables(spark, SF_DIR)["events"]
+            .select("event_type", "value")
+            .collect()
+        ):
+            vals.setdefault(r.event_type, []).append(float(r.value))
+        got: dict = {}
+        for r in approx_quantiles_histogram(spark, SF_DIR).collect():
+            got[(r.event_type, r.q)] = r.est
+        for et, xs in vals.items():
+            xs.sort()
+            width = (xs[-1] - xs[0]) / HIST_BINS
+            ests = [got[(et, q)] for q in (25, 50, 75, 90)]
+            assert ests == sorted(ests), (et, ests)
+            for q in (25, 50, 75, 90):
+                exact = xs[max(0, math.ceil(len(xs) * q / 100) - 1)]
+                assert abs(got[(et, q)] - exact) <= width + 1e-9, (
+                    et,
+                    q,
+                    got[(et, q)],
+                    exact,
+                    width,
+                )
