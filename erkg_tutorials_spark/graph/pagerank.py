@@ -49,6 +49,7 @@ def pagerank(
     tune_loop_confs: bool = True,
     pre: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     init_ranks: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Returns (``[namespace,] id, rank``); ranks sum to 1 per namespace.
 
@@ -77,7 +78,12 @@ def pagerank(
     ns = [namespace_col] if namespace_col else []
     if pre is not None and ns:
         raise ValueError("pre-built invariants are only supported un-namespaced")
-    e = edges.select(*ns, F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if pre is not None and weight:
+        raise ValueError("pre-built invariants are unweighted; pass edges")
+    wcols = [F.col(weight).alias("w")] if weight else []
+    e = edges.select(
+        *ns, F.col(src).alias("src"), F.col(dst).alias("dst"), *wcols
+    )
 
     if pre is not None:
         verts0, e_deg, danglers = pre
@@ -97,8 +103,24 @@ def pagerank(
         # The per-edge out-degree is joined onto the edge table HERE,
         # once — each iteration then needs a single ranks ⋈ edges join,
         # not two.
-        out_deg = e.groupBy(*ns, "src").agg(F.count("*").alias("out_deg"))
-        e_deg = e.join(out_deg, ns + ["src"]).cache()
+        if weight:
+            # GDS relationshipWeight semantics: a neighbor's share of
+            # the rank is its edge weight over the source's total
+            # weight; ``share`` is loop-invariant, computed once here
+            out_deg = e.groupBy(*ns, "src").agg(
+                F.sum("w").alias("w_total")
+            )
+            e_deg = (
+                e.join(out_deg, ns + ["src"])
+                .withColumn("share", F.col("w") / F.col("w_total"))
+                .drop("w", "w_total")
+                .cache()
+            )
+        else:
+            out_deg = e.groupBy(*ns, "src").agg(
+                F.count("*").alias("out_deg")
+            )
+            e_deg = e.join(out_deg, ns + ["src"]).cache()
         # dangling = vertices with no out-edges; loop-invariant. Per
         # iteration their mass is a sum over the O(|V|) rank state — NOT
         # a second pass over the O(|E|) contribs (1 - sum(contrib) is the
@@ -191,9 +213,14 @@ def _pagerank_loop(
     join_keys = ns + ["id"]
     for i in range(max_iter):
         r_src = ranks.select(*ns, F.col("id").alias("src"), "rank")
+        per_edge = (
+            (F.col("rank") * F.col("share"))
+            if "share" in e_deg.columns
+            else (F.col("rank") / F.col("out_deg"))
+        )
         contribs = (
             bcast(r_src).join(e_deg, ns + ["src"])
-            .select(*ns, F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .select(*ns, F.col("dst").alias("id"), per_edge.alias("c"))
             .groupBy(*ns, "id")
             .agg(F.sum("c").alias("contrib"))
         )

@@ -622,40 +622,14 @@ def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 weighted PageRank over trade-count edge weights: neighbor shares are w/sum(w) per source instead of 1/out-degree."""
     from pyspark.sql import functions as F
 
-    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+    from erkg_tutorials_spark.graph.pagerank import pagerank
     from erkg_tutorials_spark.plans.graphq import trade_wedges_sym
 
-    e = trade_wedges_sym(spark, sf_dir)
-    ws = e.groupBy("src").agg(F.sum("w").cast("long").alias("ws"))
-    ed = e.join(ws, "src").select(
-        "src", "dst", (F.col("w") / F.col("ws")).alias("share")
-    ).localCheckpoint(eager=True)
-    verts = ed.select(F.col("src").alias("id")).distinct()
-    nn = verts.count()  # scalar vertex count, metadata-sized
-    chain = CheckpointChain()
-    rank = chain(verts.withColumn("rank", F.lit(1.0 / nn)))
-    for _ in range(WPR_ITERS):
-        contrib = (
-            rank.join(ed, rank.id == ed.src)
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") * F.col("share")).alias("c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        rank = chain(
-            verts.join(contrib, "id", "left").select(
-                "id",
-                (
-                    F.lit(0.15 / nn)
-                    + F.lit(0.85)
-                    * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
+    ranks = pagerank(
+        trade_wedges_sym(spark, sf_dir), max_iter=WPR_ITERS, weight="w"
+    )
     return (
-        rank.select("id", F.round("rank", 6).alias("rank"))
+        ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
