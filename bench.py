@@ -310,6 +310,27 @@ HEADLINE = [
     # round-9 wave 2: Benford DQ audit + double-BFS diameter bound
     "dq_benford_digits",
     "g_diameter_bound",
+    # round-9 waves 3-5: coloring, assortativity, monitoring battery,
+    # privacy tier, ER/dedup governance, mixture/contrastive tiers,
+    # weighted PageRank, ExactSubstr spans, histogram quantiles,
+    # watermark late-drop, GROUPING SETS
+    "g_greedy_coloring",
+    "g_degree_assortativity",
+    "events_seasonal_decompose",
+    "events_autocorrelation",
+    "events_mann_kendall",
+    "dp_noisy_counts",
+    "l_diversity_audit",
+    "er_blocking_quality",
+    "corpus_domain_divergence",
+    "hardneg_mining",
+    "split_neardup_leakage",
+    "mixture_temperature_weights",
+    "stream_late_data_drop",
+    "olap_grouping_sets",
+    "g_pagerank_weighted",
+    "dedup_substring_spans",
+    "approx_quantiles_histogram",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for
@@ -317,6 +338,8 @@ HEADLINE = [
 # artifact. An explicit tuple, not a name-prefix heuristic (r5 ADVICE:
 # startswith("g") misclassifies future non-graph g* names).
 GRAPH_QUERIES = (
+    "g_greedy_coloring",
+    "g_pagerank_weighted",
     "g3_two_hop_reach",
     "g5_pagerank_top20",
     "g5_textrank_phrases",
