@@ -48,6 +48,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from erkg_tutorials_spark.graph.hints import vhint
 from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
 
@@ -57,12 +58,12 @@ def bfs_round(f: DataFrame, vis: DataFrame, edges: DataFrame) -> DataFrame:
     join/anti-join so the edge table never shuffles — the
     g_shortest_paths trade-off, plan-gated in tests/test_betweenness.py."""
     cand = (
-        F.broadcast(f)
+        vhint(f)
         .join(edges, f["id"] == edges["src"])
         .select("lm", F.col("dst").alias("id"), "sigma")
     )
     return (
-        cand.join(F.broadcast(vis), ["lm", "id"], "left_anti")
+        cand.join(vhint(vis), ["lm", "id"], "left_anti")
         .groupBy("lm", "id")
         .agg(F.sum("sigma").alias("sigma"))
     )
@@ -119,10 +120,10 @@ def betweenness_sampled(
                 F.col("delta").alias("_wd"),
             )
             contrib = (
-                F.broadcast(v)
+                vhint(v)
                 .join(edges, v["id"] == edges["src"])
                 .select("lm", "id", "sigma", F.col("dst").alias("_w"))
-                .join(F.broadcast(w), ["lm", "_w"])
+                .join(vhint(w), ["lm", "_w"])
                 .groupBy("lm", "id")
                 .agg(
                     F.sum(

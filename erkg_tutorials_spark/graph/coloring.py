@@ -29,8 +29,12 @@ Scale: each round is two edge⋈active semi-join aggregates (min
 uncolored-neighbor priority; colored-neighbor color mask), both
 map-side combinable, with the uncolored set shrinking geometrically.
 The active/priority/winner tables are |V|-row broadcasts (same class
-as the Katz/Louvain label broadcasts; documented fallback: drop the
-hint and let the join shuffle). Vertices still uncolored after
+as the Katz/Louvain label broadcasts), routed through graph/hints.py:
+one |V| count feeds every hint decision, so past the row threshold —
+or with SPARK_GRAFT_GRAPH_BCAST=0 — every join co-shuffles on the
+vertex key instead (parity asserted by
+tests/test_coloring.py::test_coloring_parity_without_broadcast_hints).
+Vertices still uncolored after
 ``rounds`` are reported undecided by contract (none remain at the
 test scales — validity and totality asserted in
 tests/test_coloring.py).
@@ -41,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from erkg_tutorials_spark.graph.hints import vhint
 from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
 # colors the bit-mask color chooser can express; the trade graph uses
@@ -90,14 +95,20 @@ def greedy_coloring(edges_sym: DataFrame, rounds: int = 10) -> DataFrame:
     verts = deg.select("id")
     uchain = CheckpointChain()
     unc = uchain(verts)
+    # one count over the (checkpointed) vertex set feeds every hint
+    # decision below: all broadcast state here (unc, pri, win, out) is
+    # bounded by |V|, so a single estimate covers the whole loop —
+    # above the hints.py threshold every join co-shuffles instead
+    n_verts = unc.count()
     out: DataFrame | None = None
     for _r in range(rounds):
         if unc.isEmpty():
             break
-        u_src = F.broadcast(unc.select(F.col("id").alias("src")))
-        u_dst = F.broadcast(unc.select(F.col("id").alias("dst")))
-        p_dst = F.broadcast(
-            pri.select(F.col("id").alias("dst"), F.col("p").alias("pd"))
+        u_src = vhint(unc.select(F.col("id").alias("src")), n_verts)
+        u_dst = vhint(unc.select(F.col("id").alias("dst")), n_verts)
+        p_dst = vhint(
+            pri.select(F.col("id").alias("dst"), F.col("p").alias("pd")),
+            n_verts,
         )
         nmin = (
             edges_sym.join(u_src, "src")
@@ -107,7 +118,7 @@ def greedy_coloring(edges_sym: DataFrame, rounds: int = 10) -> DataFrame:
             .agg(F.min("pd").alias("np"))
         )
         win = (
-            unc.join(F.broadcast(pri), "id")
+            unc.join(vhint(pri, n_verts), "id")
             .join(nmin, "id", "left")
             .where(F.col("np").isNull() | (F.col("p") < F.col("np")))
             .select("id")
@@ -115,14 +126,15 @@ def greedy_coloring(edges_sym: DataFrame, rounds: int = 10) -> DataFrame:
         if out is None:
             sel = win.withColumn("color", F.lit(0))
         else:
-            c_dst = F.broadcast(
+            c_dst = vhint(
                 out.select(
                     F.col("id").alias("dst"), F.col("color").alias("cd")
-                )
+                ),
+                n_verts,
             )
             mask = (
                 edges_sym.join(
-                    F.broadcast(win.select(F.col("id").alias("src"))),
+                    vhint(win.select(F.col("id").alias("src")), n_verts),
                     "src",
                 )
                 .join(c_dst, "dst")

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from erkg_tutorials_spark.graph.hints import vhint
 from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
 
@@ -65,7 +66,7 @@ def louvain_one_level(
     lbl = chain(lbl)
     for r in range(rounds):
         tot = (
-            F.broadcast(lbl).join(deg, lbl["id"] == deg["src"])
+            vhint(lbl).join(deg, lbl["id"] == deg["src"])
             .groupBy("lbl")
             .agg(F.sum("k").alias("tot"))
         )
@@ -76,7 +77,7 @@ def louvain_one_level(
         # drop the hint and co-shuffle on the vertex key (the
         # betweenness/SSSP trade-off).
         k_ic = (
-            edges.join(F.broadcast(lbl), edges["dst"] == lbl["id"])
+            edges.join(vhint(lbl), edges["dst"] == lbl["id"])
             .groupBy(edges["src"].alias("i"), F.col("lbl").alias("c"))
             .agg(F.count("*").alias("k_ic"))
         )
@@ -96,9 +97,9 @@ def louvain_one_level(
         cur = lbl.select(F.col("id").alias("i"), F.col("lbl").alias("cur"))
         d_i = deg.select(F.col("src").alias("i"), F.col("k").alias("k_i"))
         scored = (
-            cand.join(F.broadcast(cur), "i")
-            .join(F.broadcast(d_i), "i")
-            .join(F.broadcast(tot), cand["c"] == tot["lbl"])
+            cand.join(vhint(cur), "i")
+            .join(vhint(d_i), "i")
+            .join(vhint(tot), cand["c"] == tot["lbl"])
             .select(
                 "i",
                 "c",
@@ -141,15 +142,15 @@ def community_summary(edges: DataFrame, lbl: DataFrame, m2: int) -> DataFrame:
     hashable)."""
     deg = edges.groupBy("src").agg(F.count("*").alias("k"))
     base = (
-        F.broadcast(lbl).join(deg, lbl["id"] == deg["src"])
+        vhint(lbl).join(deg, lbl["id"] == deg["src"])
         .groupBy("lbl")
         .agg(F.count("*").alias("n_members"), F.sum("k").alias("tot_degree"))
     )
     a = lbl.select(F.col("id").alias("_a"), F.col("lbl").alias("_la"))
     b = lbl.select(F.col("id").alias("_b"), F.col("lbl").alias("_lb"))
     in_sym = (
-        edges.join(F.broadcast(a), edges["src"] == F.col("_a"))
-        .join(F.broadcast(b), edges["dst"] == F.col("_b"))
+        edges.join(vhint(a), edges["src"] == F.col("_a"))
+        .join(vhint(b), edges["dst"] == F.col("_b"))
         .where(F.col("_la") == F.col("_lb"))
         .groupBy(F.col("_la").alias("lbl"))
         .agg(F.count("*").alias("in_sym"))
@@ -179,15 +180,15 @@ def weighted_community_summary(
     BIGINT when ``w`` is integral (trade counts are)."""
     deg = wedges.groupBy("src").agg(F.sum("w").alias("k"))
     base = (
-        F.broadcast(lbl).join(deg, lbl["id"] == deg["src"])
+        vhint(lbl).join(deg, lbl["id"] == deg["src"])
         .groupBy("lbl")
         .agg(F.count("*").alias("n_members"), F.sum("k").alias("tot_degree"))
     )
     a = lbl.select(F.col("id").alias("_a"), F.col("lbl").alias("_la"))
     b = lbl.select(F.col("id").alias("_b"), F.col("lbl").alias("_lb"))
     in_sym = (
-        wedges.join(F.broadcast(a), wedges["src"] == F.col("_a"))
-        .join(F.broadcast(b), wedges["dst"] == F.col("_b"))
+        wedges.join(vhint(a), wedges["src"] == F.col("_a"))
+        .join(vhint(b), wedges["dst"] == F.col("_b"))
         .where(F.col("_la") == F.col("_lb"))
         .groupBy(F.col("_la").alias("lbl"))
         .agg(F.sum("w").alias("in_sym"))
@@ -246,7 +247,7 @@ def louvain_weighted_level(
         # to any candidate community)
         k_ic = (
             wedges.where(F.col("src") != F.col("dst"))
-            .join(F.broadcast(lbl), wedges["dst"] == lbl["id"])
+            .join(vhint(lbl), wedges["dst"] == lbl["id"])
             .groupBy(wedges["src"].alias("i"), F.col("lbl").alias("c"))
             .agg(F.sum("w").alias("k_ic"))
         )
@@ -264,9 +265,9 @@ def louvain_weighted_level(
         cur = lbl.select(F.col("id").alias("i"), F.col("lbl").alias("cur"))
         d_i = deg.select(F.col("src").alias("i"), F.col("k").alias("k_i"))
         scored = (
-            cand.join(F.broadcast(cur), "i")
-            .join(F.broadcast(d_i), "i")
-            .join(F.broadcast(tot), cand["c"] == tot["lbl"])
+            cand.join(vhint(cur), "i")
+            .join(vhint(d_i), "i")
+            .join(vhint(tot), cand["c"] == tot["lbl"])
             .select(
                 "i",
                 "c",

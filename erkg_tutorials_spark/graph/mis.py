@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from erkg_tutorials_spark.graph.hints import vhint
 from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
 
@@ -54,9 +55,9 @@ def luby_mis(edges_sym: DataFrame, rounds: int = 6) -> DataFrame:
         # (its remaining sel CTEs are empty), without the jobs
         if act.isEmpty():
             break
-        a_src = F.broadcast(act.select(F.col("id").alias("src")))
-        a_dst = F.broadcast(act.select(F.col("id").alias("dst")))
-        p_dst = F.broadcast(
+        a_src = vhint(act.select(F.col("id").alias("src")))
+        a_dst = vhint(act.select(F.col("id").alias("dst")))
+        p_dst = vhint(
             pri.select(F.col("id").alias("dst"), F.col("p").alias("pd"))
         )
         nmin = (
@@ -67,7 +68,7 @@ def luby_mis(edges_sym: DataFrame, rounds: int = 6) -> DataFrame:
             .agg(F.min("pd").alias("nmin"))
         )
         sel = (
-            act.join(F.broadcast(pri), "id")
+            act.join(vhint(pri), "id")
             .join(nmin, "id", "left")
             .where(F.col("nmin").isNull() | (F.col("p") < F.col("nmin")))
             .select("id")
@@ -77,7 +78,7 @@ def luby_mis(edges_sym: DataFrame, rounds: int = 6) -> DataFrame:
         out = pk if out is None else out.unionByName(pk)
         rem = (
             edges_sym.join(
-                F.broadcast(sel.select(F.col("id").alias("src"))), "src"
+                vhint(sel.select(F.col("id").alias("src"))), "src"
             )
             .select(F.col("dst").alias("id"))
             .distinct()

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from erkg_tutorials_spark.graph.hints import vhint
 from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
 
@@ -62,10 +63,10 @@ def boruvka_forest(
     comp = chain(comp)
     picked: DataFrame | None = None
     for r in range(rounds):
-        ca = F.broadcast(
+        ca = vhint(
             comp.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
         )
-        cb = F.broadcast(
+        cb = vhint(
             comp.select(F.col("id").alias("dst"), F.col("comp").alias("cb"))
         )
         ce = e.join(ca, "src").join(cb, "dst").where(F.col("ca") != F.col("cb"))
@@ -91,7 +92,7 @@ def boruvka_forest(
         picked = pk if picked is None else picked.unionByName(pk)
         comps = comp.select(F.col("comp").alias("c")).distinct()
         p = comps.join(
-            F.broadcast(
+            vhint(
                 ch.select(F.col("ca").alias("c"), F.col("cb").alias("pt"))
             ),
             "c",
@@ -100,7 +101,7 @@ def boruvka_forest(
         # break the mutual-min 2-cycles: the lexicographically smaller
         # component of a (c ⇄ p) pair becomes the root
         p2 = p.select(F.col("c").alias("p"), F.col("p").alias("pp"))
-        p = p.join(F.broadcast(p2), "p", "left").select(
+        p = p.join(vhint(p2), "p", "left").select(
             "c",
             F.when(
                 (F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")),
@@ -119,13 +120,13 @@ def boruvka_forest(
         for _ in range(jumps):
             pj = p.select(F.col("c").alias("pk_"), F.col("p").alias("pn"))
             p = pchain(
-                p.join(F.broadcast(pj), F.col("p") == F.col("pk_")).select(
+                p.join(vhint(pj), F.col("p") == F.col("pk_")).select(
                     "c", F.col("pn").alias("p")
                 )
             )
         comp = chain(
             comp.join(
-                F.broadcast(p.select(F.col("c").alias("comp"), "p")), "comp"
+                vhint(p.select(F.col("c").alias("comp"), "p")), "comp"
             ).select("id", F.col("p").alias("comp"))
         )
     if picked is None:  # edgeless input: empty forest, same schema

@@ -37,6 +37,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from erkg_tutorials_spark.graph.hints import vhint
+
 
 def node2vec_walks(
     edges: DataFrame,
@@ -62,7 +64,7 @@ def node2vec_walks(
     cur = w0
     for step in range(1, walk_length + 1):
         nxt = (
-            F.broadcast(cur)
+            vhint(cur)
             .join(edges, cur["vertex"] == edges["src"])
             .where(F.col("prev").isNull() | (F.col("dst") != F.col("prev")))
             .groupBy("walk_key")

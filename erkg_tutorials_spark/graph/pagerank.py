@@ -106,16 +106,20 @@ def pagerank(
         if weight:
             # GDS relationshipWeight semantics: a neighbor's share of
             # the rank is its edge weight over the source's total
-            # weight; ``share`` is loop-invariant, computed once here
-            out_deg = e.groupBy(*ns, "src").agg(
+            # weight. GDS requires positive weights — null/zero/negative
+            # edges are dropped here, so a vertex whose every out-edge
+            # is non-positive carries no transition and falls into the
+            # danglers set via the anti-join below (rather than
+            # propagating NaN ranks). w and w_total are BOTH kept on
+            # the edge table: the loop evaluates (rank*w)/w_total —
+            # the oracle's exact expression tree — not a precomputed
+            # share (the ulp-level divergence per edge would compound
+            # over the iterations).
+            e_pos = e.filter(F.col("w") > 0)
+            out_deg = e_pos.groupBy(*ns, "src").agg(
                 F.sum("w").alias("w_total")
             )
-            e_deg = (
-                e.join(out_deg, ns + ["src"])
-                .withColumn("share", F.col("w") / F.col("w_total"))
-                .drop("w", "w_total")
-                .cache()
-            )
+            e_deg = e_pos.join(out_deg, ns + ["src"]).cache()
         else:
             out_deg = e.groupBy(*ns, "src").agg(
                 F.count("*").alias("out_deg")
@@ -166,7 +170,13 @@ def pagerank(
     # table is the full token×doc set and may exceed broadcast limits —
     # but callers ranking a bounded doc set can opt in.
     if broadcast_ranks is None:
-        broadcast_ranks = not ns
+        # default follows the family-wide hint knob (graph/hints.py):
+        # force-disabled hints co-shuffle the rank⋈edges join on the
+        # vertex key instead (an explicit broadcast_ranks=True from
+        # the caller still wins — it is API, not a default)
+        from erkg_tutorials_spark.graph.hints import hints_enabled
+
+        broadcast_ranks = (not ns) and hints_enabled()
     bcast = (lambda df: F.broadcast(df)) if broadcast_ranks else (lambda df: df)
 
     spark = edges.sparkSession
@@ -214,8 +224,8 @@ def _pagerank_loop(
     for i in range(max_iter):
         r_src = ranks.select(*ns, F.col("id").alias("src"), "rank")
         per_edge = (
-            (F.col("rank") * F.col("share"))
-            if "share" in e_deg.columns
+            ((F.col("rank") * F.col("w")) / F.col("w_total"))
+            if "w_total" in e_deg.columns
             else (F.col("rank") / F.col("out_deg"))
         )
         contribs = (

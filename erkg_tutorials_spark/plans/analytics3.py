@@ -131,8 +131,11 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-doc rarest-first prefix: first n - ceil(tau*n) + 1 tokens.
     # ceil(tau*n) computed in integers: (n*NUM + DEN - 1) div DEN.
+    # ``pos`` is the token's rank over the doc's FULL sorted set (the
+    # positional filter below needs absolute positions, not
+    # prefix-relative ones).
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    prefix = (
+    pref = (
         sh.join(dfreq, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "doc_id")
@@ -145,19 +148,49 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 1
         )
-        .select(F.col("doc_id").alias("ia"), F.col("n").alias("na"), "shingle")
+        .select("doc_id", "n", "shingle", "pos")
     )
-    full = sh.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("ib"), F.col("n").alias("nb"), "shingle"
+    # PPJoin (r9 VERDICT item 5): candidates come from a PREFIX ×
+    # PREFIX self-join, not prefix × full-token-set. Completeness: for
+    # a qualifying pair with |A| <= |B|, o >= ceil(tau*|B|) =: alpha
+    # (derivation above), and the AllPairs lemma says the prefixes of
+    # length |A|-alpha+1 and |B|-alpha+1 share a token; each side's
+    # own n-ceil(tau*n)+1 prefix is a superset of that (alpha >=
+    # ceil(tau*n) on both). Halves the candidate-join shuffle at
+    # tau=1/2 — the suffix tokens never leave the scan.
+    a = pref.select(
+        F.col("doc_id").alias("ia"),
+        F.col("n").alias("na"),
+        "shingle",
+        F.col("pos").alias("pa"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("ib"),
+        F.col("n").alias("nb"),
+        "shingle",
+        F.col("pos").alias("pb"),
     )
     cand = (
-        prefix.join(full, "shingle")
+        a.join(b, "shingle")
         .where(
             (F.col("na") < F.col("nb"))
             | ((F.col("na") == F.col("nb")) & (F.col("ia") < F.col("ib")))
         )
-        # size bound: tau*|B| <= |A|
+        # length filter: tau*|B| <= |A|
         .where(F.col("nb") * SIMJOIN_TAU_NUM <= F.col("na") * SIMJOIN_TAU_DEN)
+        # positional filter (PPJoin): a common token at sorted
+        # positions (pa, pb) caps the overlap at
+        # 1 + min(na - pa, nb - pb) when it is the pair's FIRST common
+        # token (all later common tokens sit after it on both sides);
+        # the pair qualifies only if o*(DEN+NUM) >= NUM*(na+nb), so a
+        # row failing that bound cannot be the first-common-token row
+        # of a qualifying pair. Integer-exact, ANY-row-survives
+        # semantics via the distinct() below.
+        .where(
+            (1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")))
+            * (SIMJOIN_TAU_DEN + SIMJOIN_TAU_NUM)
+            >= SIMJOIN_TAU_NUM * (F.col("na") + F.col("nb"))
+        )
         .select("ia", "ib", "na", "nb")
         .distinct()
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.catalog import load_tables
 from erkg_tutorials_spark.graph.khop import k_hop_labeled
+from erkg_tutorials_spark.graph.hints import vhint
 from erkg_tutorials_spark.plans.oracle_pr import (
     cc_label_prop_sql,
     pagerank_iterations_sql,
@@ -976,13 +977,13 @@ def clustering_from_edges(
     if not has_hubs:
         per_edge = (
             pp.join(
-                F.broadcast(
+                vhint(
                     nbrs.select(F.col("id").alias("u"), F.col("ns").alias("nu"))
                 ),
                 "u",
             )
             .join(
-                F.broadcast(
+                vhint(
                     nbrs.select(F.col("id").alias("v"), F.col("ns").alias("nv"))
                 ),
                 "v",
@@ -999,13 +1000,13 @@ def clustering_from_edges(
         # both classifies the edge (null ⇒ hub endpoint) and delivers
         # the arrays
         tagged = pp.join(
-            F.broadcast(
+            vhint(
                 small.select(F.col("id").alias("u"), F.col("ns").alias("nu"))
             ),
             "u",
             "left",
         ).join(
-            F.broadcast(
+            vhint(
                 small.select(F.col("id").alias("v"), F.col("ns").alias("nv"))
             ),
             "v",
@@ -1295,7 +1296,7 @@ def g_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round's only exchange. At a scale where the frontier
         # outgrows broadcast, drop the hint and both sides co-shuffle
         # on the vertex key — still one exchange per round per side.
-        relaxed = F.broadcast(frontier).join(
+        relaxed = vhint(frontier).join(
             wedges, frontier.id == wedges.src
         ).select(
             F.col("dst").alias("id"),
@@ -1303,7 +1304,7 @@ def g_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand = relaxed.groupBy("id").agg(F.min("cand_cost").alias("cand_cost"))
         improved = (
-            cand.join(F.broadcast(dist), "id", "left_outer")
+            cand.join(vhint(dist), "id", "left_outer")
             .where(F.col("cost").isNull() | (F.col("cand_cost") < F.col("cost")))
             .select("id", F.col("cand_cost").alias("cost"))
         )
@@ -1904,7 +1905,7 @@ def g_katz_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = chain(x)
     for _ in range(KATZ_ITERS):
         contrib = (
-            F.broadcast(x.select(F.col("id").alias("src"), "x"))
+            vhint(x.select(F.col("id").alias("src"), "x"))
             .join(edges, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("x").alias("c"))
@@ -1993,7 +1994,7 @@ def g_eigenvector_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = chain(x)
     for _ in range(EIGEN_ITERS):
         contrib = (
-            F.broadcast(x.select(F.col("id").alias("src"), "x"))
+            vhint(x.select(F.col("id").alias("src"), "x"))
             .join(edges, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("x").alias("c"))

@@ -14,6 +14,7 @@ from erkg_tutorials_spark.graph.coloring import (
 )
 from erkg_tutorials_spark.graph.mis import luby_mis, luby_mis_sql
 from erkg_tutorials_spark.graph.mst import boruvka_forest, boruvka_forest_sql
+from erkg_tutorials_spark.graph.hints import vhint
 from erkg_tutorials_spark.plans.graphq import (
     _SYM_EDGES_CTE,
     _WSYM_EDGES_CTE,
@@ -285,7 +286,7 @@ def _bfs(edges: DataFrame, src_1row: DataFrame, rounds: int) -> DataFrame:
             break
         nxt = (
             edges.join(
-                F.broadcast(frontier.select(F.col("id").alias("src"))),
+                vhint(frontier.select(F.col("id").alias("src"))),
                 "src",
             )
             .select(F.col("dst").alias("id"))

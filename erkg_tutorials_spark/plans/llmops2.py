@@ -966,18 +966,27 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("long").alias("ss"),
     )
     w_ppm = F.round(F.col("s") * 1000000.0 / F.col("ss"), 0).cast("long")
-    target = (
-        (F.lit(MIX_TAU_BUDGET_X) * F.col("nn") * w_ppm) / F.lit(1000000)
-    ).cast("long")
-    return sq.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.col("n_tokens") * 1000000.0 / F.col("nn"), 0)
-        .cast("long")
-        .alias("p_raw_ppm"),
-        w_ppm.alias("w_ppm"),
-        target.alias("tokens_target"),
-        (target * 1000 / F.col("n_tokens")).cast("long")
-        .alias("epochs_x1000"),
+    # integer `div`, not double `/` + cast: the numerator 2*nn*w_ppm
+    # exceeds 2^53 long before BIGINT overflows, so only exact integral
+    # division keeps the Spark side bit-identical to DuckDB's `//` at
+    # any corpus magnitude
+    return (
+        sq.crossJoin(F.broadcast(tot))
+        .withColumn("w_ppm", w_ppm)
+        .withColumn(
+            "tokens_target",
+            F.expr(f"({MIX_TAU_BUDGET_X}L * nn * w_ppm) div 1000000L"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") * 1000000.0 / F.col("nn"), 0)
+            .cast("long")
+            .alias("p_raw_ppm"),
+            "w_ppm",
+            "tokens_target",
+            F.expr("(tokens_target * 1000L) div n_tokens")
+            .alias("epochs_x1000"),
+        )
     )

@@ -8,7 +8,6 @@ from erkg_tutorials_spark.plans import (
     analytics,
     analytics2,
     analytics3,
-    privacyq,
     coverage,
     coverage2,
     eventsq,

@@ -156,10 +156,10 @@ SHOWCASE = [
     ),
     (
         "split_neardup_leakage",
-        "Cross-split leakage (r9): the memoized LSH pair table joins two "
-        "broadcast (doc_id, split) projections; the split key is scan-side "
-        "hash arithmetic, so the only corpus-scale work remains the "
-        "memoized pair build.",
+        "Cross-split leakage (r9): split coins are computed as a pure "
+        "projection on the memoized LSH pair table (scan-side hash "
+        "arithmetic, no join at all), so the only corpus-scale work "
+        "remains the memoized pair build.",
     ),
     (
         "hardneg_mining",
