@@ -45,6 +45,12 @@ def _compact_summary(result: dict, here: str, rnd: int) -> dict:
             geomean_vs_prev = round(
                 math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
             )
+    drift = (result.get("control") or {}).get("drift_geomean")
+    corrected = (
+        round(geomean_vs_prev / drift, 3)
+        if geomean_vs_prev and drift
+        else None
+    )
     return {
         "metric": "headline_suite_total",
         "value": result["value"],
@@ -52,6 +58,11 @@ def _compact_summary(result: dict, here: str, rnd: int) -> dict:
         "sf": result["sf"],
         "n_queries": len(timings),
         "geomean_vs_prev_round": geomean_vs_prev,
+        # drift-corrected cross-round ratio (r9 VERDICT item 6): raw
+        # geomean divided by the frozen-control drift measured in the
+        # same session — the host-drift-free round-over-round signal
+        "control_drift_geomean": drift,
+        "geomean_vs_prev_corrected": corrected,
         "queries": slowest,
         "full_artifact": f"BENCH_LOCAL_r{rnd:02d}.json",
     }
@@ -372,6 +383,122 @@ GRAPH_QUERIES = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Paired-control protocol (r9 VERDICT item 6): cross-round geomeans
+# are confounded by ambient host drift (SCALING.md "Bench variance":
+# unchanged code reproduces ~1.2x swings across sessions). Each bench
+# run therefore also times a FROZEN control commit — a detached git
+# worktree of the r9 tag — on a 10-query panel in the same host
+# state, immediately after the suite. The drift estimate is
+# geomean(control_now / control_recorded_in_r9); the corrected
+# cross-round ratio divides it out. The panel mixes the classes drift
+# hits differently: scan-light relational, sub-second ambient-class,
+# and the barrier-heavy iterative graph family where drift
+# concentrates. Controls run best-of-2 after the same shared-build
+# warm-up protocol the recorded r9 numbers had.
+#
+# When CONTROL_COMMIT is rotated forward, CONTROL_BASELINE must
+# rotate with it — the baseline is the recording made by the control
+# commit's own code in its own round.
+# ---------------------------------------------------------------------------
+CONTROL_COMMIT = "e45c398cf8d161dd839e04148793cbc668ab56d5"  # round 9 final
+CONTROL_BASELINE = "BENCH_LOCAL_r09.json"
+CONTROL_WORKTREE = "/tmp/erkg_ctrl_r9"
+CONTROL_PANEL = [
+    "q1_pricing_summary",
+    "events_sessionize",
+    "dedup_clusters",
+    "knn_cosine_bruteforce",
+    "merge_upsert_orders",
+    "session_top_paths",
+    "g5_pagerank_top20",
+    "g_mst_forest",
+    "g_mis_luby",
+    "g_kcore",
+]
+
+_CONTROL_SCRIPT = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from erkg_tutorials_spark.session import get_spark
+from erkg_tutorials_spark.plans.registry import QUERIES
+sf_dir = sys.argv[1]
+panel = sys.argv[2:]
+spark = get_spark("erkg-bench-control", extra_conf={"spark.ui.enabled": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(1000).selectExpr("sum(id)").collect()
+from erkg_tutorials_spark.catalog import TABLES, load_tables
+cat = load_tables(spark, sf_dir)
+for t in TABLES:
+    cat[t].count()
+from erkg_tutorials_spark.plans.graphq import (
+    trade_edges_fwd, trade_graph_invariants,
+)
+from erkg_tutorials_spark.plans.textq import minhash_pairs_cached
+trade_edges_fwd(spark, sf_dir).count()
+for df in trade_graph_invariants(spark, sf_dir):
+    df.count()
+minhash_pairs_cached(spark, sf_dir).count()
+timings = {}
+for name in panel:
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    timings[name] = round(min(runs), 3)
+print("CONTROL_JSON:" + json.dumps(timings))
+spark.stop()
+"""
+
+
+def _run_control(here: str, sf_dir: str) -> dict | None:
+    """Time the frozen control commit's panel in this host state;
+    returns {"queries": ..., "drift_geomean": ...} or None if the
+    worktree / subprocess / baseline is unavailable (the artifact
+    then records control=null rather than failing the bench)."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_NO_CONTROL"):
+        return None
+    try:
+        if not os.path.isdir(os.path.join(CONTROL_WORKTREE, "erkg_tutorials_spark")):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", CONTROL_WORKTREE,
+                 CONTROL_COMMIT],
+                cwd=here, check=True, capture_output=True, text=True,
+            )
+        proc = subprocess.run(
+            [sys.executable, "-c", _CONTROL_SCRIPT, sf_dir, *CONTROL_PANEL],
+            cwd=CONTROL_WORKTREE, capture_output=True, text=True,
+            timeout=1800,
+        )
+        line = next(
+            ln for ln in proc.stdout.splitlines()
+            if ln.startswith("CONTROL_JSON:")
+        )
+        now = json.loads(line[len("CONTROL_JSON:"):])
+        with open(os.path.join(here, CONTROL_BASELINE)) as fh:
+            base = json.load(fh)["queries"]
+        ratios = [
+            now[q] / base[q]
+            for q in CONTROL_PANEL
+            if q in now and base.get(q, 0) > 0 and now[q] > 0
+        ]
+        drift = round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+        ) if ratios else None
+        return {
+            "commit": CONTROL_COMMIT,
+            "baseline": CONTROL_BASELINE,
+            "queries": now,
+            "drift_geomean": drift,
+        }
+    except Exception as exc:  # noqa: BLE001 - diagnostic, not fatal
+        print(f"control bench unavailable: {exc}", file=sys.stderr)
+        return None
+
+
 HUB_DEG = 8192  # synthetic hub degree: 4x CLUSTERING_DEG_CAP
 
 
@@ -549,6 +676,9 @@ def main() -> None:
     # with BENCH_r01..05 (which had no hub entries).
     hub_timings, hub_spread = _bench_hub_clustering(spark, sf_dir)
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    control = _run_control(here, sf_dir)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_total",
@@ -557,6 +687,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "microbench": {"queries": hub_timings, "spread": hub_spread},
+        "control": control,
         "sf": sf,
     }
     # Persist the COMPLETE artifact in-repo: the driver's capture
@@ -564,7 +695,6 @@ def main() -> None:
     # half of the per-query dict in BENCH_r05..r08.json.
     # Round number = 1 + the highest committed driver artifact, unless
     # pinned via SPARK_GRAFT_ROUND.
-    here = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1))
         for f in os.listdir(here)

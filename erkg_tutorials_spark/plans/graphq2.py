@@ -204,6 +204,68 @@ def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r10 (r9 VERDICT item 7): the PRODUCTION shape of incremental
+# PageRank. g_pagerank_incremental recomputes its converged base every
+# run; a real deployment persists the converged rank vector and serves
+# each maintenance batch off the persisted state. Here the base ranks
+# are committed ONCE per dataset as a versioned lakehouse table
+# (lakehouse/versioned.py — manifest-pinned snapshot, time-travelable,
+# vacuum-safe), and the composed query reads them back as the warm
+# start for the 3 maintenance iterations. The parquet round-trip
+# preserves IEEE-754 doubles bit-exactly, so the composition is
+# bit-identical to the recompute-every-time query and SHARES its
+# oracle string verbatim (the dedup_flood_clusters device). The
+# persisted table is the graph↔lakehouse integration the two tiers
+# were built for: rank state at version N is a reproducible snapshot
+# (tests/test_versioned_pr.py time-travels it).
+#
+# Scale: the maintenance run's cost is 3 iterations + one |V|-row
+# parquet scan — the base's 6-iteration chain amortizes across every
+# batch served from the table, and each batch can commit its refreshed
+# ranks as version N+1 (append-only history, old versions vacuumable).
+# ---------------------------------------------------------------------------
+@register("g_pagerank_warmstart_lakehouse", _incr_pr_oracle())
+def g_pagerank_warmstart_lakehouse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental PageRank served from PERSISTED base ranks: converged pre-cutoff ranks live in a versioned lakehouse table; maintenance reads them back as the warm start."""
+    from pyspark.sql import functions as F
+
+    from erkg_tutorials_spark.graph.pagerank import pagerank
+    from erkg_tutorials_spark.lakehouse.versioned import (
+        ConcurrentCommitError,
+        committed_versions,
+        read_version,
+        write_version,
+    )
+    from erkg_tutorials_spark.plans.graphq import trade_graph_invariants
+    from erkg_tutorials_spark.plans.lakeops import _versioned_root
+
+    root = _versioned_root(sf_dir, "prbase", evict=True)
+    if not committed_versions(root):
+        base = dated_trade_edges_sym(spark, sf_dir, PR_CUTOFF)
+        try:
+            write_version(
+                pagerank(base, max_iter=PR_BASE_ITERS),
+                root,
+                mode="overwrite",
+            )
+        except ConcurrentCommitError:
+            pass  # a racing run committed the identical base; read it
+    ranks = pagerank(
+        trade_edges_sym(spark, sf_dir),
+        max_iter=PR_DELTA_ITERS,
+        pre=trade_graph_invariants(spark, sf_dir),
+        init_ranks=read_version(spark, root),
+    )
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Diameter lower bound via the classic double-BFS sweep: BFS from a
 # hash-picked start, then BFS from the farthest vertex found — the
 # second eccentricity is the standard tight diameter lower bound

@@ -41,7 +41,10 @@ from erkg_tutorials_spark.similarity.knn import _as_double, _dot
 
 PQ_M = 8          # subspaces (64-dim testdata embeddings → 8 dims each)
 PQ_SUBDIM = 8
-PQ_KSUB = 16      # codebook size per subspace
+PQ_KSUB = 64      # codebook size per subspace (r9 VERDICT item 4:
+                  # 16 capped recall at 0.59 @ rerank=100; 64 entries
+                  # per 8-dim subspace is the FAISS-typical density
+                  # the oracle replay can still afford)
 PQ_ITERS = 2      # Lloyd rounds (deterministic, replayed by the oracle)
 ADC_SCALE = 1_000_000  # partial-dot integer scaling (6dp, matches ROUND(...,6))
 

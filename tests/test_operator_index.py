@@ -85,3 +85,27 @@ def test_sf01_sweep_artifact_consistent():
         "run python tools/gen_sf01_sweep.py"
     )
     assert n_pass_header == len(QUERIES), "sweep incomplete vs registry"
+
+
+def test_10x_sweep_artifact_consistent():
+    """CORRECTNESS_10X.md (r9 VERDICT item 1: the full-registry sweep
+    over the combined key-shifted 10x build) must be one continuous
+    run with header == PASS-body and zero FAILs. Unlike the sf0.1
+    artifact it pins its own recorded total rather than the live
+    registry size — the hours-long sweep is regenerated per round,
+    and a registry added to since then shows up as header < registry
+    in the artifact text, not as a silently-edited body."""
+    import re
+
+    from tools.gen_10x_sweep import HEADER_RE, OUT as SWEEP_OUT
+
+    with open(SWEEP_OUT) as fh:
+        text = fh.read()
+    m = HEADER_RE.search(text)
+    assert m, "CORRECTNESS_10X.md header missing; run tools/gen_10x_sweep.py"
+    n_pass_header, n_total_header = int(m.group(1)), int(m.group(2))
+    pass_lines = re.findall(r"(?m)^PASS ", text)
+    fail_lines = re.findall(r"(?m)^FAIL ", text)
+    assert not fail_lines, "10x sweep artifact records FAILs"
+    assert n_pass_header == len(pass_lines), "header/body disagree"
+    assert n_pass_header == n_total_header, "10x sweep recorded non-PASS rows"

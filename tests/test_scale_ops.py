@@ -421,14 +421,27 @@ class TestSrpEmbeddingLsh:
 
 
 class TestAnnRecall:
-    """r8 VERDICT item 2: recall@10 floors for the approximate tiers
-    against brute force on the real sf0.01 embeddings, plus the
-    monotone-in-work invariant. Measured values (SCALING.md "ANN
-    recall@10"): ivf@4=0.782, sq8@50=0.990, pq@100=0.832,
-    ivfpq@4/50=0.594 — floors sit comfortably below so ambient churn
-    in testdata regeneration doesn't flake, while a real regression
-    in k-means routing / coarse quantization / rerank plumbing
-    (the machinery the floors exercise end to end) still fails."""
+    """r8 VERDICT item 2 + r9 item 4: recall@10 floors for the
+    approximate tiers against brute force on the real sf0.01
+    embeddings, plus the monotone-in-work invariant.
+
+    r10 re-measured with sqrt(N) cells (KMEANS_K 8→45), nprobe=4,
+    PQ_KSUB 16→64 (SCALING.md "ANN recall@10"): pq@100=0.934 (was
+    0.59-capped by the 16-entry codebooks), sq8@50=0.990,
+    ivfpq@4/50=0.418, ivf@4=0.418. The IVF numbers look LOWER than
+    r9's 8-cell table because the old nprobe=4-of-8 scanned half the
+    corpus; with 45 cells nprobe=4 scans ~9%. The corpus itself is
+    the binding cap: the synthetic embeddings are isotropic (measured
+    mean same-label cosine 1.8e-5 vs cross-label 1.3e-5 — no cluster
+    structure at all), and on isotropic data cell membership carries
+    limited information about the true top-k, so recall at a fixed
+    scan fraction f has a hard data ceiling (measured lift over
+    random-scan ~4.5x: 0.42 recall at f=0.089). The IVF floors are
+    therefore LIFT floors — recall must beat 3x the scanned fraction
+    — plus the absolute floor the measurement supports; on a
+    clustered real-world corpus the same machinery's recall rises
+    with no code change (the routing/rerank plumbing is what these
+    gates exercise)."""
 
     @pytest.fixture(scope="class")
     def recalls(self, spark):
@@ -444,10 +457,15 @@ class TestAnnRecall:
         )
 
     def test_ann_recall_floors(self, recalls):
-        assert recalls["ivf nprobe=4"] >= 0.65
+        from erkg_tutorials_spark.plans.vectorq import IVF_NPROBE, KMEANS_K
+
+        scan_frac = IVF_NPROBE / KMEANS_K  # ~0.089 at 4-of-45
+        assert recalls["ivf nprobe=4"] >= 0.30
+        assert recalls["ivf nprobe=4"] >= 3.0 * scan_frac  # lift gate
         assert recalls["sq8 cand=50"] >= 0.90
-        assert recalls["pq rerank=100"] >= 0.70
-        assert recalls["ivfpq nprobe=4 rerank=50"] >= 0.45
+        assert recalls["pq rerank=100"] >= 0.85
+        assert recalls["ivfpq nprobe=4 rerank=50"] >= 0.30
+        assert recalls["ivfpq nprobe=4 rerank=50"] >= 3.0 * scan_frac
 
     def test_ann_recall_monotone_in_work(self, recalls):
         assert recalls["ivf nprobe=4"] >= recalls["ivf nprobe=1"]
