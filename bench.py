@@ -342,6 +342,10 @@ HEADLINE = [
     "g_pagerank_weighted",
     "dedup_substring_spans",
     "approx_quantiles_histogram",
+    # round-10: persisted warm-start PageRank (maintenance served off
+    # the versioned rank table) + BPE encode-side fertility stats
+    "g_pagerank_warmstart_lakehouse",
+    "bpe_encode_fertility",
 ]
 
 # The iterative graph family: spread ([best, worst]) is recorded for

@@ -289,6 +289,118 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE encode-side stats (r10): tokenizer FERTILITY — the
+# tokens-per-word and chars-per-token ratios per source after the
+# learned merges are applied. The apply side of bpe_train_merges:
+# a training-data pipeline budgets token counts (and catches
+# vocabulary-hostile sources — code, non-Latin scripts, boilerplate)
+# from exactly this table before shard building.
+#
+# The encode itself costs nothing beyond training here: the final
+# training state IS the corpus vocabulary's symbolization, so
+# per-word token counts are a COUNT over it, and the corpus pass is
+# one explode + (source, word) groupBy joined against the
+# |vocabulary|-row counts table. At 100 TB the vocab join is the
+# standard dim join (broadcast when it fits, AQE shuffle otherwise);
+# the corpus is touched once. All ratios are exact integer `div`
+# x1000 — no float anywhere.
+# ---------------------------------------------------------------------------
+def _bpe_fertility_oracle() -> str:
+    from erkg_tutorials_spark.text.bpe import bpe_iterations_sql
+
+    return (
+        """
+    WITH words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+      ) WHERE len(word) > 0 GROUP BY 1
+    ),"""
+        + bpe_iterations_sql(n_merges=BPE_MERGES)
+        + f""",
+    nsyms AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+      FROM s{BPE_MERGES} GROUP BY word
+    ),
+    docw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS occ FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+      ) WHERE len(word) > 0 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT d.source,
+             CAST(SUM(d.occ) AS BIGINT) AS words,
+             CAST(SUM(d.occ * n.n_syms) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(d.occ * len(d.word)) AS BIGINT) AS chars
+      FROM docw d JOIN nsyms n USING (word) GROUP BY 1
+    ),
+    nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT a.source, nd.n_docs, a.words, a.bpe_tokens, a.chars,
+           (a.bpe_tokens * 1000) // a.words AS fertility_x1000,
+           (a.chars * 1000) // a.bpe_tokens AS chars_per_token_x1000
+    FROM agg a JOIN nd USING (source)
+    """
+    )
+
+
+@register("bpe_encode_fertility", _bpe_fertility_oracle())
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility under the corpus's own learned BPE merges: words, BPE tokens, chars, and the x1000 integer ratios."""
+    from erkg_tutorials_spark.plans.memo import memoized
+    from erkg_tutorials_spark.text.bpe import bpe_train, word_freqs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    state = memoized(
+        spark,
+        sf_dir,
+        "bpe_final_state",
+        lambda: bpe_train(word_freqs(docs), n_merges=BPE_MERGES)[1],
+    )
+    nsyms = state.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_syms")
+    )
+    docw = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .where(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("occ"))
+    )
+    agg = (
+        docw.join(nsyms, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").cast("long").alias("words"),
+            F.sum(F.col("occ") * F.col("n_syms"))
+            .cast("long")
+            .alias("bpe_tokens"),
+            F.sum(F.col("occ") * F.length("word"))
+            .cast("long")
+            .alias("chars"),
+        )
+    )
+    nd = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return agg.join(nd, "source").select(
+        "source",
+        "n_docs",
+        "words",
+        "bpe_tokens",
+        "chars",
+        F.expr("(bpe_tokens * 1000L) div words").alias("fertility_x1000"),
+        F.expr("(chars * 1000L) div bpe_tokens").alias(
+            "chars_per_token_x1000"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-document perplexity under the corpus's own bigram MLE LM — the
 # quality-filtering signal a training-data pipeline computes for every
 # document (CCNet / Gopher-style, with the LM trained in-engine).
