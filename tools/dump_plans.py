@@ -169,6 +169,28 @@ SHOWCASE = [
         "fold, and the label filter prunes before the per-query top-k "
         "window.",
     ),
+    (
+        "simjoin_prefix_filter",
+        "PPJoin (r10): candidates come from a prefix x prefix self-join "
+        "(each side ships only its n-ceil(tau*n)+1 rarest tokens) with "
+        "the integer-exact positional filter applied inside the join "
+        "stage - the suffix tokens never reach an exchange; the verify "
+        "join touches only surviving pairs.",
+    ),
+    (
+        "g_pagerank_warmstart_lakehouse",
+        "Persisted warm-start PageRank (r10): the visible plan reads the "
+        "versioned rank snapshot (manifest-pinned parquet file scan) and "
+        "runs only the 3 maintenance iterations; the 6-iteration base "
+        "chain amortizes across batches inside the lakehouse table.",
+    ),
+    (
+        "bpe_encode_fertility",
+        "BPE encode stats (r10): one corpus explode + (source, word) "
+        "partial-aggregated groupBy joined against the |vocabulary|-row "
+        "symbol-count table; every ratio is an integer div - no Python "
+        "boundary, no float.",
+    ),
 ]
 
 
