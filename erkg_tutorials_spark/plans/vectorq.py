@@ -560,7 +560,12 @@ def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact rank is kept here because the manifest fingerprint must be
 # deterministic for the oracle gate.
 # ---------------------------------------------------------------------------
-CURATION_QUOTA = 40
+# 8 per cell under the r10 sqrt(N) clustering (45 cells): the sf0.01
+# corpus averages ~11 vectors/cell, so the quota genuinely binds on
+# the dense cells at every test scale (the r9 value of 40 was sized
+# for 8 coarse cells and stopped binding when the cells got finer —
+# caught by test_r9_ops.py::TestCurationSample)
+CURATION_QUOTA = 8
 
 _CURATION_ORACLE = _kmeans_cent_cte() + f"""
     assign_scored AS (

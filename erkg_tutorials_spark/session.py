@@ -47,7 +47,15 @@ def get_spark(
         # the hashed relations: Spark's default 1g driver heap OOMs on
         # them at ≥5× the test scale factor (measured). Must be set
         # before the JVM starts — a no-op on an already-running session.
-        .config("spark.driver.memory", "8g")
+        # SPARK_GRAFT_DRIVER_MEM sizes it per deployment: local mode
+        # puts the executors in the driver JVM, so a 10x-data sweep
+        # needs a 10x-ish heap (the r10 full-registry 10x run OOMed at
+        # 8g mid-ktruss and took the session down for every query
+        # after it — the heap is a scale knob, not a constant).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # Arrow for pandas_udf / mapInPandas exchange (V1 embeddings, N-ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 128 MiB scan splits. NOTE: the testdata tables are single-row-

@@ -77,6 +77,36 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    def _revive(dead):
+        """Fresh session after a JVM death (an executor OOM in local
+        mode kills the whole JVM; without this, one heap blowout
+        poisons every later query — the r10 10x sweep lost 177
+        queries to one ktruss OOM). Resets the py4j gateway so a NEW
+        JVM launches; memoized plans die with the old session, which
+        is correct (their cached RDDs are gone)."""
+        from pyspark import SparkContext
+
+        try:
+            dead.stop()
+        except Exception:
+            pass
+        with SparkContext._lock:
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+        from pyspark.sql import SparkSession
+
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        return get_spark("check-correctness")
+
+    def _alive(s) -> bool:
+        try:
+            s.sparkContext._jsc.sc().isStopped()
+            return True
+        except Exception:
+            return False
+
     failed, passed, weak = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
@@ -87,6 +117,9 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failed.append(name)
+            if not _alive(spark):
+                print(f"-- session dead after {name}; reviving --")
+                spark = _revive(spark)
             continue
         if name not in oracles:
             weak.append(name)
