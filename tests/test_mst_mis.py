@@ -116,6 +116,39 @@ class TestMIS:
                 assert nv & mis, f"{v} undecided or MIS not maximal"
 
 
+class TestNoHintParity:
+    """graph/hints.py force-disabled (SPARK_GRAFT_GRAPH_BCAST=0, the
+    10^9-vertex co-shuffle path) must give the IDENTICAL forest and
+    MIS — widens the r10 coloring parity gate across the hint-using
+    family (the hint is physical, never semantic)."""
+
+    def test_mis_parity_without_hints(self, spark, monkeypatch):
+        from erkg_tutorials_spark.graph.mis import luby_mis
+        from erkg_tutorials_spark.plans.graphq import trade_edges_sym
+
+        e = trade_edges_sym(spark, SF_DIR)
+        hinted = {(r.id, r["round"]) for r in luby_mis(e).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_BCAST", "0")
+        bare = {(r.id, r["round"]) for r in luby_mis(e).collect()}
+        assert bare == hinted
+
+    def test_mst_parity_without_hints(self, spark, monkeypatch):
+        from erkg_tutorials_spark.graph.mst import boruvka_forest
+        from erkg_tutorials_spark.plans.graphq import trade_wedges_sym
+
+        e = trade_wedges_sym(spark, SF_DIR)
+        hinted = {
+            (r.edge_a, r.edge_b, r.weight)
+            for r in boruvka_forest(e).collect()
+        }
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_BCAST", "0")
+        bare = {
+            (r.edge_a, r.edge_b, r.weight)
+            for r in boruvka_forest(e).collect()
+        }
+        assert bare == hinted
+
+
 class TestIncrementalPR:
     def test_warm_start_matches_cold_convergence(self, spark):
         """The maintenance contract: 6 base iterations + 3 warm
