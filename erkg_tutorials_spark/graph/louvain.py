@@ -29,7 +29,8 @@ Distributed shape (100 TB posture): per round, the |V|-row label
 table BROADCASTS onto the edge table to build k_ic, so the edge table
 never shuffles — the round's one exchange is the partial-aggregated
 (i, c) groupBy (measured −32% at sf0.1 vs the shuffled-join plan). At
-a scale where |V| outgrows broadcast, drop the hints and co-shuffle
+a scale where |V| outgrows broadcast, the graph/hints.py knob
+(SPARK_GRAFT_GRAPH_BCAST=0 / _MAX_ROWS) drops them and co-shuffles
 on the vertex key — the same trade-off documented for
 betweenness/SSSP. Community totals are a |V|-row groupBy; the argmax
 is a min(struct) aggregation, not a window, so no per-partition sort
@@ -74,7 +75,7 @@ def louvain_one_level(
         # table is |V| rows — broadcast it so the edge table never
         # shuffles; the round's one exchange is the partial-agged
         # (i, c) groupBy. At a scale where |V| outgrows broadcast,
-        # drop the hint and co-shuffle on the vertex key (the
+        # the hints.py knob drops it and co-shuffles on the vertex key (the
         # betweenness/SSSP trade-off).
         k_ic = (
             edges.join(vhint(lbl), edges["dst"] == lbl["id"])

@@ -19,7 +19,8 @@ Scale: each round is one edges⋈active semi-join + a groupBy(dst).min
 Luby's analysis removes a constant fraction of EDGES per round in
 expectation, and the md5 draw behaves like a uniform one. The active
 and priority tables are |V|-row broadcasts (same class as the
-Katz/Louvain label broadcasts; documented fallback: drop the hint).
+Katz/Louvain label broadcasts; fallback via the graph/hints.py knob,
+parity test-pinned in tests/test_mst_mis.py).
 Fixed ``rounds``: vertices still active after the last round are
 reported undecided by the caller's contract (none remain at the test
 scales — asserted in tests/test_mst_mis.py together with independence

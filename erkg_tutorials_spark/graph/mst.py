@@ -14,7 +14,8 @@ so per-component minimum selection is unique and the DuckDB oracle
 
 Scale: each Borůvka round is one edge⋈labels join (labels broadcast —
 same |V|-row-broadcast class as the Katz/Louvain rank tables, with the
-same documented fallback: drop the hint and let sort-merge join handle
+same knob-backed fallback (graph/hints.py, parity test-pinned):
+drop the hint and let sort-merge join handle
 a billion-vertex label table) plus pointer-jumping over the COMPONENT
 table, which at least halves every round — by round 2 it is dwarfed by
 |V|. Work per round is O(|E|); total O(|E| log |V|), the textbook

@@ -1294,7 +1294,8 @@ def g_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast the (<= |V|-row) frontier into the relax join so
         # the edge table never shuffles; the min-groupBy is the
         # round's only exchange. At a scale where the frontier
-        # outgrows broadcast, drop the hint and both sides co-shuffle
+        # outgrows broadcast, the graph/hints.py knob
+        # (SPARK_GRAFT_GRAPH_BCAST=0) drops it and both sides co-shuffle
         # on the vertex key — still one exchange per round per side.
         relaxed = vhint(frontier).join(
             wedges, frontier.id == wedges.src
