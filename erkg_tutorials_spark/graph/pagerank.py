@@ -4,7 +4,13 @@ No GraphFrames dependency: each iteration is
 ``ranks ⋈ out-degrees ⋈ edges → groupBy(dst).sum`` plus the standard
 damping + dangling-mass redistribution, i.e. exactly the shuffle
 pattern GraphX's Pregel would produce, but expressed declaratively so
-Catalyst/AQE manage partitioning and skew.
+Catalyst/AQE manage partitioning and skew. This is a MEASURED choice,
+not an assumption: the r10 A/B (tools/graphx_ab.py, SCALING.md
+"GraphX vs DataFrame-loop") drove the classpath GraphX
+``PageRank.run`` via py4j on the same graph — parity 6e-15, but this
+loop wins end-to-end at sf0.1 (7.0 s vs 21.5 s) and at the 10x step
+(16.9 s vs 21.2 s); GraphX's object-serialized Pregel constant
+(~15.7 s flat) only catches up rank-only at 10x.
 
 Scale notes: ranks and degrees are keyed by vertex id — co-partitioned
 across iterations after the first shuffle; ``localCheckpoint`` every
