@@ -20,8 +20,7 @@ Distributed shape (100 TB posture):
   (vertex id + source id + BIGINT sigma) — broadcast into the edge
   joins so the big edge table NEVER shuffles; at a scale where
   |V| x |sources| outgrows broadcast, the graph/hints.py knob drops
-the hints and both sides
-  co-shuffle on the vertex key (the `g_shortest_paths` trade-off,
+  the hints and both sides co-shuffle on the vertex key (the `g_shortest_paths` trade-off,
   plans/graphq.py).
 * per-round lineage is truncated with eager localCheckpoints. The
   evolving visited set goes through a CheckpointChain (prior rounds

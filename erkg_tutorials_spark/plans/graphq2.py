@@ -224,21 +224,22 @@ def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch served from the table, and each batch can commit its refreshed
 # ranks as version N+1 (append-only history, old versions vacuumable).
 # ---------------------------------------------------------------------------
-@register("g_pagerank_warmstart_lakehouse", _incr_pr_oracle())
-def g_pagerank_warmstart_lakehouse(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Incremental PageRank served from PERSISTED base ranks: converged pre-cutoff ranks live in a versioned lakehouse table; maintenance reads them back as the warm start."""
-    from pyspark.sql import functions as F
+def ensure_prbase(spark: SparkSession, sf_dir: str) -> str:
+    """Commit the converged pre-cutoff base ranks as the versioned
+    ``prbase`` table if this dataset hasn't yet (idempotent; racing
+    runs commit identical content). Returns the table root.
 
+    Exposed so bench.py's warm-up can pre-build the snapshot: the
+    timed ``g_pagerank_warmstart_lakehouse`` run then always measures
+    the 3-iteration maintenance path regardless of ambient /tmp state
+    (r10 ADVICE — cold-cache rounds were silently paying the one-time
+    6-iteration base build inside the query timing)."""
     from erkg_tutorials_spark.graph.pagerank import pagerank
     from erkg_tutorials_spark.lakehouse.versioned import (
         ConcurrentCommitError,
         committed_versions,
-        read_version,
         write_version,
     )
-    from erkg_tutorials_spark.plans.graphq import trade_graph_invariants
     from erkg_tutorials_spark.plans.lakeops import _versioned_root
 
     root = _versioned_root(sf_dir, "prbase", evict=True)
@@ -252,6 +253,21 @@ def g_pagerank_warmstart_lakehouse(
             )
         except ConcurrentCommitError:
             pass  # a racing run committed the identical base; read it
+    return root
+
+
+@register("g_pagerank_warmstart_lakehouse", _incr_pr_oracle())
+def g_pagerank_warmstart_lakehouse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental PageRank served from PERSISTED base ranks: converged pre-cutoff ranks live in a versioned lakehouse table; maintenance reads them back as the warm start."""
+    from pyspark.sql import functions as F
+
+    from erkg_tutorials_spark.graph.pagerank import pagerank
+    from erkg_tutorials_spark.lakehouse.versioned import read_version
+    from erkg_tutorials_spark.plans.graphq import trade_graph_invariants
+
+    root = ensure_prbase(spark, sf_dir)
     ranks = pagerank(
         trade_edges_sym(spark, sf_dir),
         max_iter=PR_DELTA_ITERS,

@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.similarity.knn import _as_double, _dot
 
+# Instrumentation: one (k, iters) entry per training run this process
+# has started. Training is index CONSTRUCTION — every registry query
+# must serve off the per-(session, sf_dir) memoized centroids
+# (plans/vectorq.ivf_centroids_cached, plans/coverage's cosine-join
+# cells), so a sweep that trains the same configuration twice is a
+# memo-sharing regression. tests/test_memo.py::test_ann_training_shared
+# pins it (r10 VERDICT item 5).
+TRAINING_LOG: list[tuple[int, int]] = []
+
 
 def kmeans_cosine(
     vectors: DataFrame,
@@ -49,6 +58,7 @@ def kmeans_cosine(
     """
     from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
+    TRAINING_LOG.append((k, iters))
     chain = CheckpointChain()  # rolling centroid state; v is invariant
     v = vectors.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb")

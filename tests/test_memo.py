@@ -337,3 +337,64 @@ class TestMemoizedEager:
         out = memo.memoized_eager(spark, SF_DIR, "_test_eager_race", build)
         assert out.count() == 3  # the pre-installed winner, not ours
         memo.release(spark, name="_test_eager_race")
+
+
+class TestAnnTrainingShared:
+    """r10 VERDICT item 5: every ANN registry query must serve off ONE
+    k-means training pass per (session, sf_dir). kmeans.TRAINING_LOG
+    records each training run started in this process; running the
+    whole ANN family after a memo flush must train each configuration
+    exactly once (ivf/ivfpq/semantic-dedup/curation share the
+    KMEANS_K pass via ivf_centroids_cached; the cosine-join blocker
+    trains its k=8 cells once via the cosjoin_centroids memo)."""
+
+    def test_ann_training_shared(self, spark):
+        from erkg_tutorials_spark.plans.vectorq import KMEANS_K, KMEANS_ITERS
+        from erkg_tutorials_spark.similarity import kmeans
+
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        family = [
+            "knn_cosine_ivf",
+            "knn_cosine_ivfpq",
+            "dedup_semantic",
+            "curation_cluster_sample",
+            "knn_cosine_pq",
+            "knn_cosine_sq8",
+            "dedup_embedding_cosine",
+        ]
+        # flush any centroids earlier tests left behind, then log from
+        # a clean slate
+        memo.release(spark, sf_dir=SF_DIR)
+        kmeans.TRAINING_LOG.clear()
+        for name in family:
+            qs[name](spark, SF_DIR).count()
+        ivf_runs = [e for e in kmeans.TRAINING_LOG if e == (KMEANS_K, KMEANS_ITERS)]
+        cosjoin_runs = [e for e in kmeans.TRAINING_LOG if e == (8, 1)]
+        assert len(ivf_runs) == 1, kmeans.TRAINING_LOG
+        assert len(cosjoin_runs) == 1, kmeans.TRAINING_LOG
+        # nothing else trains
+        assert len(kmeans.TRAINING_LOG) == 2, kmeans.TRAINING_LOG
+        # a second pass over the family retrains NOTHING
+        for name in family:
+            qs[name](spark, SF_DIR).count()
+        assert len(kmeans.TRAINING_LOG) == 2, kmeans.TRAINING_LOG
+
+
+def test_family_isolation_relational_builds_no_memos(spark):
+    """r10 VERDICT item 4: a user running ONE relational query must
+    not pay for graph/vector/text materializations — cold-start
+    q1/q3/w1 builds ZERO memo entries (the shared_materializations
+    bench line is opt-in per family, not a suite-wide tax)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    memo.release(spark, sf_dir=SF_DIR)
+    before = set(memo._MEMO) | set(memo._SCALAR_MEMO)
+    for name in ("q1_pricing_summary", "q3_top_orders",
+                 "w1_top3_orders_per_customer", "j1_dim_lookup"):
+        qs[name](spark, SF_DIR).count()
+    after = set(memo._MEMO) | set(memo._SCALAR_MEMO)
+    new = {k for k in after - before if k[1] == SF_DIR}
+    assert new == set(), f"relational queries built memos: {new}"

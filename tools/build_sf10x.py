@@ -43,7 +43,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.environ.get("SPARK_GRAFT_10X_DIR", "/tmp/erkg_sf10x_all")
+# _v2: '§'-separated vocab suffix (r10 ADVICE) — new default dir so a
+# stale pre-fix build's marker doesn't mask the changed content
+DST = os.environ.get("SPARK_GRAFT_10X_DIR", "/tmp/erkg_sf10x_all_v2")
 COPIES = 10
 
 # disjoint key spaces per copy; far above any sf0.1 key
@@ -80,11 +82,17 @@ def _copy_select(con, table: str, c: int) -> str:
             parts.append(f'CAST(doc_id + {c * OFF["doc_id"]} AS {typ}) AS doc_id')
         elif table == "documents" and name == "text" and c > 0:
             # bijective per-copy vocab map: suffix every
-            # whitespace-token with the copy index (same device as
-            # scale_step_experiment.build_docs)
+            # whitespace-token with '§<copy>' (same device as
+            # scale_step_experiment.build_docs). The separator is a
+            # character that cannot appear in the synthetic corpus, so
+            # copy i's 'tok§i' can never collide with another copy's
+            # vocabulary even when source words end in digits
+            # (r10 ADVICE: bare '1' suffix maps copy-1 'tok' onto
+            # copy-0's original 'tok1'); disjointness is also asserted
+            # on the actual build output in build().
             parts.append(
                 "array_to_string(list_transform(string_split(text, ' '),"
-                f" w -> w || '{c}'), ' ') AS text"
+                f" w -> w || '§{c}'), ' ') AS text"
             )
         elif table == "embeddings" and name == "vec_id":
             parts.append(f'CAST(vec_id + {c * OFF["vec_id"]} AS {typ}) AS vec_id')
@@ -123,8 +131,33 @@ def build(src: str = SRC, dst: str = DST, copies: int = COPIES) -> str:
             _copy_select(con, table, c) for c in range(copies)
         )
         con.sql(f"COPY ({union}) TO '{dp}' (FORMAT PARQUET)")
+    _assert_vocab_disjoint(con, src, dst, copies)
     open(marker, "w").close()
     return dst
+
+
+def _assert_vocab_disjoint(con, src: str, dst: str, copies: int) -> None:
+    """The '10x distinct shingles' premise requires the per-copy vocab
+    maps to be collision-free ON THE ACTUAL DATA, not just by
+    construction (r10 ADVICE). Verified on the build output itself:
+    distinct words must grow exactly ``copies``-fold."""
+    sp, dp = os.path.join(src, "documents.parquet"), os.path.join(
+        dst, "documents.parquet"
+    )
+    if not (os.path.exists(sp) and os.path.exists(dp)):
+        return
+    base_v, big_v = (
+        con.sql(
+            f"""SELECT COUNT(DISTINCT w) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS w
+                  FROM '{p}')"""
+        ).fetchone()[0]
+        for p in (sp, dp)
+    )
+    assert big_v == copies * base_v, (
+        f"per-copy vocab collision: {big_v} distinct words, "
+        f"expected {copies} * {base_v}"
+    )
 
 
 def main() -> None:

@@ -101,9 +101,12 @@ def main() -> int:
         return get_spark("check-correctness")
 
     def _alive(s) -> bool:
+        # A context that stopped CLEANLY keeps a live JVM gateway, so
+        # the isStopped() boolean must be honoured, not just the call
+        # surviving (r10 ADVICE) — else revival is skipped and every
+        # later query in the sweep fails.
         try:
-            s.sparkContext._jsc.sc().isStopped()
-            return True
+            return not s.sparkContext._jsc.sc().isStopped()
         except Exception:
             return False
 

@@ -108,7 +108,9 @@ def build_docs(spark) -> str:
     measured.)"""
     from pyspark.sql import functions as F
 
-    dst = f"/tmp/erkg_sfstep_docs_{COPIES}x"
+    # v2: '§'-separated vocab suffix (collision-proof vs digit-ending
+    # source words, r10 ADVICE) — new dir so stale builds don't mask it
+    dst = f"/tmp/erkg_sfstep_docs_{COPIES}x_v2"
     marker = os.path.join(dst, "_SCALED_OK")
     if os.path.exists(marker):
         return dst
@@ -135,7 +137,7 @@ def build_docs(spark) -> str:
                     "text",
                     F.expr(
                         f"array_join(transform(split(text, ' '),"
-                        f" w -> concat(w, '{i}')), ' ')"
+                        f" w -> concat(w, '§{i}')), ' ')"
                     ),
                 )
             )
