@@ -118,11 +118,11 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness instead of a recall target.
     """
     from erkg_tutorials_spark.dedup.minhash import shingles
-    from erkg_tutorials_spark.plans.memo import memoized
+    from erkg_tutorials_spark.plans.memo import memoized_sized
 
     t = load_tables(spark, sf_dir)
     # shares the containment query's memoized shingle table
-    sh = memoized(
+    sh = memoized_sized(
         spark, sf_dir, "containment_doc_shingles",
         lambda: shingles(t["documents"], k=3),
     )
@@ -693,10 +693,10 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes only — candidate volume tracks the batch size, never
     the corpus size."""
     from erkg_tutorials_spark.dedup.minhash import shingles
-    from erkg_tutorials_spark.plans.memo import memoized
+    from erkg_tutorials_spark.plans.memo import memoized_sized
 
     t = load_tables(spark, sf_dir)
-    sh = memoized(
+    sh = memoized_sized(
         spark, sf_dir, "containment_doc_shingles",
         lambda: shingles(t["documents"], k=3),
     )

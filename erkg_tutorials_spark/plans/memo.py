@@ -50,6 +50,7 @@ _LOCK = threading.RLock()
 
 
 def _drop(key: tuple[str, str, str]) -> None:
+    _MATERIALIZED.discard(key)
     df = _MEMO.pop(key, None)
     if df is not None:
         try:
@@ -116,6 +117,46 @@ def memoized_eager(
             return existing
         _MEMO[key] = built
         return built
+
+
+# keys whose cached table has been materialized at least once — see
+# memoized_sized
+_MATERIALIZED: set[tuple[str, str, str]] = set()
+
+
+def memoized_sized(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """:func:`memoized` + one-time materialization, for CORPUS-SCALE
+    intermediates that feed further joins.
+
+    Catalyst's static size estimate collapses through explode → agg →
+    window chains (each step shrinks the guess), so a table that is
+    actually corpus-sized can be planned as a broadcast build side —
+    and a statically-planned BroadcastHashJoin is not demotable by
+    AQE, which only re-plans at shuffle-stage boundaries. At the 100x
+    step this OOM'd the driver (simjoin_prefix_filter: the shingle
+    table's derived aggregates were all statically broadcast off a
+    collapsed estimate). Materializing the cached memo once makes its
+    InMemoryRelation stats the ACTUAL bytes, so every downstream
+    estimate is proportional to real data: big corpus → sort-merge
+    plans, small corpus → the broadcasts stay. Self-sizing, no
+    threshold knob.
+
+    The count runs OUTSIDE the lock (it is a Spark job); a racing
+    duplicate count is harmless (both scan the same cached table)."""
+    df = memoized(spark, sf_dir, name, build)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    with _LOCK:
+        done = key in _MATERIALIZED
+    if not done:
+        df.count()
+        with _LOCK:
+            _MATERIALIZED.add(key)
+    return df
 
 
 def install(

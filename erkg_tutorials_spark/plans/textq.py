@@ -845,14 +845,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direction with the smaller set flags the embedded document.
     """
     from erkg_tutorials_spark.dedup.minhash import shingles
-    from erkg_tutorials_spark.plans.memo import memoized
+    from erkg_tutorials_spark.plans.memo import memoized_sized
 
     t = load_tables(spark, sf_dir)
     # memoized (not a bare .cache(), which would pin executor storage
     # with no eviction path): the shingle table feeds both join sides
     # and the size agg, and repeated invocations reuse one build. At
     # 100 TB this becomes a materialized shingle table on disk.
-    sh = memoized(
+    sh = memoized_sized(
         spark, sf_dir, "containment_doc_shingles",
         lambda: shingles(t["documents"], k=3),
     )

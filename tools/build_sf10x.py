@@ -97,11 +97,17 @@ def _copy_select(con, table: str, c: int) -> str:
         elif table == "embeddings" and name == "vec_id":
             parts.append(f'CAST(vec_id + {c * OFF["vec_id"]} AS {typ}) AS vec_id')
         elif table == "embeddings" and name == "embedding" and c > 0:
-            rot = (c * 7) % 64  # 10 distinct rotations, no repeats
-            parts.append(
-                f"CAST(embedding[{rot + 1}:] || embedding[1:{rot}]"
-                f" AS FLOAT[]) AS embedding"
-            )
+            # cyclic rotations are distinct for c in 1..63 (gcd(7,64)=1);
+            # beyond that (the 100x build) copies 64+ NEGATE the rotated
+            # vector — norm- and within-copy-cosine-preserving like the
+            # rotation itself, and cross-copy cosine vs the same-rotation
+            # copy is exactly -1, so no positive-threshold near-dup or
+            # exact tie can appear between any two copies
+            rot = (c * 7) % 64
+            expr = f"embedding[{rot + 1}:] || embedding[1:{rot}]"
+            if c >= 64:
+                expr = f"list_transform({expr}, x -> -x)"
+            parts.append(f"CAST({expr} AS FLOAT[]) AS embedding")
         else:
             parts.append(f'"{name}"')
     return "SELECT " + ", ".join(parts) + f" FROM src_{table}"

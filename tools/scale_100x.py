@@ -1,0 +1,285 @@
+"""100x-step evidence for the heavy kernels + the tiered verification
+policy (r10 VERDICT item 2).
+
+Correctness so far is proven by full engine-vs-DuckDB oracle sweeps at
+sf0.01, sf0.1 and the key-shifted 10x build. A further decade makes
+full oracle sweeps infeasible (g_ktruss's unrolled CTE oracle alone
+was 322 s at 10x), so the 100x notch uses a TIERED policy, recorded
+here and gated by tests/test_operator_index.py:
+
+* **Tier A — exact oracle.** Where DuckDB stays tractable at 100x the
+  driver-replica compare runs unchanged (w6_analytic_functions: one
+  15M-row window battery; its partition key o_orderpriority spans all
+  copies, so no projection shortcut exists — and none is needed).
+* **Tier B — copy-projection exactness.** The 100x build is, by
+  construction, 100 similarity-disjoint isomorphic copies with copy 0
+  carrying the ORIGINAL keys. Any query whose computation is per-copy
+  independent (blocking keys, graph components, window partitions all
+  copy-local) must therefore return, restricted to copy-0 keys,
+  EXACTLY its sf0.1 result — compared value-for-value (the engine
+  runs at full 100x scale; only the compare is restricted). This
+  checks real values, not counts, and its adapters are validated at
+  the 10x step first, where the full oracle sweep independently
+  passed (CORRECTNESS_10X.md) — a projection adapter that agrees with
+  the oracle-confirmed 10x build is trusted at 100x.
+* **Tier C — conservation / linearity invariants.** For global
+  results where projection doesn't apply: rank-vector conservation
+  (PageRank ranks sum to 1 at any scale; no danglers on the symmetric
+  trade graph) plus per-vertex linearity (rank(100x, copy-0 v) * 100
+  == rank(1x, v) up to float tolerance — the disjoint-union PageRank
+  system scales exactly 1/k), and k-fold count linearity for
+  pair/cluster sets (copies are similarity-disjoint, so global counts
+  are exactly k * per-copy counts).
+
+Every kernel is also TIMED (single run, recorded as such) so
+SCALING.md gets real 100x bends for: MinHash pair build, PPJoin
+simjoin, dedup clustering, the pagerank family, k-core/k-truss/
+triangles/CC, sessionization and the analytic-window battery.
+
+    python tools/scale_100x.py              # validate at 10x, then run 100x
+    python tools/scale_100x.py --scales 10  # adapters-only validation
+
+Output: SCALE100X.json at the repo root + a markdown table on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+SF1 = "/root/testdata/sf0.1"
+OFFN = 10_000_000  # every copy-0 numeric key is below this bound
+PR_ITERS = 6
+
+
+def _graph_copy0(col: str) -> str:
+    # trade-graph vertex ids are 'c:<custkey>' / 's:<suppkey>'
+    return f"CAST(substring({col}, 3, 19) AS BIGINT) < {OFFN}"
+
+
+# Tier B specs: (query, copy-0 projection predicate, count-linear?)
+# dedup_minhash_lsh is projection-only: MinHash signatures hash the
+# TOKENS, and each copy's bijectively-suffixed vocabulary hashes into
+# different bands, so per-copy LSH recall legitimately differs — the
+# copy-0 projection (== the sf0.1 result, bit-for-bit) is the exact
+# invariant; a 10x pair count is not (measured at the 10x step).
+TIER_B = [
+    ("dedup_minhash_lsh", f"id_a < {OFFN} AND id_b < {OFFN}", False),
+    ("simjoin_prefix_filter", f"id_a < {OFFN} AND id_b < {OFFN}", True),
+    ("dedup_clusters", f"doc_id < {OFFN}", True),
+    ("dedup_incremental_exact",
+     f"delta_id < {OFFN} AND corpus_id < {OFFN}", False),
+    ("g_kcore", _graph_copy0("id"), False),
+    ("g_triangle_count", f"id < {OFFN}", True),
+    ("g_ktruss", f"u < {OFFN} AND v < {OFFN}", True),
+    ("g6_connected_components", _graph_copy0("component"), True),
+    ("events_sessionize", f"user_id < {OFFN}", True),
+]
+TIER_A = ["w6_analytic_functions"]
+
+
+def _canon_hash(df) -> tuple[int, str]:
+    """(row_count, order-insensitive value hash) over a DataFrame whose
+    value columns are already query-rounded (every Tier B query rounds
+    its floats in-plan, so equal computations hash equal)."""
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+    payload = sorted(tuple(str(v) for v in r) for r in rows)
+    h = hashlib.sha256(repr(payload).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def run_scale(spark, copies: int, dst: str) -> dict:
+    from tools.build_sf10x import build
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    built = build(src=SF1, dst=dst, copies=copies)
+    out: dict[str, dict] = {}
+
+    # ---- Tier B: copy-projection exactness + timing -------------------
+    # per-query isolation: one kernel exhausting this HOST's resources
+    # (the first 100x triangle run filled the 76 GB scratch disk with
+    # sort spill) must record an error, not kill the sweep
+    for name, proj, linear in TIER_B:
+        fn = qs[name]
+        try:
+            t0 = time.time()
+            big = fn(spark, built)
+            nk_full = big.count()  # the timed full-scale run
+            secs = round(time.time() - t0, 2)
+
+            n1, h1 = _canon_hash(fn(spark, SF1))
+            nk_proj, hk = _canon_hash(big.where(proj))
+            rec = {
+                "tier": "B",
+                "secs": secs,
+                "proj_match": (n1 == nk_proj and h1 == hk),
+                "rows_1x": n1,
+                "rows_proj": nk_proj,
+                "rows_full": nk_full,
+            }
+            if linear:
+                rec["count_linear_ok"] = nk_full == copies * n1
+        except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+            rec = {"tier": "B", "error": str(exc).split("\n")[0][:300]}
+        out[name] = rec
+        print(f"[{copies}x] {name}: " + (
+            f"{rec['secs']}s proj_match={rec['proj_match']}"
+            + (f" linear={rec.get('count_linear_ok')}" if linear else "")
+            if "error" not in rec else f"ERROR {rec['error'][:120]}"
+        ), flush=True)
+
+    # ---- Tier C: PageRank conservation + per-vertex linearity ---------
+    from pyspark.sql import functions as F
+
+    from erkg_tutorials_spark.graph.pagerank import pagerank
+    from erkg_tutorials_spark.plans.graphq import trade_edges_sym
+
+    try:
+        t0 = time.time()
+        rk = pagerank(trade_edges_sym(spark, built), max_iter=PR_ITERS)
+        rk = rk.cache()
+        total = rk.agg(F.sum("rank")).collect()[0][0]
+        secs = round(time.time() - t0, 2)
+        r1 = pagerank(trade_edges_sym(spark, SF1), max_iter=PR_ITERS)
+        joined = (
+            rk.where(_graph_copy0("id"))
+            .join(r1.withColumnRenamed("rank", "rank1"), "id")
+            .select(
+                F.max(
+                    F.abs(F.col("rank") * copies - F.col("rank1"))
+                ).alias("dev"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+        n1 = r1.count()
+        out["pagerank_vector"] = {
+            "tier": "C",
+            "secs": secs,
+            "rank_sum": round(total, 9),
+            "conservation_ok": abs(total - 1.0) < 1e-6,
+            "copy0_vertices": joined["n"],
+            "vertices_1x": n1,
+            "copy0_complete": joined["n"] == n1,
+            "max_linear_dev": float(joined["dev"]),
+            # float-only tolerance: the disjoint-union system scales
+            # exactly 1/k in exact arithmetic; binary /100 rounding
+            # leaves ~1e-15-relative noise on ~1e-3 ranks
+            "linearity_ok": joined["dev"] < 1e-9,
+        }
+        rk.unpersist()
+        print(f"[{copies}x] pagerank_vector: {secs}s sum={total:.9f} "
+              f"maxdev={joined['dev']:.2e}", flush=True)
+    except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+        out["pagerank_vector"] = {
+            "tier": "C", "error": str(exc).split("\n")[0][:300]
+        }
+        print(f"[{copies}x] pagerank_vector: ERROR", flush=True)
+
+    # ---- Tier A: exact DuckDB oracle at scale -------------------------
+    import __spark_entry__ as e2
+
+    oracles = e2.oracle_sql()
+    for name in TIER_A:
+        fn = qs[name]
+        try:
+            _tier_a_one(spark, qs, oracles, built, copies, name, out)
+        except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+            out[name] = {"tier": "A", "error": str(exc).split("\n")[0][:300]}
+            print(f"[{copies}x] {name}: ERROR", flush=True)
+
+    return out
+
+
+def _tier_a_one(spark, qs, oracles, built, copies, name, out) -> None:
+    import duckdb
+
+    from tools.check_correctness import compare
+
+    fn = qs[name]
+    t0 = time.time()
+    sdf = fn(spark, built)
+    sdf.write.format("noop").mode("overwrite").save()
+    secs = round(time.time() - t0, 2)
+    spdf = sdf.toPandas()
+
+    con = duckdb.connect()
+    for fname in sorted(os.listdir(built)):
+        if fname.endswith(".parquet"):
+            t = fname[: -len(".parquet")]
+            con.sql(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{os.path.join(built, fname)}'"
+            )
+    t0 = time.time()
+    odf = con.sql(oracles[name]).df()
+    osecs = round(time.time() - t0, 2)
+    issues = compare(name, spdf, odf)
+    out[name] = {
+        "tier": "A",
+        "secs": secs,
+        "oracle_secs": osecs,
+        "rows": len(spdf),
+        "oracle_rows": len(odf),
+        "hash_match": not issues,
+        "issues": issues[:3],
+    }
+    print(f"[{copies}x] {name}: {secs}s oracle={osecs}s "
+          f"match={not issues}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", nargs="+", type=int, default=[10, 100])
+    args = ap.parse_args()
+
+    from erkg_tutorials_spark.session import get_spark
+
+    # zstd spill/shuffle compression: the adjacency-intersection
+    # kernels (triangles, k-truss) sort wedge candidates whose volume
+    # is linear in copies — at 100x that spill outgrew this host's
+    # 76 GB scratch under the default lz4 (~0.6x); zstd's ~0.4x ratio
+    # fits it. On a real cluster shuffle disk is provisioned with the
+    # data; this knob is about measuring 100x on ONE box.
+    spark = get_spark(
+        "scale-100x", extra_conf={"spark.io.compression.codec": "zstd"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    for k in args.scales:
+        dst = f"/tmp/erkg_sf{k}x_all_v2" if k != 10 else None
+        dst = dst or "/tmp/erkg_sf10x_all_v2"
+        results[str(k)] = run_scale(spark, k, dst)
+
+    art = {"src": SF1, "scales": results}
+    path = os.path.join(REPO, "SCALE100X.json")
+    with open(path, "w") as fh:
+        json.dump(art, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {path}")
+
+    # markdown bend table
+    if {"10", "100"} <= results.keys():
+        print("\n| kernel | 10x secs | 100x secs | bend (100x/10x) |")
+        print("|---|---|---|---|")
+        for name in results["10"]:
+            a, b = results["10"][name]["secs"], results["100"][name]["secs"]
+            print(f"| {name} | {a} | {b} | {round(b / a, 2) if a else '-'}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
