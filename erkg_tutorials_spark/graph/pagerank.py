@@ -5,12 +5,11 @@ No GraphFrames dependency: each iteration is
 damping + dangling-mass redistribution, i.e. exactly the shuffle
 pattern GraphX's Pregel would produce, but expressed declaratively so
 Catalyst/AQE manage partitioning and skew. This is a MEASURED choice,
-not an assumption: the r10 A/B (tools/graphx_ab.py, SCALING.md
+not an assumption: the r10/r11 A/Bs (tools/graphx_ab.py, SCALING.md
 "GraphX vs DataFrame-loop") drove the classpath GraphX
-``PageRank.run`` via py4j on the same graph — parity 6e-15, but this
-loop wins end-to-end at sf0.1 (7.0 s vs 21.5 s) and at the 10x step
-(16.9 s vs 21.2 s); GraphX's object-serialized Pregel constant
-(~15.7 s flat) only catches up rank-only at 10x.
+``PageRank.run`` via py4j on the same graph — parity 6e-15; the loop
+wins below the measured crossover, and above it (GRAPHX_MIN_EDGES)
+pagerank() ROUTES to GraphX for the provably-shared semantics.
 
 Scale notes: ranks and degrees are keyed by vertex id — co-partitioned
 across iterations after the first shuffle; ``localCheckpoint`` every
@@ -25,10 +24,28 @@ driver loop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
+
+# r11: the A/B with the in-JVM handoff (tools/graphx_ab.py
+# run_graphx_mem — no file marshalling) found the crossover: the DF
+# loop still wins at sf0.1 (8.0 vs 21.9 s) and 10x (17.5 vs 21.6 s),
+# but at the 100x notch (117M edges) GraphX's Pregel wins 70 vs 125 s.
+# pagerank() therefore routes through the classpath GraphX above this
+# edge threshold — only for the semantics the two engines provably
+# share (un-namespaced, unweighted, cold-start, dangler-free: measured
+# parity ours*n vs GraphX 2e-14 at 117M edges). Env-tunable; 0 forces
+# the route (parity test tests/test_graph_frames.py).
+GRAPHX_MIN_EDGES = 50_000_000
+
+
+def _graphx_min_edges() -> int:
+    v = os.environ.get("SPARK_GRAFT_GRAPHX_MIN_EDGES")
+    return int(v) if v not in (None, "") else GRAPHX_MIN_EDGES
 
 
 def with_vertex_count(base: DataFrame, ns: list[str]) -> DataFrame:
@@ -192,6 +209,21 @@ def pagerank(
     # cloned session — the caller's session is never mutated, so
     # concurrent queries on it keep their plans.
     n_edges = e_deg.count() if tune_loop_confs else 0
+    # measured routing (module header): above the crossover, the
+    # dangler-free/unweighted/cold-start case runs on classpath GraphX
+    if (
+        not ns
+        and weight is None
+        and init_ranks is None
+        and n_edges >= _graphx_min_edges()
+        and danglers.isEmpty()
+    ):
+        out = _pagerank_graphx(e, verts, reset, max_iter)
+        if pre is None:
+            e_deg.unpersist()
+            danglers.unpersist()
+        verts.unpersist()
+        return out
     with tuned_loop_session(spark, n_edges, enabled=tune_loop_confs) as (
         _loop,
         rebind,
@@ -216,6 +248,59 @@ def pagerank(
         e_deg.unpersist()
         danglers.unpersist()
     verts.unpersist()
+    return out
+
+
+def _pagerank_graphx(e, verts, reset: float, max_iter: int) -> DataFrame:
+    """Classpath-GraphX tier for the routed case (see module header).
+
+    Vertex ids are arbitrary strings here; GraphX needs longs, so a
+    |V|-row index table maps them (monotonically_increasing_id — only
+    uniqueness matters). The handoff stays in the JVM end-to-end:
+    edges → Dataset[(Long,Long)] via Encoders.tuple → RDD →
+    Graph.fromEdgeTuples; ranks return as a Dataset via createDataset.
+    GraphX's staticPageRank starts every rank at 1.0 and iterates
+    r = reset + (1-reset)·Σ r_j/deg_j with no dangling handling; on a
+    dangler-free graph that is our recurrence scaled by |V| (measured:
+    max |ours·n − graphx| = 2e-14 at 117M edges), so the result is
+    divided by n to keep the sums-to-1 contract."""
+    spark = e.sparkSession
+    idx = (
+        verts.select("id")
+        .withColumn("vid", F.monotonically_increasing_id())
+        .cache()
+    )
+    ledges = (
+        e.join(idx.select(F.col("id").alias("src"), F.col("vid").alias("s")),
+               "src")
+        .join(idx.select(F.col("id").alias("dst"), F.col("vid").alias("d")),
+              "dst")
+        .select(F.col("s").alias("src"), F.col("d").alias("dst"))
+    )
+    jvm = spark._jvm
+    enc = jvm.org.apache.spark.sql.Encoders
+    tupds = getattr(ledges._jdf, "as")(enc.tuple(enc.LONG(), enc.LONG()))
+    sl = jvm.org.apache.spark.storage.StorageLevel.MEMORY_ONLY()
+    int_tag = jvm.scala.reflect.ClassTag.Int()
+    g = jvm.org.apache.spark.graphx.Graph.fromEdgeTuples(
+        tupds.rdd(), 1, jvm.scala.Option.empty(), sl, sl, int_tag
+    )
+    ranked = jvm.org.apache.spark.graphx.lib.PageRank.run(
+        g, max_iter, reset, int_tag, int_tag
+    )
+    ds = spark._jsparkSession.createDataset(
+        ranked.vertices(), enc.tuple(enc.LONG(), enc.DOUBLE())
+    )
+    vr = DataFrame(ds.toDF(), spark).select(
+        F.col("_1").alias("vid"), F.col("_2").alias("gxrank")
+    )
+    out = (
+        idx.join(vr, "vid")
+        .join(verts.select("id", "n"), "id")
+        .select("id", (F.col("gxrank") / F.col("n")).alias("rank"))
+        .localCheckpoint(eager=True)  # sever before idx unpersists
+    )
+    idx.unpersist()
     return out
 
 

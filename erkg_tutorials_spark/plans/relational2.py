@@ -267,9 +267,21 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window-function variety pack: the analytic-function family beyond
 # the row_number/rank/sum tiers already covered (W1-W5) — ntile,
 # percent_rank, cume_dist, lag, lead in one pass. The ordering key
-# (cents, o_orderkey) is unique, so every function is deterministic;
-# percent_rank/cume_dist derive doubles from integer ranks (single
-# division, identical in both engines).
+# (cents, o_orderkey) is unique, so every function is deterministic.
+#
+# percent_rank/cume_dist are emitted through INTEGER-EXACT half-up
+# rounding of the exact rational — round(a/b, 6) computed as
+# (2·a·10^6 + b) div (2·b), then /1e6 — on BOTH engines, not
+# ROUND(double, 6). The doubles the engines derive are identical
+# (single IEEE division of integer ranks), but their ROUNDs are not:
+# Spark rounds the double's SHORTEST DECIMAL REPR (BigDecimal
+# HALF_UP), DuckDB rounds the binary value, and at the 100x step's
+# 3M-row partitions ~1200 of 15M values landed in the disagreement
+# gap (found by the r11 Tier A oracle run at 100x; invisible at
+# sf0.01-10x sizes). The integer form is the exact-cents pattern
+# (functions/exact_math.py) applied to rank ratios. With the unique
+# ordering, rank == row_number, so a = rn-1 / b = n-1 (percent_rank)
+# and a = rn / b = n (cume_dist).
 # ---------------------------------------------------------------------------
 @register(
     "w6_analytic_functions",
@@ -278,16 +290,28 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_orderpriority,
              CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
       FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey, o_orderpriority, cents,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             lag(cents) OVER w AS prev_cents,
+             lead(cents) OVER w AS next_cents
+      FROM o
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
     )
-    SELECT o_orderkey, o_orderpriority,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cume,
-           lag(cents) OVER w AS prev_cents,
-           lead(cents) OVER w AS next_cents,
-           cents - COALESCE(lag(cents) OVER w, cents) AS step_cents
-    FROM o
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+    SELECT o_orderkey, o_orderpriority, quartile,
+           CASE WHEN n > 1 THEN
+             CAST((2 * (rn - 1) * 1000000 + (n - 1)) // (2 * (n - 1)) AS DOUBLE)
+               / 1000000.0
+           ELSE CAST(0.0 AS DOUBLE) END AS pct_rank,
+           CAST((2 * rn * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+             AS cume,
+           prev_cents,
+           next_cents,
+           cents - COALESCE(prev_cents, cents) AS step_cents
+    FROM r
     """,
 )
 def w6_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,14 +324,34 @@ def w6_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_cents(F.col("o_totalprice")).alias("cents"),
     )
     w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wp = Window.partitionBy("o_orderpriority")
     lag = F.lag("cents").over(w)
-    return o.select(
+    r = o.select(
         "o_orderkey",
         "o_orderpriority",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wp).cast("long").alias("n"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
         lag.alias("prev_cents"),
         F.lead("cents").over(w).alias("next_cents"),
-        (F.col("cents") - F.coalesce(lag, F.col("cents"))).alias("step_cents"),
+    )
+    # integer-exact half-up 6dp rounding of the exact rank ratios
+    # (header comment): identical BIGINT arithmetic on both engines
+    return r.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "quartile",
+        F.expr(
+            "CASE WHEN n > 1 THEN"
+            " CAST((2 * (rn - 1) * 1000000 + (n - 1)) div (2 * (n - 1))"
+            " AS DOUBLE) / 1000000.0"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("pct_rank"),
+        F.expr(
+            "CAST((2 * rn * 1000000 + n) div (2 * n) AS DOUBLE) / 1000000.0"
+        ).alias("cume"),
+        "prev_cents",
+        "next_cents",
+        F.expr("cents - COALESCE(prev_cents, cents)").alias("step_cents"),
     )

@@ -388,3 +388,73 @@ class TestWeightedSssp:
         for vid, cost in base.items():
             assert more[vid] <= cost + 1e-9
         assert set(base) <= set(more)
+
+
+class TestGraphXRoute:
+    """r11 (r10 VERDICT item 3): above the measured crossover
+    (GRAPHX_MIN_EDGES, SCALING.md r11 A/B: GraphX wins 70 vs 125 s at
+    117M edges) pagerank() routes through classpath GraphX for the
+    semantics the engines provably share. These tests force the route
+    (threshold 0) and pin (a) 6dp parity with the DF loop on the real
+    trade graph, and (b) that the guarded cases never route."""
+
+    def test_routed_matches_loop_6dp(self, spark, monkeypatch):
+        from pyspark.sql import functions as F
+
+        from erkg_tutorials_spark.graph.pagerank import pagerank
+        from erkg_tutorials_spark.plans.graphq import trade_edges_sym
+        from tests.conftest import SF_DIR
+
+        e = trade_edges_sym(spark, SF_DIR)
+        monkeypatch.delenv("SPARK_GRAFT_GRAPHX_MIN_EDGES", raising=False)
+        loop = {
+            r["id"]: r["rank"]
+            for r in pagerank(e, max_iter=6)
+            .select("id", F.round("rank", 6).alias("rank")).collect()
+        }
+        monkeypatch.setenv("SPARK_GRAFT_GRAPHX_MIN_EDGES", "0")
+        routed_df = pagerank(e, max_iter=6)
+        routed = {
+            r["id"]: r["rank"]
+            for r in routed_df
+            .select("id", F.round("rank", 6).alias("rank")).collect()
+        }
+        assert routed == loop
+        # contract: ranks sum to 1
+        total = routed_df.agg(F.sum("rank")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-9
+
+    def test_guarded_cases_never_route(self, spark, monkeypatch):
+        """weighted / warm-start / namespaced calls must stay on the
+        DF loop even under a forced threshold — GraphX's staticPageRank
+        has no dangling handling, no weights, no warm start."""
+        from pyspark.sql import functions as F
+
+        from erkg_tutorials_spark.graph import pagerank as prmod
+        from erkg_tutorials_spark.plans.graphq import trade_edges_sym
+        from tests.conftest import SF_DIR
+
+        e = trade_edges_sym(spark, SF_DIR)
+        # build the warm-start vector BEFORE forcing the threshold —
+        # the helper call is itself the routable plain case
+        monkeypatch.delenv("SPARK_GRAFT_GRAPHX_MIN_EDGES", raising=False)
+        init = prmod.pagerank(e, max_iter=1, tune_loop_confs=False)
+
+        monkeypatch.setenv("SPARK_GRAFT_GRAPHX_MIN_EDGES", "0")
+        calls = []
+        orig = prmod._pagerank_graphx
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(prmod, "_pagerank_graphx", spy)
+        # weighted: guarded
+        ew = e.withColumn("w", F.lit(2.0))
+        prmod.pagerank(ew, max_iter=2, weight="w").count()
+        # warm start: guarded
+        prmod.pagerank(e, max_iter=1, init_ranks=init).count()
+        assert calls == []
+        # the plain case DOES route under the forced threshold
+        prmod.pagerank(e, max_iter=1).count()
+        assert calls == [1]

@@ -54,7 +54,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+# local mode runs executors inside the driver JVM: the 100x kernels
+# need the same scaled heap the 10x full-registry sweep uses
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 SF1 = "/root/testdata/sf0.1"
 OFFN = 10_000_000  # every copy-0 numeric key is below this bound
@@ -78,6 +80,11 @@ TIER_B = [
     ("dedup_clusters", f"doc_id < {OFFN}", True),
     ("dedup_incremental_exact",
      f"delta_id < {OFFN} AND corpus_id < {OFFN}", False),
+    # ---- family boundary: the dedup tier's corpus caches (the 100x
+    # shingle table is GBs) are released before the graph tier starts;
+    # holding both families' index state at once OOM'd the 48-thread
+    # local JVM at 100x (sentinel consumed by run_scale)
+    ("__release__", "", False),
     ("g_kcore", _graph_copy0("id"), False),
     ("g_triangle_count", f"id < {OFFN}", True),
     ("g_ktruss", f"u < {OFFN} AND v < {OFFN}", True),
@@ -85,6 +92,10 @@ TIER_B = [
     ("events_sessionize", f"user_id < {OFFN}", True),
 ]
 TIER_A = ["w6_analytic_functions"]
+
+
+class _Skip(Exception):
+    """--only filter sentinel: not an error, just not requested."""
 
 
 def _canon_hash(df) -> tuple[int, str]:
@@ -98,10 +109,13 @@ def _canon_hash(df) -> tuple[int, str]:
     return len(rows), h
 
 
-def run_scale(spark, copies: int, dst: str) -> dict:
+def run_scale(spark, copies: int, dst: str, only: set | None = None) -> dict:
     from tools.build_sf10x import build
 
     import __spark_entry__ as entry
+
+    def _want(name: str) -> bool:
+        return only is None or name in only
 
     qs = entry.queries()
     built = build(src=SF1, dst=dst, copies=copies)
@@ -111,7 +125,17 @@ def run_scale(spark, copies: int, dst: str) -> dict:
     # per-query isolation: one kernel exhausting this HOST's resources
     # (the first 100x triangle run filled the 76 GB scratch disk with
     # sort spill) must record an error, not kill the sweep
+    from erkg_tutorials_spark.plans import memo
+
     for name, proj, linear in TIER_B:
+        if not _want(name) and name != "__release__":
+            continue
+        if name == "__release__":
+            n_rel = memo.release(spark, sf_dir=built)
+            spark.sparkContext._jvm.System.gc()
+            print(f"[{copies}x] released {n_rel} memos before graph tier",
+                  flush=True)
+            continue
         fn = qs[name]
         try:
             t0 = time.time()
@@ -147,6 +171,8 @@ def run_scale(spark, copies: int, dst: str) -> dict:
     from erkg_tutorials_spark.plans.graphq import trade_edges_sym
 
     try:
+        if not _want("pagerank_vector"):
+            raise _Skip
         t0 = time.time()
         rk = pagerank(trade_edges_sym(spark, built), max_iter=PR_ITERS)
         rk = rk.cache()
@@ -182,6 +208,8 @@ def run_scale(spark, copies: int, dst: str) -> dict:
         rk.unpersist()
         print(f"[{copies}x] pagerank_vector: {secs}s sum={total:.9f} "
               f"maxdev={joined['dev']:.2e}", flush=True)
+    except _Skip:
+        pass
     except Exception as exc:  # noqa: BLE001 - recorded, not fatal
         out["pagerank_vector"] = {
             "tier": "C", "error": str(exc).split("\n")[0][:300]
@@ -193,6 +221,8 @@ def run_scale(spark, copies: int, dst: str) -> dict:
 
     oracles = e2.oracle_sql()
     for name in TIER_A:
+        if not _want(name):
+            continue
         fn = qs[name]
         try:
             _tier_a_one(spark, qs, oracles, built, copies, name, out)
@@ -243,6 +273,9 @@ def _tier_a_one(spark, qs, oracles, built, copies, name, out) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", nargs="+", type=int, default=[10, 100])
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="re-run just these entries and merge into the "
+                         "existing artifact")
     args = ap.parse_args()
 
     from erkg_tutorials_spark.session import get_spark
@@ -262,10 +295,18 @@ def main() -> None:
     for k in args.scales:
         dst = f"/tmp/erkg_sf{k}x_all_v2" if k != 10 else None
         dst = dst or "/tmp/erkg_sf10x_all_v2"
-        results[str(k)] = run_scale(spark, k, dst)
+        results[str(k)] = run_scale(
+            spark, k, dst, only=set(args.only) if args.only else None
+        )
 
     art = {"src": SF1, "scales": results}
     path = os.path.join(REPO, "SCALE100X.json")
+    if args.only and os.path.exists(path):
+        # merge the re-run entries into the prior full artifact
+        with open(path) as fh:
+            art = json.load(fh)
+        for k, recs in results.items():
+            art["scales"].setdefault(k, {}).update(recs)
     with open(path, "w") as fh:
         json.dump(art, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -276,8 +317,10 @@ def main() -> None:
         print("\n| kernel | 10x secs | 100x secs | bend (100x/10x) |")
         print("|---|---|---|---|")
         for name in results["10"]:
-            a, b = results["10"][name]["secs"], results["100"][name]["secs"]
-            print(f"| {name} | {a} | {b} | {round(b / a, 2) if a else '-'}x |")
+            a = results["10"][name].get("secs")
+            b = results["100"].get(name, {}).get("secs")
+            if a and b:
+                print(f"| {name} | {a} | {b} | {round(b / a, 2)}x |")
     spark.stop()
 
 
