@@ -148,7 +148,10 @@ class TestTransformWithStateGate:
         container has no package-index network path anyway (``pip
         install protobuf`` -> ``NewConnectionError: [Errno -2] Name
         or service not known``, 2026-08-16); the gate stands as the
-        documented record.
+        documented record. Re-probed r11 (2026-08-16): pypi.org DNS
+        still unresolvable (``URLError: Name or service not known``) —
+        the spaCy/sentence-transformer golden tiers remain env-gated,
+        hermetic mini-model adapters keep covering the seams.
         The applyInPandasWithState sessionizer covers the custom-
         stateful streaming surface end-to-end in the meantime."""
         from pyspark.sql import GroupedData
