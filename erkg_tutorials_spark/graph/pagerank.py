@@ -208,13 +208,17 @@ def pagerank(
     # count (loop_confs.loop_partitions). The tuned confs live on a
     # cloned session — the caller's session is never mutated, so
     # concurrent queries on it keep their plans.
-    n_edges = e_deg.count() if tune_loop_confs else 0
+    # the GraphX route must see the real edge count even when loop
+    # tuning is off (the guard used to reuse the tuning count and
+    # silently skipped the route for tune_loop_confs=False callers) —
+    # e_deg is cached, so the extra count just materializes the table
+    # the loop or the route's edge join reads anyway
+    may_route = not ns and weight is None and init_ranks is None
+    n_edges = e_deg.count() if (tune_loop_confs or may_route) else 0
     # measured routing (module header): above the crossover, the
     # dangler-free/unweighted/cold-start case runs on classpath GraphX
     if (
-        not ns
-        and weight is None
-        and init_ranks is None
+        may_route
         and n_edges >= _graphx_min_edges()
         and danglers.isEmpty()
     ):
@@ -265,10 +269,18 @@ def _pagerank_graphx(e, verts, reset: float, max_iter: int) -> DataFrame:
     max |ours·n − graphx| = 2e-14 at 117M edges), so the result is
     divided by n to keep the sums-to-1 contract."""
     spark = e.sparkSession
+    # the id↔vid map is joined TWICE (src and dst) and again on the way
+    # out — monotonically_increasing_id is non-deterministic under
+    # recompute, so a merely .cache()d index partially evicted at
+    # exactly the scale this route targets (≥GRAPHX_MIN_EDGES) could
+    # map src and dst through DIFFERENT assignments. The eager local
+    # checkpoint makes the assignment durable before any join reads it
+    # (|V| rows, 2 cols — small; the backing RDD is GC-reclaimed by the
+    # ContextCleaner once idx drops out of scope).
     idx = (
         verts.select("id")
         .withColumn("vid", F.monotonically_increasing_id())
-        .cache()
+        .localCheckpoint(eager=True)
     )
     ledges = (
         e.join(idx.select(F.col("id").alias("src"), F.col("vid").alias("s")),
@@ -298,9 +310,16 @@ def _pagerank_graphx(e, verts, reset: float, max_iter: int) -> DataFrame:
         idx.join(vr, "vid")
         .join(verts.select("id", "n"), "id")
         .select("id", (F.col("gxrank") / F.col("n")).alias("rank"))
-        .localCheckpoint(eager=True)  # sever before idx unpersists
+        .localCheckpoint(eager=True)  # sever before the JVM state drops
     )
-    idx.unpersist()
+    # Graph.fromEdgeTuples caches vertices+edges MEMORY_ONLY and
+    # PageRank.run leaves the final ranked graph cached — by definition
+    # |E| ≥ GRAPHX_MIN_EDGES here, so leaving them resident would leak
+    # edge-set-sized RDDs into executor storage on every routed call
+    # and LRU-evict other queries' loop-invariant caches. The eager
+    # checkpoint above already materialized everything we return.
+    ranked.unpersist(False)
+    g.unpersist(False)
     return out
 
 

@@ -1,27 +1,46 @@
-"""Edge-iterator triangle enumeration over adjacency intersections.
+"""Edge-iterator triangle enumeration over DEGREE-ORDERED adjacency
+intersections.
 
 The naive distributed triangle plan (three equi-joins over the
 canonical u < v edge set) materializes and SHUFFLES one row per
 WEDGE — Σ_b lo(b)·hi(b) rows, ~49M at sf0.1 on the co-order part
 graph, then probes the edge set again to keep actual triangles. The
 edge-iterator formulation does the same asymptotic work WITHOUT the
-wedge shuffle: build each vertex's higher-neighbor array once
+wedge shuffle: build each vertex's out-neighbor array once
 (one groupBy), join the two endpoint arrays onto each edge (edge-set
 sized join, arrays ride along columnar), and intersect them inside
-whole-stage codegen (`array_intersect` hashes the smaller array —
-O(|N+(u)| + |N+(v)|) per edge). Only the TRIANGLES that actually
-exist are exploded afterwards, so shuffle volume drops from
-wedge-count to edge-count + triangle-count. Canonical orientation
-(u < v, higher neighbors only) finds each triangle {a < b < c}
-exactly once, at its (a, b) edge with c in the intersection.
+whole-stage codegen (`array_intersect` hashes the smaller array).
+Only the TRIANGLES that actually exist are exploded afterwards, so
+shuffle volume drops from wedge-count to edge-count + triangle-count.
 
-Measured at sf0.1 (local[32], SCALING.md r7): g_triangle_count
-17.8 s → edge-iterator rewrite, g_ktruss's dominant first peel round
-gets the same reduction; per-vertex and per-edge counts are
-bit-identical to the three-join plan (same unchanged DuckDB oracles).
+Orientation matters at scale. Any TOTAL ORDER on vertices finds each
+triangle exactly once (at the oriented edge between its two smallest
+vertices, the largest in the intersection), but the per-vertex
+out-array length — and with it the adjacency-shuffle row width and
+the per-edge intersection cost — depends on WHICH order:
+
+- id order (u < v): a hub that happens to have a low id keeps ALL its
+  neighbors in one array — unbounded skew. This is what bent the 100x
+  notch superlinear (SCALE100X r11: triangle 15.4x, ktruss 16.8x per
+  decade — the adjacency shuffle outgrew RAM into the single-disk
+  spill cliff).
+- degree order (orient each edge toward its higher-(degree, id)
+  endpoint): every out-array is bounded by O(sqrt(m)) — a vertex with
+  out-degree d has d neighbors of degree >= its own, so d(d-1)/2 <= m
+  — and by the graph's arboricity on sparse graphs. Same triangle
+  set, same outputs; the skewed array simply cannot exist.
+
+Costs one extra degree groupBy + two edge⋈degree joins per call —
+linear, shuffle-bound, no skew (degree table is vertex-keyed).
+
+Measured at sf0.1 (local[32], SCALING.md r7/r12): g_triangle_count
+17.8 s → edge-iterator rewrite; per-vertex and per-edge counts are
+bit-identical to the three-join plan under EITHER orientation (the
+DuckDB oracles are orientation-free and unchanged).
 
 Public algorithm; cf. Schank & Wagner 2005, "Finding, Counting and
-Listing All Triangles in Large Graphs".
+Listing All Triangles in Large Graphs" (the forward/degree-ordered
+variant), and Cohen 2009 MapReduce triangle counting.
 """
 
 from __future__ import annotations
@@ -30,24 +49,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def oriented_edges(e: DataFrame) -> DataFrame:
+    """Each undirected edge of the canonical (u < v, distinct) edge set
+    ``e``, re-oriented from its lower-(degree, id) endpoint to its
+    higher-(degree, id) endpoint: (u ≺ v) in the degree total order.
+    Bijective on edges; out-degrees under this orientation are bounded
+    by O(sqrt(m))."""
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+    )
+
+
 def triangle_edge_rows(e: DataFrame) -> DataFrame:
-    """(u, v, ws, cnt) per canonical edge (u < v) of ``e(u, v)``:
-    ``ws`` the array of third vertices w > v closing a triangle over
-    (u, v), ``cnt`` its size; edges closing no triangle are absent.
-    Each triangle {a < b < c} appears exactly once, on its (a, b) row.
-    """
-    adj = e.groupBy(F.col("u").alias("id")).agg(
+    """(u, v, ws, cnt) per degree-oriented edge (u ≺ v in (degree, id)
+    order) of the canonical edge set ``e(u, v)``: ``ws`` the array of
+    third vertices w (with u ≺ w and v ≺ w) closing a triangle over
+    {u, v}, ``cnt`` its size; edges closing no triangle are absent.
+    Each triangle appears exactly once, on the oriented edge between
+    its two (degree, id)-smallest vertices. NOTE: u/v here are in
+    DEGREE order, not id order — consumers aggregating per vertex are
+    orientation-free; consumers emitting per-edge rows must
+    re-canonicalize with least/greatest (see :func:`edge_support`)."""
+    oe = oriented_edges(e)
+    adj = oe.groupBy(F.col("u").alias("id")).agg(
         F.collect_list("v").alias("nbrs")
     )
     au = adj.select(F.col("id").alias("u"), F.col("nbrs").alias("u_nbrs"))
     av = adj.select(F.col("id").alias("v"), F.col("nbrs").alias("v_nbrs"))
-    # inner joins on both sides: an edge whose v has no higher
-    # neighbors closes no triangle ON THIS ROW (its triangles, if
-    # any, are found at their own (a, b) rows), so dropping it is
-    # exact — and a triangle's (a, b) row always survives, since
-    # a's nbrs contain b and b's nbrs contain c
+    # inner joins on both sides: an edge whose v has no out-neighbors
+    # closes no triangle ON THIS ROW (its triangles, if any, are found
+    # at their own apex edges), so dropping it is exact — and a
+    # triangle's apex row always survives, since for vertices a ≺ b ≺ c
+    # the oriented edges are a→b, a→c, b→c: out(a) ∩ out(b) ∋ c at the
+    # (a, b) row, and no other edge of the triangle sees it
     return (
-        e.join(au, "u")
+        oe.join(au, "u")
         .join(av, "v")
         .select(
             "u",
@@ -61,7 +113,9 @@ def triangle_edge_rows(e: DataFrame) -> DataFrame:
 
 def vertex_triangle_counts(e: DataFrame) -> DataFrame:
     """(id, count): undirected triangle count per vertex of the
-    canonical edge set ``e(u, v)``; vertices in no triangle absent."""
+    canonical edge set ``e(u, v)``; vertices in no triangle absent.
+    Orientation-free: each triangle row contributes once to each of
+    its three vertices regardless of which edge carried it."""
     tri = triangle_edge_rows(e)
     contrib = (
         tri.select(F.col("u").alias("id"), F.col("cnt").alias("w"))
@@ -75,24 +129,34 @@ def vertex_triangle_counts(e: DataFrame) -> DataFrame:
 
 def edge_support(e: DataFrame) -> DataFrame:
     """(u, v, s): triangle count per canonical edge of ``e(u, v)``
-    with u < v. Edges in no triangle are absent. A triangle
-    {a < b < c} found at its (a, b) row supports all three of its
-    edges (a, b), (a, c), (b, c) — already canonical since c > v > u.
-    """
+    with u < v (id order — the caller's canonical form). Edges in no
+    triangle are absent. A triangle found at its degree-oriented apex
+    row supports all three of its edges; the oriented endpoints are
+    re-canonicalized with least/greatest since degree order and id
+    order disagree in general."""
     tri = triangle_edge_rows(e)
-    sides = (
-        tri.select("u", "v", F.col("cnt").alias("w"))
-        .unionByName(
-            tri.select(
-                "u", F.explode("ws").alias("v"), F.lit(1).cast("long").alias("w")
-            )
-        )
-        .unionByName(
-            tri.select(
-                F.col("v").alias("u"),
-                F.explode("ws").alias("v"),
-                F.lit(1).cast("long").alias("w"),
-            )
-        )
+    apex = tri.select(
+        F.least("u", "v").alias("u"),
+        F.greatest("u", "v").alias("v"),
+        F.col("cnt").alias("w"),
     )
-    return sides.groupBy("u", "v").agg(F.sum("w").alias("s"))
+    side_u = tri.select(
+        F.col("u").alias("a"), F.explode("ws").alias("b")
+    ).select(
+        F.least("a", "b").alias("u"),
+        F.greatest("a", "b").alias("v"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    side_v = tri.select(
+        F.col("v").alias("a"), F.explode("ws").alias("b")
+    ).select(
+        F.least("a", "b").alias("u"),
+        F.greatest("a", "b").alias("v"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    return (
+        apex.unionByName(side_u)
+        .unionByName(side_v)
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("s"))
+    )

@@ -155,7 +155,14 @@ def memoized_sized(
     if not done:
         df.count()
         with _LOCK:
-            _MATERIALIZED.add(key)
+            # flag only if the memo slot still holds the exact frame we
+            # counted: a release()/_drop racing the count would otherwise
+            # leave the key flagged with no live materialization, and the
+            # NEXT build under this key would skip its count — silently
+            # reviving the collapsed-stats broadcast misplan this
+            # function exists to prevent.
+            if _MEMO.get(key) is df:
+                _MATERIALIZED.add(key)
     return df
 
 

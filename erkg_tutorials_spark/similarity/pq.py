@@ -203,11 +203,14 @@ def cosine_knn_pq(
     )
 
 
-def pq_sql(*, n_queries: int, rerank: int, k: int,
+def pq_sql(*, n_queries: int, rerank: int | str, k: int,
            candidate_cte: str | None = None) -> str:
     """DuckDB CTE chain replaying the whole PQ pipeline — subvector
     split, joint codebook training, encoding, integer ADC, exact
     rerank — over a pre-existing ``v(vec_id, emb)`` CTE (DOUBLE[]).
+
+    ``rerank`` may be an int literal or a SQL scalar expression
+    (e.g. the sqrt(N)-scaled depth, plans/vectorq.py PQ_RERANK_SQL).
 
     ``candidate_cte`` names a pre-existing (query_id, vec_id) CTE; when
     given, ADC scoring is restricted to those pairs — the oracle twin

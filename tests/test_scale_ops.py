@@ -504,16 +504,22 @@ class TestAnnRecallClustered:
             sq8_cands=(20, 50),
             pq_reranks=(50, 100),
             ivfpq_nprobes=(2, 4),
+            ivfpq_rerank="default",  # the sqrt(N)-scaled shipped config
         )
 
     def test_ann_recall_absolute_floors(self, recalls):
         assert recalls["ivf nprobe=4"] >= 0.90
         assert recalls["sq8 cand=50"] >= 0.95
         assert recalls["pq rerank=100"] >= 0.90
-        assert recalls["ivfpq nprobe=4 rerank=50"] >= 0.80
+        # r11 floor was 0.80 at rerank=50 (PQ code distortion capped
+        # the fixed shortlist at 0.85 on the sf0.1-size corpus); the
+        # shipped config now scales rerank with sqrt(N), which clears
+        # the distortion band — floor raised per r11 VERDICT item 5
+        assert recalls["ivfpq nprobe=4 rerank=default"] >= 0.90
 
     def test_routing_beats_single_probe(self, recalls):
         # on clustered data widening the probe set must close most of
         # the gap to exhaustive search — the routing-quality signature
-        assert recalls["ivf nprobe=4"] >= recalls["ivf nprobe=1"]
-        assert recalls["ivf nprobe=4"] - recalls["ivf nprobe=1"] >= 0.0
+        # measured gap on this corpus is 0.23-0.30; 0.05 is the "routing
+        # actually recovers cross-cell neighbors" floor, not noise-level
+        assert recalls["ivf nprobe=4"] - recalls["ivf nprobe=1"] >= 0.05

@@ -49,8 +49,14 @@ def measure(
     sq8_cands: tuple = (20, 50, 100),
     pq_reranks: tuple = (20, 50, 100),
     ivfpq_nprobes: tuple = (1, 2, 4),
+    ivfpq_rerank: int | str = 50,
 ) -> dict:
-    """recall@k for every ANN tier across its work knob."""
+    """recall@k for every ANN tier across its work knob.
+
+    ``ivfpq_rerank``: shortlist depth for the ivfpq variants — an int,
+    or the string "default" for the engine's sqrt(N)-scaled depth
+    (plans/vectorq.py pq_rerank_for); result keys carry the label
+    verbatim so test floors stay corpus-size-independent."""
     from erkg_tutorials_spark.catalog import load_tables
     from erkg_tutorials_spark.plans.vectorq import (
         ivf_cells_cached,
@@ -97,14 +103,20 @@ def measure(
         results[f"pq rerank={rerank}"] = recall_at_k(approx, truth, k)
 
     cells = ivf_cells_cached(spark, sf_dir)
+    if ivfpq_rerank == "default":
+        from erkg_tutorials_spark.plans.vectorq import pq_rerank_for
+
+        rr = pq_rerank_for(spark, sf_dir)
+    else:
+        rr = int(ivfpq_rerank)
     for nprobe in ivfpq_nprobes:
         probes = ivf_probes(queries, cent, nprobe=nprobe)
         candidates = probes.join(cells, "cell").select("query_id", "vec_id")
         approx = cosine_knn_pq(
             corpus=emb, queries=queries, codebooks=books, codes=codes,
-            rerank=50, k=k, candidates=candidates,
+            rerank=rr, k=k, candidates=candidates,
         )
-        results[f"ivfpq nprobe={nprobe} rerank=50"] = recall_at_k(
+        results[f"ivfpq nprobe={nprobe} rerank={ivfpq_rerank}"] = recall_at_k(
             approx, truth, k
         )
     return results

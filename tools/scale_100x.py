@@ -54,10 +54,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# local mode runs executors inside the driver JVM: the 100x kernels
-# need the same scaled heap the 10x full-registry sweep uses
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-
 SF1 = "/root/testdata/sf0.1"
 OFFN = 10_000_000  # every copy-0 numeric key is below this bound
 PR_ITERS = 6
@@ -277,6 +273,13 @@ def main() -> None:
                     help="re-run just these entries and merge into the "
                          "existing artifact")
     args = ap.parse_args()
+
+    # inside main(), not at import: tests import TIER_A/TIER_B from
+    # this module, and a module-level setdefault would mutate driver
+    # sizing for any Spark session created later in that process.
+    # local mode runs executors inside the driver JVM: the 100x kernels
+    # need the same scaled heap the 10x full-registry sweep uses.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from erkg_tutorials_spark.session import get_spark
 

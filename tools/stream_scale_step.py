@@ -52,8 +52,15 @@ PANEL = [
 
 
 class _Capture:
-    """Keeps the LAST progress event's state-operator summary per
-    streaming query name (sink names are '<base>_<seq>')."""
+    """Keeps the MAX-over-batches state-operator summary per streaming
+    query name (sink names are '<base>_<seq>'). Max, not last: the r11
+    artifact sampled the last micro-batch, and AvailableNow plans a
+    different batch count per scale — a query whose final batch holds
+    little state (e.g. the outer-join's watermark flush) recorded
+    40,025 rows at 1x vs 1,470 at 10x, an artifact of WHICH batch was
+    sampled, not a state shrink. The per-query maximum is the actual
+    footprint the state store must hold, and it means one thing at
+    every scale."""
 
     def __init__(self) -> None:
         self.by_name: dict[str, dict] = {}
@@ -71,12 +78,16 @@ class _Capture:
             def onQueryProgress(self, event):
                 p = event.progress
                 ops = p.stateOperators or []
+                rows = sum(o.numRowsTotal for o in ops)
+                byts = sum(o.memoryUsedBytes for o in ops)
                 with cap.lock:
-                    cap.by_name[p.name] = {
-                        "state_rows": sum(o.numRowsTotal for o in ops),
-                        "state_bytes": sum(o.memoryUsedBytes for o in ops),
-                        "batch_id": p.batchId,
-                    }
+                    cur = cap.by_name.get(p.name)
+                    if cur is None or rows > cur["state_rows"]:
+                        cap.by_name[p.name] = {
+                            "state_rows": rows,
+                            "state_bytes": byts,
+                            "batch_id": p.batchId,
+                        }
 
             def onQueryIdle(self, event):
                 pass
@@ -98,16 +109,21 @@ def run_panel(spark, sf_dir: str, cap: _Capture) -> dict:
         n = qs[name](spark, sf_dir).count()
         secs = round(time.time() - t0, 2)
         # the sink this run created (new '<base>_<seq>' keys); progress
-        # events arrive asynchronously, so poll briefly before giving
-        # up (a missed event costs the state columns, not the timing)
+        # events arrive asynchronously AND the max-over-batches capture
+        # needs the whole event stream, so poll until the snapshot is
+        # stable across two consecutive reads (a missed tail event
+        # costs the state columns, not the timing)
         new: dict = {}
+        prev_snap = None
         for _ in range(20):
             with cap.lock:
                 new = {
-                    k: v for k, v in cap.by_name.items() if k not in before
+                    k: dict(v) for k, v in cap.by_name.items()
+                    if k not in before
                 }
-            if new:
+            if new and new == prev_snap:
                 break
+            prev_snap = new
             time.sleep(0.15)
         state = max(
             new.values(), key=lambda v: v["state_rows"], default=None
@@ -151,16 +167,30 @@ def main() -> None:
         fh.write("\n")
     print(f"wrote {path}")
 
-    if {"1", "10"} <= results.keys():
-        print("\n| query | 1x secs | 10x secs | bend | 1x state rows | "
-              "10x state rows |")
-        print("|---|---|---|---|---|---|")
+    ks = sorted(results.keys(), key=int)
+    if len(ks) >= 2:
+        head = (
+            "| query | " + " | ".join(f"{k}x secs" for k in ks)
+            + " | " + " | ".join(
+                f"{a}→{b}x bend" for a, b in zip(ks, ks[1:])
+            )
+            + " | " + " | ".join(f"{k}x state rows" for k in ks) + " |"
+        )
+        print("\n" + head)
+        print("|" + "---|" * (head.count("|") - 1))
         for name in PANEL:
-            a, b = results["1"][name], results["10"][name]
-            bend = round(b["secs"] / a["secs"], 2) if a["secs"] else "-"
-            print(f"| {name} | {a['secs']} | {b['secs']} | {bend}x | "
-                  f"{a.get('state_rows', '-')} | "
-                  f"{b.get('state_rows', '-')} |")
+            rs = [results[k][name] for k in ks]
+            bends = [
+                (round(b["secs"] / a["secs"], 2) if a["secs"] else "-")
+                for a, b in zip(rs, rs[1:])
+            ]
+            print(
+                f"| {name} | "
+                + " | ".join(str(r["secs"]) for r in rs) + " | "
+                + " | ".join(f"{b}x" for b in bends) + " | "
+                + " | ".join(str(r.get("state_rows", "-")) for r in rs)
+                + " |"
+            )
     spark.stop()
 
 
