@@ -45,8 +45,29 @@ variant), and Cohen 2009 MapReduce triangle counting.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _orientation() -> str:
+    """Edge-orientation strategy: "degree" (default) or "id".
+
+    Both are EXACT (any total vertex order finds each triangle once;
+    all public outputs are orientation-invariant) — the knob exists so
+    the cost trade can be re-measured per deployment:
+    - "degree": out-arrays bounded by O(sqrt m) / arboricity — no hub
+      skew can exist in the adjacency shuffle — at the price of one
+      degree groupBy + two edge⋈degree joins per enumeration.
+    - "id": no orientation pass (the input's canonical u < v order is
+      used as-is), but a low-id hub keeps an unbounded out-array.
+    Measured on the co-order part graph (SCALING.md r12): the spill at
+    100x was PARTITION-SIZED, not skew-bound (shuffle volume exactly
+    linear per decade), so on this dataset the two orientations trade
+    only the join overhead; degree order stays the default because its
+    worst case is bounded for graphs whose hubs do matter."""
+    return os.environ.get("SPARK_GRAFT_TRI_ORIENT", "degree")
 
 
 def oriented_edges(e: DataFrame) -> DataFrame:
@@ -54,7 +75,10 @@ def oriented_edges(e: DataFrame) -> DataFrame:
     ``e``, re-oriented from its lower-(degree, id) endpoint to its
     higher-(degree, id) endpoint: (u ≺ v) in the degree total order.
     Bijective on edges; out-degrees under this orientation are bounded
-    by O(sqrt(m))."""
+    by O(sqrt(m)). Under SPARK_GRAFT_TRI_ORIENT=id the input order is
+    kept instead (see :func:`_orientation`)."""
+    if _orientation() == "id":
+        return e.select("u", "v")
     deg = (
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))
@@ -86,21 +110,32 @@ def triangle_edge_rows(e: DataFrame) -> DataFrame:
     DEGREE order, not id order — consumers aggregating per vertex are
     orientation-free; consumers emitting per-edge rows must
     re-canonicalize with least/greatest (see :func:`edge_support`)."""
-    oe = oriented_edges(e)
-    adj = oe.groupBy(F.col("u").alias("id")).agg(
+    adj = oriented_edges(e).groupBy(F.col("u").alias("id")).agg(
         F.collect_list("v").alias("nbrs")
     )
-    au = adj.select(F.col("id").alias("u"), F.col("nbrs").alias("u_nbrs"))
+    # the oriented edge set IS the adjacency exploded — deriving the
+    # probe rows from adj (u's out-array riding along the explode)
+    # instead of re-joining adj onto a second copy of the oriented
+    # edges keeps the orientation joins in ONE subplan (adj's two uses
+    # share the same aggregate exchange, which Spark reuses; a separate
+    # oriented-edge probe side would recompute the degree joins) and
+    # drops the u-side array join entirely. The exploded row carries
+    # the same u_nbrs payload the former join output carried — no new
+    # data volume, one less shuffle.
+    pairs = adj.select(
+        F.col("id").alias("u"),
+        F.explode("nbrs").alias("v"),
+        F.col("nbrs").alias("u_nbrs"),
+    )
     av = adj.select(F.col("id").alias("v"), F.col("nbrs").alias("v_nbrs"))
-    # inner joins on both sides: an edge whose v has no out-neighbors
+    # inner join on the v side: an edge whose v has no out-neighbors
     # closes no triangle ON THIS ROW (its triangles, if any, are found
     # at their own apex edges), so dropping it is exact — and a
     # triangle's apex row always survives, since for vertices a ≺ b ≺ c
     # the oriented edges are a→b, a→c, b→c: out(a) ∩ out(b) ∋ c at the
     # (a, b) row, and no other edge of the triangle sees it
     return (
-        oe.join(au, "u")
-        .join(av, "v")
+        pairs.join(av, "v")
         .select(
             "u",
             "v",

@@ -40,6 +40,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE coalesces DOWN from the initial partition count but never
+        # splits up, so a static 32/64 initial count caps every sort at
+        # (shuffle bytes / 64) per task regardless of scale — the r12
+        # 100x spill datum: the triangle kernel's 44 GB adjacency
+        # shuffle ran in 64 partitions and spilled 242 GB (mem+disk)
+        # through sorts that fit nowhere, while the SAME plan at 10x
+        # (4.3 GB, 0 spill) was fine. A high initial count with AQE
+        # coalescing to the advisory size is the scale-proof setting:
+        # small shuffles still coalesce to a handful of partitions
+        # (no small-file regression measured at sf0.1), big shuffles
+        # keep enough partitions that per-task sorts fit in memory.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(512, shuffle_partitions)))
         # Dim tables (nation/region/countries/suspicions) are tiny; raise
         # the broadcast threshold so Catalyst picks broadcast-hash joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -94,6 +94,57 @@ class _Skip(Exception):
     """--only filter sentinel: not an error, just not requested."""
 
 
+def _spill_totals(spark) -> dict | None:
+    """Cumulative shuffle-spill/write bytes across all completed stages
+    (Spark status REST API). Per-kernel spill = delta between two
+    snapshots. Caveat recorded with the number: the UI retains
+    spark.ui.retainedStages stages (default 1000), so a very long
+    sweep undercounts — each kernel here runs far fewer stages than
+    the retention window."""
+    try:
+        import urllib.request
+
+        uiopt = spark.sparkContext._jsc.sc().uiWebUrl()
+        if not uiopt.isDefined():
+            return None
+        base = uiopt.get()
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications", timeout=5
+        ) as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=15,
+        ) as r:
+            stages = json.load(r)
+        return {
+            "disk_spill": sum(s.get("diskBytesSpilled", 0) for s in stages),
+            "mem_spill": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            "shuffle_write": sum(
+                s.get("shuffleWriteBytes", 0) for s in stages
+            ),
+        }
+    except Exception:
+        return None
+
+
+def _spill_delta(before: dict | None, after: dict | None) -> dict:
+    if not before or not after:
+        return {}
+    gb = 1024 ** 3
+    return {
+        "disk_spill_gb": round(
+            (after["disk_spill"] - before["disk_spill"]) / gb, 2
+        ),
+        "mem_spill_gb": round(
+            (after["mem_spill"] - before["mem_spill"]) / gb, 2
+        ),
+        "shuffle_write_gb": round(
+            (after["shuffle_write"] - before["shuffle_write"]) / gb, 2
+        ),
+    }
+
+
 def _canon_hash(df) -> tuple[int, str]:
     """(row_count, order-insensitive value hash) over a DataFrame whose
     value columns are already query-rounded (every Tier B query rounds
@@ -134,10 +185,12 @@ def run_scale(spark, copies: int, dst: str, only: set | None = None) -> dict:
             continue
         fn = qs[name]
         try:
+            sp0 = _spill_totals(spark)
             t0 = time.time()
             big = fn(spark, built)
             nk_full = big.count()  # the timed full-scale run
             secs = round(time.time() - t0, 2)
+            spill = _spill_delta(sp0, _spill_totals(spark))
 
             n1, h1 = _canon_hash(fn(spark, SF1))
             nk_proj, hk = _canon_hash(big.where(proj))
@@ -148,6 +201,7 @@ def run_scale(spark, copies: int, dst: str, only: set | None = None) -> dict:
                 "rows_1x": n1,
                 "rows_proj": nk_proj,
                 "rows_full": nk_full,
+                **spill,
             }
             if linear:
                 rec["count_linear_ok"] = nk_full == copies * n1
