@@ -775,8 +775,24 @@ def main() -> None:
     # as the FINAL stdout line: the driver stores only a ~2000-char
     # stdout tail and json-parses its last line, so the closer is the
     # one that must fit (r8 VERDICT item 3 — BENCH_r08.json parsed=null).
+    summary = _compact_summary(result, here, rnd)
+    # the canonical round-over-round sentence, printed by the bench
+    # itself so prose/commits quote the artifact instead of re-deriving
+    # it (r11 VERDICT item 7: a commit message said "16% faster" where
+    # the artifact recorded corrected=0.903): raw geomean / control
+    # drift, and the DIRECTION spelled out.
+    corr = summary.get("geomean_vs_prev_corrected")
+    if corr is not None:
+        direction = "faster" if corr < 1 else "slower"
+        print(
+            f"[bench] drift-corrected geomean vs r{rnd - 1}: "
+            f"corrected={corr} (raw={summary['geomean_vs_prev_round']}, "
+            f"control drift={summary['control_drift_geomean']}) — "
+            f"{abs(1 - corr) * 100:.0f}% {direction} than last round",
+            file=sys.stderr,
+        )
     print(json.dumps(result))
-    print(json.dumps(_compact_summary(result, here, rnd)))
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -4,14 +4,14 @@ community primitive one level stronger than k-core (every k-truss is
 a (k-1)-core, not vice versa).
 
 Algorithm: iterated support peel. Each round enumerates triangles
-over the canonical (u < v) edge set with the same degree-ordered
-edge-iterator adjacency-intersection shape as triangleCount
-(graph/triangles.py — out-arrays bounded by O(sqrt m), so the
-adjacency shuffle cannot skew on hubs; degrees are the CURRENT
-round's, any total order is exact per round),
-counts per-edge support, and drops edges below k-2; removing an edge
-can destroy other edges' triangles, so the peel repeats until a
-round removes nothing.
+over the canonical (u < v) edge set with the same edge-iterator
+adjacency-intersection shape as triangleCount (graph/triangles.py —
+orientation chosen adaptively per round from the CURRENT round's
+degrees, so a hub remnant gets the sqrt(2m) Schank-Wagner bound and
+a regular one keeps the free id order; any total order is exact per
+round), counts per-edge support, and drops edges below k-2; removing
+an edge can destroy other edges' triangles, so the peel repeats
+until a round removes nothing.
 
 Scale shape: each round is one adjacency groupBy + two edge-set
 joins plus one (u, v) count — shuffle volume is edges + actual

@@ -19,23 +19,32 @@ vertices, the largest in the intersection), but the per-vertex
 out-array length — and with it the adjacency-shuffle row width and
 the per-edge intersection cost — depends on WHICH order:
 
-- id order (u < v): a hub that happens to have a low id keeps ALL its
-  neighbors in one array — unbounded skew. This is what bent the 100x
-  notch superlinear (SCALE100X r11: triangle 15.4x, ktruss 16.8x per
-  decade — the adjacency shuffle outgrew RAM into the single-disk
-  spill cliff).
+- id order (u < v): free, but a hub that happens to have a low id
+  keeps ALL its neighbors in one array — the worst array is the
+  graph's max degree, unbounded on hub graphs.
 - degree order (orient each edge toward its higher-(degree, id)
-  endpoint): every out-array is bounded by O(sqrt(m)) — a vertex with
+  endpoint): every out-array is bounded by sqrt(2m) — a vertex with
   out-degree d has d neighbors of degree >= its own, so d(d-1)/2 <= m
   — and by the graph's arboricity on sparse graphs. Same triangle
-  set, same outputs; the skewed array simply cannot exist.
+  set, same outputs; the skewed array simply cannot exist. Costs one
+  degree groupBy + two edge⋈degree joins per enumeration.
 
-Costs one extra degree groupBy + two edge⋈degree joins per call —
-linear, shuffle-bound, no skew (degree table is vertex-keyed).
+The default is the ADAPTIVE choice between those two worst-array
+bounds (max_deg vs sqrt(2m), one tiny aggregate on the data decides
+— see :func:`_orientation`). The r12 measurements forced this: the
+r11 100x bend (triangle 15.4x/decade) was first attributed to id-
+order hub skew, but the co-order graph is near-regular (max_deg 222
+vs sqrt(2m) 1547 at sf0.1 — and copies REPLICATE max_deg while
+growing m, so it gets relatively more regular per decade); degree
+orientation bought no bound and cost 2.0x at the 10x step (44.1 s vs
+22.4 s, fresh memos, init=32). The real 100x fix was partition
+sizing (session.py initialPartitionNum notes). Auto keeps the free
+id order exactly where it is provably at least as good, and buys the
+Schank-Wagner bound exactly where hubs make it pay.
 
 Measured at sf0.1 (local[32], SCALING.md r7/r12): g_triangle_count
 17.8 s → edge-iterator rewrite; per-vertex and per-edge counts are
-bit-identical to the three-join plan under EITHER orientation (the
+bit-identical to the three-join plan under EVERY orientation (the
 DuckDB oracles are orientation-free and unchanged).
 
 Public algorithm; cf. Schank & Wagner 2005, "Finding, Counting and
@@ -52,32 +61,41 @@ from pyspark.sql import functions as F
 
 
 def _orientation() -> str:
-    """Edge-orientation strategy: "degree" (default) or "id".
+    """Edge-orientation strategy: "auto" (default), "degree", or "id".
 
-    Both are EXACT (any total vertex order finds each triangle once;
-    all public outputs are orientation-invariant) — the knob exists so
-    the cost trade can be re-measured per deployment:
-    - "degree": out-arrays bounded by O(sqrt m) / arboricity — no hub
-      skew can exist in the adjacency shuffle — at the price of one
-      degree groupBy + two edge⋈degree joins per enumeration.
+    All are EXACT (any total vertex order finds each triangle once;
+    all public outputs are orientation-invariant) — the choice only
+    moves the cost:
     - "id": no orientation pass (the input's canonical u < v order is
-      used as-is), but a low-id hub keeps an unbounded out-array.
-    Measured on the co-order part graph (SCALING.md r12): the spill at
-    100x was PARTITION-SIZED, not skew-bound (shuffle volume exactly
-    linear per decade), so on this dataset the two orientations trade
-    only the join overhead; degree order stays the default because its
-    worst case is bounded for graphs whose hubs do matter."""
-    return os.environ.get("SPARK_GRAFT_TRI_ORIENT", "degree")
+      used as-is); the worst out-array is the graph's max degree.
+    - "degree": out-arrays bounded by sqrt(2m) / arboricity — no hub
+      skew can exist in the adjacency shuffle — at the price of one
+      degree groupBy + two edge⋈degree joins per enumeration
+      (measured 2.0x on the near-regular co-order graph at the 10x
+      step, where the bound buys nothing: max_deg 222 vs sqrt(2m)
+      1547).
+    - "auto": compare the two WORST-ARRAY BOUNDS on the actual data —
+      id's bound is max_deg, degree's is sqrt(2m) — and take the
+      orientation with the smaller one. One degree groupBy + a 2-
+      scalar collect decides it; when degree order wins the degree
+      table is reused for the orientation joins. A near-regular graph
+      (every TPC-H-derived graph here; max_deg <= sqrt(2m) at every
+      copy count, since copies replicate max_deg but grow m) keeps
+      the free id order; a hub graph (max_deg > sqrt(2m)) gets the
+      Schank-Wagner bound exactly when it pays."""
+    return os.environ.get("SPARK_GRAFT_TRI_ORIENT", "auto")
 
 
 def oriented_edges(e: DataFrame) -> DataFrame:
     """Each undirected edge of the canonical (u < v, distinct) edge set
-    ``e``, re-oriented from its lower-(degree, id) endpoint to its
-    higher-(degree, id) endpoint: (u ≺ v) in the degree total order.
-    Bijective on edges; out-degrees under this orientation are bounded
-    by O(sqrt(m)). Under SPARK_GRAFT_TRI_ORIENT=id the input order is
-    kept instead (see :func:`_orientation`)."""
-    if _orientation() == "id":
+    ``e``, re-oriented so every out-array is bounded: from its
+    lower-(degree, id) endpoint to its higher-(degree, id) endpoint
+    when degree order is selected (bound sqrt(2m)), the input id order
+    as-is when that order's bound (max_deg) is already tighter.
+    Bijective on edges either way; see :func:`_orientation` for the
+    selection rule and the SPARK_GRAFT_TRI_ORIENT override."""
+    mode = _orientation()
+    if mode == "id":
         return e.select("u", "v")
     deg = (
         e.select(F.col("u").alias("id"))
@@ -85,6 +103,14 @@ def oriented_edges(e: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
+    if mode == "auto":
+        row = deg.agg(
+            F.max("deg").alias("mx"), F.sum("deg").alias("two_m")
+        ).collect()[0]
+        # id order's worst array is max_deg; degree order's bound is
+        # sqrt(2m). Equal-bound ties keep id order (it is free).
+        if row["mx"] is None or row["mx"] * row["mx"] <= row["two_m"]:
+            return e.select("u", "v")
     du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
     u_first = (F.col("du") < F.col("dv")) | (
@@ -133,9 +159,21 @@ def triangle_edge_rows(e: DataFrame) -> DataFrame:
     # at their own apex edges), so dropping it is exact — and a
     # triangle's apex row always survives, since for vertices a ≺ b ≺ c
     # the oriented edges are a→b, a→c, b→c: out(a) ∩ out(b) ∋ c at the
-    # (a, b) row, and no other edge of the triangle sees it
+    # (a, b) row, and no other edge of the triangle sees it.
+    #
+    # SHUFFLE_HASH, not the default sort-merge: the pairs side carries
+    # u's whole out-array per edge — Σ_u d(u)² cells, the WEDGE volume
+    # (~39 GB raw at the 100x notch) — and sorting it is what turned
+    # the 100x run into a spill storm (r12: the SMJ sort of this join
+    # filled a 76 GB scratch disk; sort spill rewrites the data
+    # multiple times across merge passes). The hash build side is the
+    # adjacency table itself — |V| rows, Σd = 2m array cells, ~1 GB at
+    # 100x split across partitions — so the build always fits, and the
+    # wedge-sized side STREAMS through the join with zero sort, zero
+    # spill. At cluster scale the same asymmetry holds by construction
+    # (build side is linear in m, probe side quadratic in degree).
     return (
-        pairs.join(av, "v")
+        pairs.join(av.hint("SHUFFLE_HASH"), "v")
         .select(
             "u",
             "v",
@@ -150,15 +188,32 @@ def vertex_triangle_counts(e: DataFrame) -> DataFrame:
     """(id, count): undirected triangle count per vertex of the
     canonical edge set ``e(u, v)``; vertices in no triangle absent.
     Orientation-free: each triangle row contributes once to each of
-    its three vertices regardless of which edge carried it."""
+    its three vertices regardless of which edge carried it.
+
+    All three corner contributions are minted from ONE pass over the
+    triangle rows (per-row struct array exploded once), not a 3-way
+    union of projections of ``tri`` — a union makes the wedge-sized
+    enumeration subplan appear three times, and whether Catalyst
+    reuses it across differently-projected branches is an exchange-
+    boundary accident, not a guarantee. One explode makes single
+    execution structural (r12: the 100x notch showed the enumeration
+    re-running under the union shape)."""
     tri = triangle_edge_rows(e)
-    contrib = (
-        tri.select(F.col("u").alias("id"), F.col("cnt").alias("w"))
-        .unionByName(tri.select(F.col("v").alias("id"), F.col("cnt").alias("w")))
-        .unionByName(
-            tri.select(F.explode("ws").alias("id"), F.lit(1).cast("long").alias("w"))
-        )
-    )
+    one = F.lit(1).cast("long")
+    contrib = tri.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("u").alias("id"), F.col("cnt").alias("w")),
+                    F.struct(F.col("v").alias("id"), F.col("cnt").alias("w")),
+                ),
+                F.transform(
+                    "ws",
+                    lambda w: F.struct(w.alias("id"), one.alias("w")),
+                ),
+            )
+        ).alias("c")
+    ).select("c.id", "c.w")
     return contrib.groupBy("id").agg(F.sum("w").alias("count"))
 
 
@@ -170,28 +225,26 @@ def edge_support(e: DataFrame) -> DataFrame:
     re-canonicalized with least/greatest since degree order and id
     order disagree in general."""
     tri = triangle_edge_rows(e)
-    apex = tri.select(
-        F.least("u", "v").alias("u"),
-        F.greatest("u", "v").alias("v"),
-        F.col("cnt").alias("w"),
-    )
-    side_u = tri.select(
-        F.col("u").alias("a"), F.explode("ws").alias("b")
+    one = F.lit(1).cast("long")
+
+    def _edge(a, b, w):
+        return F.struct(
+            F.least(a, b).alias("eu"), F.greatest(a, b).alias("ev"),
+            w.alias("w"),
+        )
+
+    # one explode over per-row contribution arrays, not a 3-way union
+    # of tri projections — see vertex_triangle_counts for why single
+    # execution of the enumeration must be structural
+    contrib = tri.select(
+        F.explode(
+            F.concat(
+                F.array(_edge(F.col("u"), F.col("v"), F.col("cnt"))),
+                F.transform("ws", lambda w: _edge(F.col("u"), w, one)),
+                F.transform("ws", lambda w: _edge(F.col("v"), w, one)),
+            )
+        ).alias("c")
     ).select(
-        F.least("a", "b").alias("u"),
-        F.greatest("a", "b").alias("v"),
-        F.lit(1).cast("long").alias("w"),
+        F.col("c.eu").alias("u"), F.col("c.ev").alias("v"), F.col("c.w").alias("w")
     )
-    side_v = tri.select(
-        F.col("v").alias("a"), F.explode("ws").alias("b")
-    ).select(
-        F.least("a", "b").alias("u"),
-        F.greatest("a", "b").alias("v"),
-        F.lit(1).cast("long").alias("w"),
-    )
-    return (
-        apex.unionByName(side_u)
-        .unionByName(side_v)
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("s"))
-    )
+    return contrib.groupBy("u", "v").agg(F.sum("w").alias("s"))

@@ -825,8 +825,8 @@ def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangleCount facade uses (each triangle counted once per corner);
 # the coefficient is a single integer division, so both engines agree
 # exactly. One wedge-join shuffle + one groupBy; at 100 TB the same
-# degree-ordered orientation trick triangleCount uses bounds the join
-# fan-out by the graph's arboricity.
+# adaptive orientation trick triangleCount uses (max_deg vs sqrt(2m)
+# worst-array bound, graph/triangles.py) bounds the join fan-out.
 # ---------------------------------------------------------------------------
 @register(
     "g_clustering_coeff",

@@ -75,15 +75,78 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   corpus) sublinear. nprobe=4 of 45 cells scans ~9% of the corpus
 #   (vs the old 8-cell setup where nprobe=2 scanned a quarter);
 #   measured recall@10 table in SCALING.md, floors in
-#   tests/test_scale_ops.py::test_ann_recall_floors. At 100 TB the
-#   same rule makes k data-derived index *construction* state — the
-#   constant is frozen here only so the DuckDB oracle replays training
-#   bit-for-bit.
-KMEANS_K = 45
+#   tests/test_scale_ops.py::test_ann_recall_floors.
+#
+#   r12: the cell count now FOLLOWS the sqrt(N) rule on both engines
+#   instead of freezing its sf0.1 instantiation — the 100x recall
+#   panel caught the frozen 45 degrading IVF recall to 0.80 at a
+#   200k-vector planted-cluster corpus (45 cells over 2000 planted
+#   clusters leaves ~44 clusters per cell; the 4-probe set can no
+#   longer isolate a query's own cluster). k(n) = max(KMEANS_K,
+#   ceil(sqrt(n))): the floor keeps every corpus up to sqrt-inverse
+#   of 45 (n <= 2025 — all driver test scales AND the sf0.1-size
+#   clustered recall corpus) bit-identical to the r9-r11 recordings;
+#   the sqrt arm makes index construction data-derived exactly like
+#   the r11 rerank depth one screen below (same CEIL(SQRT) cross-
+#   engine-exactness argument).
+KMEANS_K = 45  # cell-count floor; effective k = kmeans_cells_for(...)
 KMEANS_ITERS = 3
 IVF_NPROBE = 4
 IVF_QUERIES = 5
 IVF_K = 3
+
+# the SQL twin of kmeans_cells_for — evaluated against the same v CTE
+# the training chain reads, so both engines derive the same k from
+# the same table (see PQ_RERANK_SQL for the CEIL(SQRT) exactness note)
+K_CELLS_SQL = (
+    f"(SELECT GREATEST({KMEANS_K}, "
+    "CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM v)"
+)
+
+
+# nprobe keeps the PROBED FRACTION of cells constant as the cell
+# count scales: nprobe(k) = ceil(IVF_NPROBE * k / KMEANS_K) (~9% of
+# cells, the shipped 4-of-45 ratio). The r12 100x recall panel forced
+# this: scaling cells alone (45 -> 448 at the 200k planted corpus)
+# shrank the probed fraction 10x and DROPPED recall 0.80 -> 0.73;
+# probing a constant fraction restores it while the per-query scan
+# stays ~nprobe/k * N. Cross-engine exactness: 4k/45 at integer k is
+# either an exact double (4k = 45m divides out) or >= 1/45 from an
+# integer — far outside one ulp — so CEIL agrees with the integer
+# ceiling below.
+NPROBE_SQL = (
+    f"(SELECT CAST(CEIL({IVF_NPROBE}.0 * GREATEST({KMEANS_K}, "
+    f"CEIL(SQRT(COUNT(*)))) / {KMEANS_K}) AS BIGINT) FROM v)"
+)
+
+
+def ivf_nprobe_for(spark: SparkSession, sf_dir: str) -> int:
+    """ceil(IVF_NPROBE * cells / KMEANS_K) — constant probed fraction
+    (= IVF_NPROBE at every corpus the KMEANS_K floor governs)."""
+    k = kmeans_cells_for(spark, sf_dir)
+    return (IVF_NPROBE * k + KMEANS_K - 1) // KMEANS_K
+
+
+def kmeans_cells_for(spark: SparkSession, sf_dir: str) -> int:
+    """max(KMEANS_K, ceil(sqrt(|embeddings|))) — the IVF cell count,
+    memoized per (application, sf_dir); the count is parquet-metadata
+    cheap."""
+    import math
+
+    from erkg_tutorials_spark.plans.memo import memoized_scalar
+
+    return memoized_scalar(
+        spark,
+        sf_dir,
+        "kmeans_cells",
+        lambda: max(
+            KMEANS_K,
+            math.ceil(
+                math.sqrt(load_tables(spark, sf_dir)["embeddings"].count())
+            ),
+        ),
+        plan_only_default=KMEANS_K,
+    )
 
 
 def _kmeans_cent_cte() -> str:
@@ -96,7 +159,7 @@ def _kmeans_cent_cte() -> str:
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
       FROM embeddings
     ),"""
-        + kmeans_iterations_sql(k=KMEANS_K, iters=KMEANS_ITERS)
+        + kmeans_iterations_sql(k=K_CELLS_SQL, iters=KMEANS_ITERS)
         + f""",
     cent AS MATERIALIZED (SELECT cent_id, cvec FROM cent{KMEANS_ITERS}),"""
     )
@@ -119,7 +182,7 @@ _IVF_ORACLE = _kmeans_cent_cte() + f"""
                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC, c.cent_id) AS rn
       FROM q CROSS JOIN cent c
     ),
-    probes AS (SELECT query_id, cent_id AS cell FROM probe_scored WHERE rn <= {IVF_NPROBE}),
+    probes AS (SELECT query_id, cent_id AS cell FROM probe_scored WHERE rn <= {NPROBE_SQL}),
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
       FROM probes p JOIN assigned a ON a.cell = p.cell
@@ -163,7 +226,7 @@ def ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_centroids",
         lambda: kmeans_cosine(
             load_tables(spark, sf_dir)["embeddings"],
-            k=KMEANS_K,
+            k=kmeans_cells_for(spark, sf_dir),
             iters=KMEANS_ITERS,
         ),
     )
@@ -183,7 +246,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cent.select(
             F.col("cent_id").alias("vec_id"), F.col("cvec").alias("embedding")
         ),
-        nprobe=IVF_NPROBE,
+        nprobe=ivf_nprobe_for(spark, sf_dir),
         k=IVF_K,
     )
 
@@ -538,7 +601,7 @@ def _ivfpq_oracle() -> str:
       FROM v CROSS JOIN cent c
       WHERE v.vec_id < {PQ_QUERIES}
     ),
-    probes AS (SELECT query_id, cent_id AS cell FROM probe_scored WHERE rn <= {IVF_NPROBE}),
+    probes AS (SELECT query_id, cent_id AS cell FROM probe_scored WHERE rn <= {NPROBE_SQL}),
     ivf_cand AS (
       SELECT p.query_id, a.vec_id
       FROM probes p JOIN assigned a ON a.cell = p.cell
@@ -554,7 +617,7 @@ def _ivfpq_oracle() -> str:
 
 @register("knn_cosine_ivfpq", _ivfpq_oracle())
 def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-k: probe IVF_NPROBE cells, integer-ADC only the
+    """IVF-PQ top-k: probe the scaled nprobe cell set, integer-ADC only the
     probed cells' codes, exact-rerank the candidate shortlist."""
     from erkg_tutorials_spark.similarity.ivf import ivf_probes
     from erkg_tutorials_spark.similarity.pq import cosine_knn_pq
@@ -564,7 +627,7 @@ def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = ivf_centroids_cached(spark, sf_dir).select(
         F.col("cent_id").alias("vec_id"), F.col("cvec").alias("embedding")
     )
-    probes = ivf_probes(queries, cent, nprobe=IVF_NPROBE)
+    probes = ivf_probes(queries, cent, nprobe=ivf_nprobe_for(spark, sf_dir))
     candidates = probes.join(ivf_cells_cached(spark, sf_dir), "cell").select(
         "query_id", "vec_id"
     )

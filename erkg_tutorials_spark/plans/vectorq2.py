@@ -25,10 +25,11 @@ from pyspark.sql import functions as F
 from erkg_tutorials_spark.catalog import load_tables
 from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 from erkg_tutorials_spark.plans.vectorq import (
-    IVF_NPROBE,
     IVF_QUERIES,
+    NPROBE_SQL,
     _kmeans_cent_cte,
     ivf_centroids_cached,
+    ivf_nprobe_for,
 )
 from erkg_tutorials_spark.similarity.knn import _as_double, _dot
 
@@ -223,7 +224,7 @@ def _ndcg_oracle() -> str:
       FROM q CROSS JOIN cent c
     ),
     probes AS (SELECT query_id, cent_id AS cell FROM probe_scored
-               WHERE rn <= {IVF_NPROBE}),
+               WHERE rn <= {NPROBE_SQL}),
     sys_scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
              ROUND(list_dot_product(vq.emb, vn_.emb)
@@ -293,7 +294,7 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=emb,
         queries=queries,
         centroids=cent,
-        nprobe=IVF_NPROBE,
+        nprobe=ivf_nprobe_for(spark, sf_dir),
         k=NDCG_K,
     ).select("query_id", "neighbor_id", "rank")
     gt = cosine_knn_bruteforce(

@@ -63,7 +63,15 @@ def kmeans_cosine(
     v = vectors.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("emb")
     ).withColumn("vn", F.sqrt(_dot("emb", "emb")))
-    v = v.localCheckpoint(eager=True)
+    # the assignment crossJoin's parallelism is v's partition count,
+    # and a single-file parquet corpus checkpoints into a handful of
+    # partitions — at the 100x notch the k·N distance pass (448 cells
+    # x 200k vectors) ran as 13 tasks with one straggler on 32 cores
+    # (r12). Spread the invariant table across the cluster's
+    # parallelism once, before pinning it.
+    v = v.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
 
     seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
     cent = (
@@ -107,10 +115,12 @@ def kmeans_cosine(
     return cent
 
 
-def kmeans_iterations_sql(*, k: int, iters: int) -> str:
+def kmeans_iterations_sql(*, k: "int | str", iters: int) -> str:
     """DuckDB CTE chain replaying `kmeans_cosine` over a pre-existing
     ``v(vec_id, emb, vn)`` CTE (emb DOUBLE[], vn = l2 norm). Final CTE
-    is ``cent{iters}(cent_id, cvec)``.
+    is ``cent{iters}(cent_id, cvec)``. ``k`` may be an int literal or
+    a SQL scalar expression (e.g. the data-derived cell count,
+    plans/vectorq.K_CELLS_SQL) — it is spliced into the seed QUALIFY.
     """
     parts = [
         f"""

@@ -148,8 +148,9 @@ class TestTransformWithStateGate:
         container has no package-index network path anyway (``pip
         install protobuf`` -> ``NewConnectionError: [Errno -2] Name
         or service not known``, 2026-08-16); the gate stands as the
-        documented record. Re-probed r11 (2026-08-16): pypi.org DNS
-        still unresolvable (``URLError: Name or service not known``) —
+        documented record. Re-probed r11 and again r12 (both
+        2026-08-16): pypi.org DNS still unresolvable (``URLError:
+        Name or service not known``) —
         the spaCy/sentence-transformer golden tiers remain env-gated,
         hermetic mini-model adapters keep covering the seams.
         The applyInPandasWithState sessionizer covers the custom-

@@ -99,6 +99,58 @@ def build(
     return dst
 
 
+def build_scaled(
+    base_kx: str,
+    copies: int,
+    src: str = "/root/testdata/sf0.1",
+    dst: str | None = None,
+) -> str:
+    """kx-scaled planted-cluster sf-dir (the scale_100x ann_recall
+    input): every table hardlinked from ``base_kx`` (the key-shifted
+    kx build, so documents/graph tables are the real kx ones) except
+    embeddings.parquet, rebuilt by applying build_sf10x's OWN per-copy
+    embedding transform (vec_id shift + cyclic 7c-rotation, negation
+    for copies >= 64 — ``_copy_select``'s embeddings branch, reused
+    verbatim) to the planted corpus. Rotation/negation preserve norms
+    and within-copy cosines, so each copy is a 20-cluster family and
+    the union plants ``20 * copies`` separated clusters — the routing
+    problem genuinely hardens with scale while ground truth (engine
+    brute-force over the same corpus) stays exact."""
+    import duckdb
+
+    from tools.build_sf10x import _copy_select
+
+    clustered = build(src=src)
+    if dst is None:
+        dst = f"/tmp/erkg_clu{copies}x_v2"
+    marker = os.path.join(dst, "_CLUSTERED_OK")
+    if os.path.exists(marker):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for fname in sorted(os.listdir(base_kx)):
+        if fname.endswith(".parquet") and fname != "embeddings.parquet":
+            sp, dp = os.path.join(base_kx, fname), os.path.join(dst, fname)
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copy(sp, dp)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW src_embeddings AS SELECT * FROM "
+        f"'{os.path.join(clustered, 'embeddings.parquet')}'"
+    )
+    union = "\nUNION ALL\n".join(
+        _copy_select(con, "embeddings", c) for c in range(copies)
+    )
+    con.sql(
+        f"COPY ({union}) TO "
+        f"'{os.path.join(dst, 'embeddings.parquet')}' (FORMAT PARQUET)"
+    )
+    open(marker, "w").close()
+    return dst
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else None

@@ -70,6 +70,27 @@ def _graph_copy0(col: str) -> str:
 # different bands, so per-copy LSH recall legitimately differs — the
 # copy-0 projection (== the sf0.1 result, bit-for-bit) is the exact
 # invariant; a 10x pair count is not (measured at the 10x step).
+#
+# r12 additions (r11 VERDICT item 6) and the invariant each rests on:
+# - bpe_train_merges is NOT here, deliberately: BPE merges are
+#   CHARACTER-level, and the per-copy '§<c>' word suffix leaves every
+#   interior character pair intact (copy 3's "how§3" still contains
+#   (h,o),(o,w)) — so '§'-free pair counts MULTIPLY by copies rather
+#   than replicate (measured at 10x: (e,r) 450890 = 10 × 45089), and
+#   a later (x,'§') merge consumes word-final x's, deflating pairs
+#   that a projection would then compare against undeflated 1x
+#   counts. No output-projection invariant exists; the exact claim
+#   lives one level down — see the bpe_pair_linearity Tier C block.
+# - g_betweenness_topk: the deterministic source predicate
+#   (c_custkey % 1000 == 0 AND <= 4000) selects ONLY copy-0 keys at
+#   any scale (copy offsets are multiples of 10^7 > 4000), and
+#   shortest paths never cross copies — dependency mass is identical,
+#   so the kx top-20 equals the 1x top-20 row-for-row (the projection
+#   predicate is a no-op on the result; proj == full).
+# - g_greedy_coloring: Jones-Plassmann priority = (inverse degree,
+#   md5(id)) — both copy-local, copy 0 keeps original ids, and the
+#   disjoint union runs each copy's elimination in lockstep with the
+#   1x run, so copy-0 colors are bit-identical after the same rounds.
 TIER_B = [
     ("dedup_minhash_lsh", f"id_a < {OFFN} AND id_b < {OFFN}", False),
     ("simjoin_prefix_filter", f"id_a < {OFFN} AND id_b < {OFFN}", True),
@@ -85,6 +106,8 @@ TIER_B = [
     ("g_triangle_count", f"id < {OFFN}", True),
     ("g_ktruss", f"u < {OFFN} AND v < {OFFN}", True),
     ("g6_connected_components", _graph_copy0("component"), True),
+    ("g_greedy_coloring", _graph_copy0("id"), True),
+    ("g_betweenness_topk", _graph_copy0("id"), False),
     ("events_sessionize", f"user_id < {OFFN}", True),
 ]
 TIER_A = ["w6_analytic_functions"]
@@ -265,6 +288,219 @@ def run_scale(spark, copies: int, dst: str, only: set | None = None) -> dict:
             "tier": "C", "error": str(exc).split("\n")[0][:300]
         }
         print(f"[{copies}x] pagerank_vector: ERROR", flush=True)
+
+    # ---- Tier C: Louvain copy-closure -------------------------------
+    # No copy-projection exactness exists for Louvain: modularity
+    # gains carry the GLOBAL edge mass m (cross-multiplied integers,
+    # graph/louvain.py), and m scales with copies, so copy-0 label
+    # assignments can legitimately differ from the 1x run. What IS
+    # invariant: labels only ever move along edges, edges never cross
+    # copies, so every community must be copy-pure, every vertex is
+    # labelled exactly once, and the per-copy vertex count is exactly
+    # the 1x count. The full query (community summary) is timed; the
+    # closure check runs on the label assignment itself.
+    try:
+        if not _want("louvain_closure"):
+            raise _Skip
+        from erkg_tutorials_spark.graph.louvain import louvain_weighted_level
+        from erkg_tutorials_spark.plans.graphq import (
+            LOUVAIN_ROUNDS,
+            trade_wedges_sym,
+        )
+
+        t0 = time.time()
+        summary_rows = qs["g_louvain_weighted_l1"](spark, built).count()
+        secs = round(time.time() - t0, 2)
+        lbl = louvain_weighted_level(
+            trade_wedges_sym(spark, built),
+            rounds=LOUVAIN_ROUNDS,
+            move_class=F.col("id").startswith("c:"),
+        )
+        copy_of = (F.substring("id", 3, 19).cast("bigint") / OFFN).cast(
+            "bigint"
+        )
+        per_lbl = (
+            lbl.select("id", "lbl", copy_of.alias("cp"))
+            .groupBy("lbl")
+            .agg(
+                F.countDistinct("cp").alias("n_copies"),
+                F.count("*").alias("members"),
+            )
+        )
+        agg = per_lbl.agg(
+            F.max("n_copies").alias("max_copies"),
+            F.sum("members").alias("n_labelled"),
+            F.count("*").alias("n_communities"),
+        ).collect()[0]
+        n1_v = louvain_weighted_level(
+            trade_wedges_sym(spark, SF1),
+            rounds=LOUVAIN_ROUNDS,
+            move_class=F.col("id").startswith("c:"),
+        ).count()
+        out["louvain_closure"] = {
+            "tier": "C",
+            "secs": secs,
+            "summary_rows": summary_rows,
+            "copy_pure_ok": agg["max_copies"] == 1,
+            "labelled_linear_ok": agg["n_labelled"] == copies * n1_v,
+            "n_communities": agg["n_communities"],
+        }
+        print(
+            f"[{copies}x] louvain_closure: {secs}s pure="
+            f"{agg['max_copies'] == 1} labelled={agg['n_labelled']}",
+            flush=True,
+        )
+    except _Skip:
+        pass
+    except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+        out["louvain_closure"] = {
+            "tier": "C", "error": str(exc).split("\n")[0][:300]
+        }
+        print(f"[{copies}x] louvain_closure: ERROR {exc}", flush=True)
+
+    # ---- Tier C: BPE initial-pair-count linearity --------------------
+    # (TIER_B comment above: why no output projection exists for BPE.)
+    # The corpus-sized part of BPE training is exactly ONE pass — the
+    # word-frequency count feeding the initial pair-count table; the
+    # merge loop then runs on the corpus-size-independent symbol
+    # table. The provable kx invariant targets that pass: the '§<c>'
+    # suffix mints only pairs containing '§' or a digit (its whole
+    # alphabet), so every adjacent pair whose BOTH symbols are outside
+    # [0-9§] replicates per copy — count_kx == copies * count_1x,
+    # EXACTLY, for the entire letter-pair distribution (not a sampled
+    # argmax). The full 8-merge training is timed for the bend datum.
+    try:
+        if not _want("bpe_pair_linearity"):
+            raise _Skip
+        from pyspark.sql import Window
+
+        from erkg_tutorials_spark.catalog import load_tables
+        from erkg_tutorials_spark.text.bpe import _init_state, word_freqs
+
+        t0 = time.time()
+        merge_rows = qs["bpe_train_merges"](spark, built).count()
+        secs = round(time.time() - t0, 2)
+
+        def _letter_pairs(d: str):
+            st = _init_state(word_freqs(load_tables(spark, d)["documents"]))
+            w = Window.partitionBy("word").orderBy("pos")
+            return (
+                st.withColumn("r", F.lead("sym").over(w))
+                .where(F.col("r").isNotNull())
+                .where(
+                    ~F.col("sym").rlike("[0-9§]")
+                    & ~F.col("r").rlike("[0-9§]")
+                )
+                .groupBy(F.col("sym").alias("l"), "r")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+
+        one = _letter_pairs(SF1).withColumnRenamed("cnt", "cnt1")
+        bad = (
+            _letter_pairs(built)
+            .join(one, ["l", "r"], "full")
+            .where(
+                F.col("cnt").isNull()
+                | F.col("cnt1").isNull()
+                | (F.col("cnt") != copies * F.col("cnt1"))
+            )
+            .count()
+        )
+        n_pairs = one.count()
+        out["bpe_pair_linearity"] = {
+            "tier": "C",
+            "secs": secs,
+            "merge_rows": merge_rows,
+            "letter_pairs": n_pairs,
+            "pairs_nonlinear": bad,
+            "pair_linear_ok": bad == 0 and n_pairs > 0,
+        }
+        print(
+            f"[{copies}x] bpe_pair_linearity: {secs}s pairs={n_pairs} "
+            f"nonlinear={bad}",
+            flush=True,
+        )
+    except _Skip:
+        pass
+    except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+        out["bpe_pair_linearity"] = {
+            "tier": "C", "error": str(exc).split("\n")[0][:300]
+        }
+        print(f"[{copies}x] bpe_pair_linearity: ERROR {exc}", flush=True)
+
+    # ---- Tier R: ANN recall at scale ---------------------------------
+    # The ANN queries (fixed 5-query set, copy offsets keep it copy-0
+    # at any scale) have no projection invariant either: the kx index
+    # (centroids, codebooks) is trained on the whole kx union —
+    # approximate top-k against a kx corpus is a DIFFERENT (harder)
+    # routing problem, which is exactly what to measure. Measured on
+    # the PLANTED-CLUSTER corpus (build_clustered_corpus.build_scaled:
+    # per-copy rotations of the 20 seeded clusters => 20k separated
+    # clusters), not the isotropic synthetic embeddings — on those,
+    # same- and cross-label cosine are both ~0, so recall@k is a
+    # coin-flip over ties at ANY scale and a scale gate on it is
+    # noise (measured: ivf 0.47 at 1x, 0.33 at 10x on 15 pairs).
+    # Ground truth at scale is the engine's own brute-force over the
+    # same kx corpus; recall@k of ivf/pq against it is recorded at 1x
+    # and kx, gated on "routing quality survives the scale-up".
+    try:
+        if not _want("ann_recall"):
+            raise _Skip
+        from erkg_tutorials_spark.plans.vectorq import IVF_K, IVF_QUERIES
+        from tools.build_clustered_corpus import build as build_clu
+        from tools.build_clustered_corpus import build_scaled
+
+        rec = {"tier": "R"}
+        hits: dict[str, tuple[int, int]] = {}
+        corpora = (
+            ("1x", build_clu(src=SF1)),
+            (f"{copies}x", build_scaled(base_kx=built, copies=copies)),
+        )
+        for label, d in corpora:
+            # brute-force ships 10 queries x top-5; the approximate
+            # tiers ship 5 x top-3 — align the exact set to (query,
+            # rank) <= the approximate shape so recall@k is @ the
+            # same k on both sides
+            t0 = time.time()
+            bf = {
+                (r["query_id"], r["neighbor_id"])
+                for r in qs["knn_cosine_bruteforce"](spark, d).collect()
+                if r["query_id"] < IVF_QUERIES and r["rank"] <= IVF_K
+            }
+            if label != "1x":
+                rec["bf_secs"] = round(time.time() - t0, 2)
+            for q in ("knn_cosine_ivf", "knn_cosine_pq"):
+                t0 = time.time()
+                approx = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in qs[q](spark, d).collect()
+                }
+                if label != "1x":
+                    rec[f"{q.split('_')[-1]}_secs"] = round(
+                        time.time() - t0, 2
+                    )
+                m = q.split("_")[-1]
+                hits[f"{m}_{label}"] = (len(approx & bf), max(len(bf), 1))
+                rec[f"recall_{m}_{label}"] = round(
+                    len(approx & bf) / max(len(bf), 1), 3
+                )
+        # the scale gate: routing quality must not collapse at kx.
+        # One (query, neighbor) pair (5 queries x k=3 = 15 pairs) is
+        # the measurement granularity; allow one pair of slack — on
+        # INTEGER hit counts, not the rounded ratios (14/15 rounded to
+        # 0.933 would spuriously fail a 1.0 - 1/15 float threshold).
+        for m in ("ivf", "pq"):
+            (hk, nk), (h1, n1_) = hits[f"{m}_{copies}x"], hits[f"{m}_1x"]
+            rec[f"{m}_scale_ok"] = hk * n1_ >= (h1 - 1) * nk
+        out["ann_recall"] = rec
+        print(f"[{copies}x] ann_recall: {rec}", flush=True)
+    except _Skip:
+        pass
+    except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+        out["ann_recall"] = {
+            "tier": "R", "error": str(exc).split("\n")[0][:300]
+        }
+        print(f"[{copies}x] ann_recall: ERROR {exc}", flush=True)
 
     # ---- Tier A: exact DuckDB oracle at scale -------------------------
     import __spark_entry__ as e2
