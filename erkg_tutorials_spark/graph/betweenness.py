@@ -86,6 +86,20 @@ def betweenness_sampled(
         F.col("lm").alias("id"),
         F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint(eager=True)
+    # r12: both sweeps run under the tuned loop session
+    # (graph/loop_confs.py) — the PageRank family's measured trade
+    # (per-level AQE re-planning of fixed shapes is driver overhead)
+    from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
+
+    n_edges = edges.count()  # memoized edge table; sizing count
+    with tuned_loop_session(edges.sparkSession, n_edges) as (_loop, rebind):
+        out = _brandes_sweeps(
+            rebind(edges), rebind(frontier), sources, max_rounds
+        )
+    return out
+
+
+def _brandes_sweeps(edges, frontier, sources, max_rounds):
     levels = [frontier]
     chain_vis = CheckpointChain()
     vis = chain_vis(frontier.select("lm", "id"))

@@ -76,11 +76,19 @@ def _lowest_free_bit_sql(mask: str) -> str:
 def greedy_coloring(edges_sym: DataFrame, rounds: int = 10) -> DataFrame:
     """Jones-Plassmann coloring of a symmetric unweighted edge table;
     returns (id, color)."""
+    from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
+
+    n_edges = edges_sym.count()  # loop sizing (callers pass memoized tables)
     deg = edges_sym.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("deg")
     )
     # sortable largest-degree-first key: zero-padded (10^10 - deg),
-    # then the hash tiebreak — lexicographic MIN = highest degree
+    # then the hash tiebreak — lexicographic MIN = highest degree.
+    # r12: checkpointed once — pri is referenced two-to-three times
+    # per round (neighbor-min build + winner join), and as a lazy plan
+    # every reference re-ran the degree aggregation over the edge
+    # table (each broadcast build paid an |E| groupBy; now each pays
+    # an |V|-row RDD scan).
     pri = deg.select(
         "id",
         F.concat(
@@ -91,8 +99,8 @@ def greedy_coloring(edges_sym: DataFrame, rounds: int = 10) -> DataFrame:
             ),
             F.md5(F.concat(F.lit("jp:"), F.col("id"))),
         ).alias("p"),
-    )
-    verts = deg.select("id")
+    ).localCheckpoint(eager=True)
+    verts = pri.select("id")
     uchain = CheckpointChain()
     unc = uchain(verts)
     # one count over the (checkpointed) vertex set feeds every hint
@@ -100,6 +108,24 @@ def greedy_coloring(edges_sym: DataFrame, rounds: int = 10) -> DataFrame:
     # bounded by |V|, so a single estimate covers the whole loop —
     # above the hints.py threshold every join co-shuffles instead
     n_verts = unc.count()
+    # r12: the shrinking rounds run under the tuned loop session
+    # (graph/loop_confs.py — AQE off, size-derived partitions), the
+    # same measured trade as the PageRank family: fixed known shapes
+    # per round make AQE re-planning pure driver overhead.
+    with tuned_loop_session(edges_sym.sparkSession, n_edges) as (
+        _loop,
+        rebind,
+    ):
+        out = _coloring_rounds(
+            rebind(edges_sym), rebind(pri), rebind(unc),
+            n_verts, rounds, uchain,
+        )
+    if out is None:  # vertexless input: empty result, same schema
+        out = verts.limit(0).withColumn("color", F.lit(0))
+    return out
+
+
+def _coloring_rounds(edges_sym, pri, unc, n_verts, rounds, uchain):
     out: DataFrame | None = None
     for _r in range(rounds):
         if unc.isEmpty():
@@ -152,8 +178,6 @@ def greedy_coloring(edges_sym: DataFrame, rounds: int = 10) -> DataFrame:
         sel = sel.localCheckpoint(eager=True)
         out = sel if out is None else out.unionByName(sel)
         unc = uchain(unc.join(sel.select("id"), "id", "left_anti"))
-    if out is None:  # vertexless input: empty result, same schema
-        out = verts.limit(0).withColumn("color", F.lit(0))
     return out
 
 

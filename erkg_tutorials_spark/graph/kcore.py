@@ -44,10 +44,21 @@ def k_core(edges_sym: DataFrame, k: int, max_rounds: int = 6) -> DataFrame:
     approximate (vertices kept that a further round would drop).
     """
     from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+    from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
     chain = CheckpointChain()
     e = chain(edges_sym)
     n_edges = e.count()
+    # r12: peel rounds under the tuned loop session
+    # (graph/loop_confs.py) — the PageRank family's measured trade
+    with tuned_loop_session(edges_sym.sparkSession, n_edges) as (
+        _loop,
+        rebind,
+    ):
+        return _kcore_peel(rebind(e), n_edges, k, max_rounds, chain)
+
+
+def _kcore_peel(e, n_edges, k, max_rounds, chain):
     for _ in range(max_rounds):
         keep = (
             e.groupBy(F.col("src").alias("id"))

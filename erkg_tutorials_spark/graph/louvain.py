@@ -65,6 +65,22 @@ def louvain_one_level(
     lbl = deg.select(F.col("src").alias("id"), F.col("src").alias("lbl"))
     chain = CheckpointChain()
     lbl = chain(lbl)
+    # r12: the tuned loop session (graph/loop_confs.py) was TRIED here
+    # and rejected on measurement. It wins the COLD build (isolated
+    # best-of-3 at sf0.1: g_louvain_communities cold 18.3→15.1 s) but
+    # this result is memoized (louvain_l1_labels) and composed into
+    # g_louvain_two_level's joins, and even with the result re-homed
+    # to the parent session (loop_confs.rehome) the two-level query's
+    # HOT path regressed 7.0→11.4 s against the A/B worktree — more
+    # than the cold win. Kept on AQE deliberately (guide §1.2 —
+    # measure, then pick); the wrap stays on the kernels where the
+    # isolated A/B shows a win (betweenness, coloring, k-core, MIS,
+    # Katz, eigenvector, BFS/diameter).
+    lbl = _louvain_rounds(edges, deg, lbl, rounds, move_class, m2, chain)
+    return lbl
+
+
+def _louvain_rounds(edges, deg, lbl, rounds, move_class, m2, chain):
     for r in range(rounds):
         tot = (
             vhint(lbl).join(deg, lbl["id"] == deg["src"])
@@ -237,6 +253,21 @@ def louvain_weighted_level(
     lbl = deg.select(F.col("src").alias("id"), F.col("src").alias("lbl"))
     chain = CheckpointChain()
     lbl = chain(lbl)
+    # r12: the tuned loop session (AQE off, graph/loop_confs.py) was
+    # TRIED here and measurably HURT — isolated best-of-3 at sf0.1,
+    # g_louvain_weighted_l1 10.8 s (AQE on) vs 19.5 s (tuned, and
+    # DEGRADING run-over-run: 19.5→30.2→30.6). Unlike the unweighted
+    # level, the weighted rounds' tot/k_ic joins carry no vhint
+    # broadcast hints and rely on AQE's dynamic broadcast conversion;
+    # with AQE off they fall back to few-partition sort-merge joins.
+    # Kept on AQE deliberately (guide §1.2 — measure, then pick).
+    lbl = _louvain_weighted_rounds(
+        wedges, deg, lbl, rounds, move_class, m2, chain
+    )
+    return lbl
+
+
+def _louvain_weighted_rounds(wedges, deg, lbl, rounds, move_class, m2, chain):
     for r in range(rounds):
         tot = (
             lbl.join(deg, lbl["id"] == deg["src"])

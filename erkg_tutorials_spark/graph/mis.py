@@ -42,13 +42,36 @@ def luby_mis(edges_sym: DataFrame, rounds: int = 6) -> DataFrame:
     Returns (id, round) — the round in which each vertex entered the
     independent set.
     """
+    from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
+
+    n_edges = edges_sym.count()  # loop sizing (callers pass memoized tables)
+    # r12: pri checkpointed once — as a lazy plan it re-ran the
+    # distinct over the edge table on every per-round reference (same
+    # fix/measurement protocol as graph/coloring.py)
     pri = (
         edges_sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("p", F.md5(F.concat(F.lit("mis:"), F.col("id"))))
+        .localCheckpoint(eager=True)
     )
     chain = CheckpointChain()
     act = chain(pri.select("id"))
+    # r12: shrinking Luby rounds under the tuned loop session
+    # (graph/loop_confs.py), the PageRank family's measured trade —
+    # AQE re-planning of per-round fixed shapes is driver overhead
+    with tuned_loop_session(edges_sym.sparkSession, n_edges) as (
+        _loop,
+        rebind,
+    ):
+        out = _luby_rounds(
+            rebind(edges_sym), rebind(pri), rebind(act), rounds, chain
+        )
+    if out is None:  # vertexless input: empty set, same schema
+        out = pri.select("id").limit(0).withColumn("round", F.lit(0))
+    return out
+
+
+def _luby_rounds(edges_sym, pri, act, rounds, chain):
     out: DataFrame | None = None
     for r in range(rounds):
         # converged: nothing active means every later round selects
@@ -87,8 +110,6 @@ def luby_mis(edges_sym: DataFrame, rounds: int = 6) -> DataFrame:
         act = chain(
             act.join(sel, "id", "left_anti").join(rem, "id", "left_anti")
         )
-    if out is None:  # vertexless input: empty set, same schema
-        out = pri.select("id").limit(0).withColumn("round", F.lit(0))
     return out
 
 

@@ -62,6 +62,27 @@ def boruvka_forest(
     )
     chain = CheckpointChain()
     comp = chain(comp)
+    # r12: the tuned loop session (AQE off + size-derived partitions —
+    # graph/loop_confs.py) was TRIED here and measurably HURT: isolated
+    # best-of-3 at sf0.1, g_mst_forest 5.4 s (AQE on) vs 8.5 s (tuned).
+    # Borůvka's per-phase component-join intermediates shrink fast and
+    # unevenly; the in-loop joins lean on AQE's dynamic broadcast
+    # conversion and coalescing, which the fixed-partition window takes
+    # away. Kept on AQE deliberately (guide §1.2 — measure, then pick).
+    picked = _boruvka_rounds(e, comp, rounds, jumps, chain)
+    if picked is None:  # edgeless input: empty forest, same schema
+        picked = (
+            e.select("ea", "eb", "w").limit(0).withColumn("round", F.lit(0))
+        )
+    return picked.select(
+        F.col("ea").alias("edge_a"),
+        F.col("eb").alias("edge_b"),
+        F.col("w").alias("weight"),
+        "round",
+    )
+
+
+def _boruvka_rounds(e, comp, rounds, jumps, chain):
     picked: DataFrame | None = None
     for r in range(rounds):
         ca = vhint(
@@ -130,16 +151,7 @@ def boruvka_forest(
                 vhint(p.select(F.col("c").alias("comp"), "p")), "comp"
             ).select("id", F.col("p").alias("comp"))
         )
-    if picked is None:  # edgeless input: empty forest, same schema
-        picked = (
-            e.select("ea", "eb", "w").limit(0).withColumn("round", F.lit(0))
-        )
-    return picked.select(
-        F.col("ea").alias("edge_a"),
-        F.col("eb").alias("edge_b"),
-        F.col("w").alias("weight"),
-        "round",
-    )
+    return picked
 
 
 def boruvka_forest_sql(wedges_cte: str, rounds: int = 4, jumps: int = 7) -> str:

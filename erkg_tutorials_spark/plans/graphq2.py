@@ -354,11 +354,24 @@ def _bfs(edges: DataFrame, src_1row: DataFrame, rounds: int) -> DataFrame:
     from pyspark.sql import functions as F
 
     from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+    from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
 
     dchain = CheckpointChain()
     fchain = CheckpointChain()
     d = dchain(src_1row.select("id", F.lit(0).alias("d")))
     frontier = fchain(src_1row.select("id"))
+    # r12: frontier rounds under the tuned loop session
+    # (graph/loop_confs.py) — the PageRank family's measured trade
+    n_edges = edges.count()  # memoized edge table; sizing count
+    with tuned_loop_session(edges.sparkSession, n_edges) as (_loop, rebind):
+        d, frontier, edges = rebind(d), rebind(frontier), rebind(edges)
+        d = _bfs_rounds(edges, d, frontier, rounds, dchain, fchain)
+    return d
+
+
+def _bfs_rounds(edges, d, frontier, rounds, dchain, fchain):
+    from pyspark.sql import functions as F
+
     for i in range(1, rounds + 1):
         if frontier.isEmpty():  # reach stopped growing: layers final
             break

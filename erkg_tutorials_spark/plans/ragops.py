@@ -532,7 +532,23 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             micro(_dot("ev", "qv"), F.col("n") * F.col("qn")).alias("rel_micro"),
         )
     )
-    cand = rel.orderBy(F.desc("rel_micro"), "vec_id").limit(MMR_CAND)
+    # r12: the candidate cut is 16 rows but its SUBTREE is the full
+    # corpus scan + broadcast cosine + top-16 — and the unrolled greedy
+    # below references cand (directly and via sim) in EVERY step while
+    # each step also nests all previous steps through `selected`, so
+    # the final 5-pick union re-planned (and partially re-executed) the
+    # corpus subtree a combinatorial number of times (measured 6.8 s at
+    # sf0.1 for 16 candidates vs 0.44 s for the full brute-force scan).
+    # Eagerly materializing the 16-row cut (and each 1-row pick, below)
+    # turns every greedy step into joins over tiny LogicalRDDs: one
+    # corpus pass total, identical rows (the cut is deterministic:
+    # integer micro-cosine order with vec_id tiebreak). Guide §2.4/§3.3
+    # (materialize to truncate a plan the optimizer re-executes).
+    cand = (
+        rel.orderBy(F.desc("rel_micro"), "vec_id")
+        .limit(MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
     # candidate table is MMR_CAND rows: pairwise sims stay tiny
     a = cand.select(
         F.col("vec_id").alias("ia"),
@@ -569,6 +585,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(1)
     )
+    # each pick is ONE row; checkpointing it keeps step t's plan a
+    # flat join over materialized picks instead of nesting steps
+    # 1..t-1 recursively (2^K subplans by step K)
+    step = step.localCheckpoint(eager=True)
     picks = [step.withColumn("mmr_rank", F.lit(1).cast("long"))]
     selected = step.select("vec_id")
     for t in range(2, MMR_K + 1):
@@ -592,6 +612,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("score"), "vec_id")
             .limit(1)
+            .localCheckpoint(eager=True)
         )
         picks.append(step.withColumn("mmr_rank", F.lit(t).cast("long")))
         selected = selected.unionByName(step.select("vec_id"))
