@@ -25,10 +25,86 @@ with bit-identical components.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
+
+# r12 (r11 VERDICT item 3): measured GraphX crossover for CC, same
+# in-JVM handoff the PageRank route uses (tools/graphx_cc_ab.py on
+# this host, partition-equal parity at every point):
+#   587k edges  — GraphX 10.1 s vs DF loop 23.4 s cold, but the
+#                 bench-hot DF loop (~3 s on warm memos) still beats
+#                 the GraphX constant, so sf0.1 stays on the loop;
+#   5.9M edges  — GraphX 16.5 s vs 62.6 s (3.8x);
+#   58.7M edges — GraphX 39.3 s vs 619.4 s (15.8x — the r11 100x
+#                 bend, killed).
+# The default threshold sits between the bench-hot win region and the
+# first measured decisive GraphX win; deployments tune it with
+# SPARK_GRAFT_CC_GRAPHX_MIN_EDGES (0 forces the route, huge disables).
+CC_GRAPHX_MIN_EDGES = 2_000_000
+
+
+def _cc_graphx_min_edges() -> int:
+    v = os.environ.get("SPARK_GRAFT_CC_GRAPHX_MIN_EDGES")
+    return int(v) if v not in (None, "") else CC_GRAPHX_MIN_EDGES
+
+
+def _cc_graphx(e: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Classpath-GraphX connected components on the canonical edge set
+    ``e(u, v)``, returning EXACTLY the DF loop's frame: (id, component)
+    with component = the MINIMUM ORIGINAL id (string order) reachable.
+
+    GraphX labels each vertex with the minimum VertexId long, and the
+    id→vid assignment is not order-preserving on the strings, so the
+    GraphX label is only used as a GROUPING key: one |V|-row
+    groupBy-min over the original ids re-derives the engine's
+    representative per component. Same id-index discipline as
+    pagerank._pagerank_graphx: the monotonically_increasing_id map is
+    eagerly checkpointed BEFORE any join reads it (non-deterministic
+    under recompute), the result is checkpointed before the JVM graph
+    state is unpersisted, and the MEMORY_ONLY graphs Graph.fromEdgeTuples
+    / ConnectedComponents.run leave cached are dropped before return."""
+    spark = e.sparkSession
+    idx = (
+        vertices.select("id")
+        .withColumn("vid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    ledges = (
+        e.join(idx.select(F.col("id").alias("u"), F.col("vid").alias("s")), "u")
+        .join(idx.select(F.col("id").alias("v"), F.col("vid").alias("d")), "v")
+        .select(F.col("s").alias("src"), F.col("d").alias("dst"))
+    )
+    jvm = spark._jvm
+    enc = jvm.org.apache.spark.sql.Encoders
+    tupds = getattr(ledges._jdf, "as")(enc.tuple(enc.LONG(), enc.LONG()))
+    sl = jvm.org.apache.spark.storage.StorageLevel.MEMORY_ONLY()
+    int_tag = jvm.scala.reflect.ClassTag.Int()
+    g = jvm.org.apache.spark.graphx.Graph.fromEdgeTuples(
+        tupds.rdd(), 1, jvm.scala.Option.empty(), sl, sl, int_tag
+    )
+    ccg = jvm.org.apache.spark.graphx.lib.ConnectedComponents.run(
+        g, int_tag, int_tag
+    )
+    ds = spark._jsparkSession.createDataset(
+        ccg.vertices(), enc.tuple(enc.LONG(), enc.LONG())
+    )
+    vr = DataFrame(ds.toDF(), spark).select(
+        F.col("_1").alias("vid"), F.col("_2").alias("cc")
+    )
+    labeled = idx.join(vr, "vid").select("id", "cc")
+    rep = labeled.groupBy("cc").agg(F.min("id").alias("component"))
+    out = (
+        labeled.join(rep, "cc")
+        .select("id", "component")
+        .localCheckpoint(eager=True)  # sever before the JVM state drops
+    )
+    ccg.unpersist(False)
+    g.unpersist(False)
+    return out
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -160,7 +236,18 @@ def connected_components(
         return bad.isEmpty()
 
     spark = edges.sparkSession
-    n_edges = e.count() if tune_loop_confs else 0
+    # counted unconditionally: the route guard must see the real edge
+    # count even when loop tuning is off (the pagerank ADVICE fix,
+    # applied here from the start) — e is checkpoint-backed, so the
+    # count materializes nothing new
+    n_edges = e.count()
+    # measured GraphX crossover (module header): above the threshold
+    # the star loop's per-decade bend (11.2x at the r11 100x notch) is
+    # replaced by the Pregel runtime — 15.8x faster at 58.7M edges,
+    # frame-identical output (min-original-id labels re-derived from
+    # the GraphX grouping)
+    if n_edges >= _cc_graphx_min_edges():
+        return _cc_graphx(e, vertices)
     converged = False
     with tuned_loop_session(spark, n_edges, enabled=tune_loop_confs) as (
         _loop,

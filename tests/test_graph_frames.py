@@ -458,3 +458,55 @@ class TestGraphXRoute:
         # the plain case DOES route under the forced threshold
         prmod.pagerank(e, max_iter=1).count()
         assert calls == [1]
+
+
+class TestGraphXCCRoute:
+    """r12 (r11 VERDICT item 3): above the measured crossover
+    (CC_GRAPHX_MIN_EDGES; tools/graphx_cc_ab.py A/B: GraphX 16.5 vs
+    62.6 s at 5.9M edges, 39.3 vs 619.4 s at 58.7M, partition-equal
+    parity at every point) connected_components() routes through
+    classpath GraphX. The routed frame must be IDENTICAL to the DF
+    loop's — same (id, component) rows with component = the minimum
+    reachable ORIGINAL id — because g6/er_resolve_merge hash-compare
+    against oracles that replay the loop semantics."""
+
+    def test_routed_frame_identical_to_loop(self, spark, monkeypatch):
+        from erkg_tutorials_spark.graph.connected_components import (
+            connected_components,
+        )
+        from erkg_tutorials_spark.plans.graphq import trade_edges_fwd
+        from tests.conftest import SF_DIR
+
+        e = trade_edges_fwd(spark, SF_DIR)
+        monkeypatch.delenv("SPARK_GRAFT_CC_GRAPHX_MIN_EDGES", raising=False)
+        loop = sorted(
+            map(tuple, connected_components(e, input_canonical=True).collect())
+        )
+        monkeypatch.setenv("SPARK_GRAFT_CC_GRAPHX_MIN_EDGES", "0")
+        routed = sorted(
+            map(tuple, connected_components(e, input_canonical=True).collect())
+        )
+        assert routed == loop
+
+    def test_default_threshold_never_routes_small_graphs(
+        self, spark, monkeypatch
+    ):
+        from erkg_tutorials_spark.graph import connected_components as ccmod
+        from erkg_tutorials_spark.plans.graphq import trade_edges_fwd
+        from tests.conftest import SF_DIR
+
+        monkeypatch.delenv("SPARK_GRAFT_CC_GRAPHX_MIN_EDGES", raising=False)
+        calls = []
+        orig = ccmod._cc_graphx
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ccmod, "_cc_graphx", spy)
+        e = trade_edges_fwd(spark, SF_DIR)
+        ccmod.connected_components(e, input_canonical=True).count()
+        assert calls == []  # test graphs are far below 2M edges
+        monkeypatch.setenv("SPARK_GRAFT_CC_GRAPHX_MIN_EDGES", "0")
+        ccmod.connected_components(e, input_canonical=True).count()
+        assert calls == [1]

@@ -148,7 +148,21 @@ def main() -> None:
     from erkg_tutorials_spark.session import get_spark
     from tools.build_sf10x import build
 
-    spark = get_spark("stream-scale", extra_conf={"spark.ui.enabled": "false"})
+    # 100x sizing, measurement-tool-side only (inside main(), not at
+    # import — the scale_100x module-import setdefault was an r11
+    # ADVICE finding): the dedup state at 100x needs a real heap
+    # (8 g default OOMs serializing the state-store commit), and the
+    # panel's memory-sink drain collects the full deduped output
+    # (~15M rows at 100x) which trips the 1 g maxResultSize default.
+    # Neither conf changes what any query computes.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(
+        "stream-scale",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.maxResultSize": "8g",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     cap = _Capture()
     spark.streams.addListener(cap.listener())
