@@ -180,6 +180,69 @@ def dated_trade_edges_sym(
     )
 
 
+class _DatedPre:
+    """Per-run loop invariants for a DATED (cutoff) symmetric trade
+    graph, shaped exactly like trade_graph_invariants but NOT memoized:
+    the base chain is this query's honest per-run cost — only the
+    intra-run recomputation is removed.
+
+    Why: pagerank()'s inline invariant path derives verts/out-degree/
+    danglers from an UNCACHED edge plan, so one base run re-executes
+    the dated orders⋈lineitem distinct 3-4x (e_deg count, verts
+    distinct-union, danglers materialization) — measured as the 9-28 s
+    variance-dominating prologue of g_pagerank_incremental (phases
+    probe, OPTIMIZATION_r12.md). Caching the half-sized fwd table once
+    and deriving everything from it makes each invariant a cheap
+    in-memory agg; the mirror stays a projection (caching the union
+    would double memory, trade_edges_sym's rule). Vertex set is
+    unchanged: the graph is symmetric, so the out-degree key set IS
+    the distinct src∪dst union pagerank() would have computed.
+
+    release() drops the per-run caches; safe once pagerank() returns
+    (its result is eagerly checkpoint-backed by loop exit)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, before: str):
+        from pyspark.sql import functions as F
+
+        # dated_trade_edges_sym = fwd ∪ mirror; build the halves here
+        # so only fwd is cached (mirror = projection)
+        from erkg_tutorials_spark.catalog import load_tables
+
+        t = load_tables(spark, sf_dir)
+        self._fwd = (
+            t["orders"]
+            .where(F.col("o_orderdate") < F.lit(before))
+            .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            )
+            .distinct()
+            .cache()
+        )
+        e = self._fwd.unionByName(
+            self._fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        self.verts = out_deg.select(F.col("src").alias("id"))
+        self.e_deg = e.join(out_deg, ["src"]).cache()
+        self.danglers = self.verts.join(
+            out_deg.select(F.col("src").alias("id")), ["id"], "left_anti"
+        ).cache()
+
+    def pre(self):
+        return self.verts, self.e_deg, self.danglers
+
+    def release(self) -> None:
+        for df in (self.e_deg, self.danglers, self._fwd):
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+
+
 @register("g_pagerank_incremental", _incr_pr_oracle())
 def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start incremental PageRank: converge on the pre-cutoff graph, then only 3 maintenance iterations over the full graph; top-20 ranks."""
@@ -188,8 +251,13 @@ def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.pagerank import pagerank
     from erkg_tutorials_spark.plans.graphq import trade_graph_invariants
 
-    base = dated_trade_edges_sym(spark, sf_dir, PR_CUTOFF)
-    r_base = pagerank(base, max_iter=PR_BASE_ITERS)
+    bpre = _DatedPre(spark, sf_dir, PR_CUTOFF)
+    r_base = pagerank(
+        bpre.e_deg.select("src", "dst"),
+        max_iter=PR_BASE_ITERS,
+        pre=bpre.pre(),
+    )
+    bpre.release()  # r_base is checkpoint-backed by loop exit
     ranks = pagerank(
         trade_edges_sym(spark, sf_dir),
         max_iter=PR_DELTA_ITERS,
@@ -244,15 +312,21 @@ def ensure_prbase(spark: SparkSession, sf_dir: str) -> str:
 
     root = _versioned_root(sf_dir, "prbase", evict=True)
     if not committed_versions(root):
-        base = dated_trade_edges_sym(spark, sf_dir, PR_CUTOFF)
+        bpre = _DatedPre(spark, sf_dir, PR_CUTOFF)
         try:
             write_version(
-                pagerank(base, max_iter=PR_BASE_ITERS),
+                pagerank(
+                    bpre.e_deg.select("src", "dst"),
+                    max_iter=PR_BASE_ITERS,
+                    pre=bpre.pre(),
+                ),
                 root,
                 mode="overwrite",
             )
         except ConcurrentCommitError:
             pass  # a racing run committed the identical base; read it
+        finally:
+            bpre.release()
     return root
 
 
