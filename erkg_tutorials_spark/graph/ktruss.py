@@ -35,29 +35,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def edge_support(e: DataFrame) -> DataFrame:
+def edge_support(e: DataFrame, nbrs: DataFrame | None = None) -> DataFrame:
     """(u, v, s): triangle count per canonical edge of ``e(u, v)``
     with u < v. Edges in no triangle are absent. Edge-iterator
     enumeration over adjacency intersections (graph/triangles.py) —
     the wedge shuffle of the former three-equi-join shape is gone,
-    which is where the dominant first peel round spent its time."""
+    which is where the dominant first peel round spent its time.
+    ``nbrs``: optional memoized full adjacency of the SAME edge set
+    (triangles._oriented_adjacency)."""
     from erkg_tutorials_spark.graph.triangles import edge_support as _es
 
-    return _es(e)
+    return _es(e, nbrs=nbrs)
 
 
-def k_truss(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+    nbrs0: DataFrame | None = None,
+) -> DataFrame:
     """Surviving (u, v) edges of the k-truss of ``edges(u, v)``
     (canonical u < v, distinct). Raises on non-convergence within
     ``max_rounds`` so an insufficient bound fails loudly instead of
-    returning a non-truss."""
+    returning a non-truss.
+
+    ``nbrs0``: optional memoized full adjacency of ``edges`` — valid
+    for the FIRST peel round only (later rounds run on the shrunken
+    remnant), where it removes the round's adjacency groupBy exchange.
+    The dominant round IS the first (it peels ~97% of edges on the
+    co-order graph), so that is exactly where the memo pays."""
     from erkg_tutorials_spark.graph.ckpt import CheckpointChain
 
     chain = CheckpointChain()
     e = chain(edges.select("u", "v"))
     prev = e.count()
-    for _ in range(max_rounds):
-        keep = edge_support(e).where(F.col("s") >= k - 2)
+    for rnd in range(max_rounds):
+        keep = edge_support(e, nbrs=nbrs0 if rnd == 0 else None).where(
+            F.col("s") >= k - 2
+        )
         e2 = chain(e.join(keep, ["u", "v"], "left_semi"))
         n = e2.count()
         if n == prev:

@@ -126,7 +126,45 @@ def oriented_edges(e: DataFrame) -> DataFrame:
     )
 
 
-def triangle_edge_rows(e: DataFrame) -> DataFrame:
+def _oriented_adjacency(e: DataFrame, nbrs: DataFrame | None) -> DataFrame:
+    """(id, nbrs) out-neighbor arrays of ``e`` under the selected
+    orientation (see :func:`_orientation`).
+
+    ``nbrs``: optional caller-materialized FULL adjacency table
+    ``(id, ns)`` of the same edge set — sorted distinct neighbor sets,
+    the shape ``coorder_nbrs_cached`` memoizes for the clustering
+    family. When given and id order is selected, the out-arrays are a
+    per-row ``filter(ns, x > id)`` over the |V|-row cached table —
+    the adjacency groupBy shuffle this function otherwise pays per
+    enumeration disappears (one Exchange removed from every triangle/
+    k-truss round-0 plan). Same elements per array (edges are
+    distinct, so collect_list = the neighbor set; intersections are
+    order-insensitive). The "auto" probe also reads the memo
+    (max/sum of array sizes = max_deg / 2m) instead of re-aggregating
+    the edge union. Degree orientation keeps the build from ``e``
+    (the filtered-array shortcut only expresses id order)."""
+    mode = _orientation()
+    if nbrs is not None and mode in ("id", "auto"):
+        use_id = True
+        if mode == "auto":
+            row = nbrs.agg(
+                F.max(F.size("ns")).alias("mx"),
+                F.sum(F.size("ns")).alias("two_m"),
+            ).collect()[0]
+            use_id = row["mx"] is None or row["mx"] * row["mx"] <= row["two_m"]
+        if use_id:
+            return nbrs.select(
+                "id",
+                F.filter("ns", lambda x: x > F.col("id")).alias("nbrs"),
+            )
+    return (
+        oriented_edges(e)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.collect_list("v").alias("nbrs"))
+    )
+
+
+def triangle_edge_rows(e: DataFrame, nbrs: DataFrame | None = None) -> DataFrame:
     """(u, v, ws, cnt) per degree-oriented edge (u ≺ v in (degree, id)
     order) of the canonical edge set ``e(u, v)``: ``ws`` the array of
     third vertices w (with u ≺ w and v ≺ w) closing a triangle over
@@ -135,10 +173,11 @@ def triangle_edge_rows(e: DataFrame) -> DataFrame:
     its two (degree, id)-smallest vertices. NOTE: u/v here are in
     DEGREE order, not id order — consumers aggregating per vertex are
     orientation-free; consumers emitting per-edge rows must
-    re-canonicalize with least/greatest (see :func:`edge_support`)."""
-    adj = oriented_edges(e).groupBy(F.col("u").alias("id")).agg(
-        F.collect_list("v").alias("nbrs")
-    )
+    re-canonicalize with least/greatest (see :func:`edge_support`).
+
+    ``nbrs``: optional memoized full adjacency — see
+    :func:`_oriented_adjacency`."""
+    adj = _oriented_adjacency(e, nbrs)
     # the oriented edge set IS the adjacency exploded — deriving the
     # probe rows from adj (u's out-array riding along the explode)
     # instead of re-joining adj onto a second copy of the oriented
@@ -184,7 +223,9 @@ def triangle_edge_rows(e: DataFrame) -> DataFrame:
     )
 
 
-def vertex_triangle_counts(e: DataFrame) -> DataFrame:
+def vertex_triangle_counts(
+    e: DataFrame, nbrs: DataFrame | None = None
+) -> DataFrame:
     """(id, count): undirected triangle count per vertex of the
     canonical edge set ``e(u, v)``; vertices in no triangle absent.
     Orientation-free: each triangle row contributes once to each of
@@ -198,7 +239,7 @@ def vertex_triangle_counts(e: DataFrame) -> DataFrame:
     boundary accident, not a guarantee. One explode makes single
     execution structural (r12: the 100x notch showed the enumeration
     re-running under the union shape)."""
-    tri = triangle_edge_rows(e)
+    tri = triangle_edge_rows(e, nbrs=nbrs)
     one = F.lit(1).cast("long")
     contrib = tri.select(
         F.explode(
@@ -217,14 +258,14 @@ def vertex_triangle_counts(e: DataFrame) -> DataFrame:
     return contrib.groupBy("id").agg(F.sum("w").alias("count"))
 
 
-def edge_support(e: DataFrame) -> DataFrame:
+def edge_support(e: DataFrame, nbrs: DataFrame | None = None) -> DataFrame:
     """(u, v, s): triangle count per canonical edge of ``e(u, v)``
     with u < v (id order — the caller's canonical form). Edges in no
     triangle are absent. A triangle found at its degree-oriented apex
     row supports all three of its edges; the oriented endpoints are
     re-canonicalized with least/greatest since degree order and id
     order disagree in general."""
-    tri = triangle_edge_rows(e)
+    tri = triangle_edge_rows(e, nbrs=nbrs)
     one = F.lit(1).cast("long")
 
     def _edge(a, b, w):

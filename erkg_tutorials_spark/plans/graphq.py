@@ -331,12 +331,17 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_link_prediction (``part_coorder_edges``) and counts via the
     edge-iterator adjacency-intersection plan (graph/triangles.py);
     the facade verb path (from_edges().triangleCount()) runs the same
-    algorithm and stays covered by the fixture goldens."""
+    algorithm and stays covered by the fixture goldens. The memoized
+    clustering adjacency arrays feed the enumeration directly (the
+    id-order out-arrays are a per-row filter of them —
+    triangles._oriented_adjacency), so the plan has no adjacency
+    groupBy exchange of its own."""
     from erkg_tutorials_spark.graph.triangles import vertex_triangle_counts
 
-    return vertex_triangle_counts(part_coorder_edges(spark, sf_dir)).select(
-        "id", "count"
-    )
+    return vertex_triangle_counts(
+        part_coorder_edges(spark, sf_dir),
+        nbrs=coorder_nbrs_cached(spark, sf_dir),
+    ).select("id", "count")
 
 
 # ---------------------------------------------------------------------------
@@ -698,7 +703,10 @@ def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.graph.ktruss import k_truss
 
     return k_truss(
-        part_coorder_edges(spark, sf_dir), k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS
+        part_coorder_edges(spark, sf_dir),
+        k=KTRUSS_K,
+        max_rounds=KTRUSS_ROUNDS,
+        nbrs0=coorder_nbrs_cached(spark, sf_dir),
     )
 
 
