@@ -38,10 +38,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from erkg_tutorials_spark.similarity.kmeans import kmeans_cosine
-from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+from erkg_tutorials_spark.similarity.knn import _as_double, _dot, argmax_one
 
 _EPS = 1e-9
 
@@ -86,19 +85,22 @@ def cosine_similarity_join(
     cent = cent.withColumn("cn", F.sqrt(_dot("cvec", "cvec")))
 
     # cell assignment (rounded-cosine argmax, same convention as ivf.py)
-    # + the member's exact angle to its centroid for the radius bound
-    w_assign = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cent_id"))
-    assigned = (
+    # + the member's exact angle to its centroid for the radius bound.
+    # Min-struct argmax, not a row_number window: the k-fold assignment
+    # fan partial-aggregates map-side before the exchange (guide §2.3);
+    # (cos, cent_id) unique per vid → same winner as the window's row 1.
+    assigned = argmax_one(
         v.crossJoin(F.broadcast(cent))
         .withColumn("rawcos", _dot("emb", "cvec") / (F.col("vn") * F.col("cn")))
-        .withColumn("cos", F.round("rawcos", 6))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select(
-            "vid", "emb", "vn", *block, *carry,
-            F.col("cent_id").alias("cell"),
-            _acos_clamped(F.col("rawcos")).alias("ang"),
-        )
+        .withColumn("cos", F.round("rawcos", 6)),
+        keys=["vid"],
+        score="cos",
+        tie="cent_id",
+        payload=["emb", "vn", *block, *carry, "cent_id", "rawcos"],
+    ).select(
+        "vid", "emb", "vn", *block, *carry,
+        F.col("cent_id").alias("cell"),
+        _acos_clamped(F.col("rawcos")).alias("ang"),
     )
 
     # hash-split hot cells so no sub-cell exceeds max_cell members

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+from erkg_tutorials_spark.similarity.knn import _as_double, _dot, argmax_one
 
 
 def _cos(a: str, b: str):
@@ -48,14 +48,18 @@ def ivf_cells(
     cent = centroids.select(
         F.col(id_col).alias("cent_id"), _as_double(vec_col).alias("cvec")
     ).withColumn("cn", F.sqrt(_dot("cvec", "cvec")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    return (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("cos", _cos_pre("emb", "cvec", "vn", "cn"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
+    # nearest centroid as a min-struct aggregation (partial-agged
+    # map-side, no sort) instead of a row_number window — guide §2.3;
+    # (cos, cent_id) unique per vec_id makes it the same winner.
+    return argmax_one(
+        v.crossJoin(F.broadcast(cent)).withColumn(
+            "cos", _cos_pre("emb", "cvec", "vn", "cn")
+        ),
+        keys=["vec_id"],
+        score="cos",
+        tie="cent_id",
+        payload=["cent_id"],
+    ).select("vec_id", F.col("cent_id").alias("cell"))
 
 
 def ivf_probes(
@@ -106,15 +110,17 @@ def cosine_knn_ivf(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn", F.sqrt(_dot("qv", "qv")))
 
-    # cell assignment: nearest centroid per corpus vector (broadcast cent)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .withColumn("cos", _cos_pre("emb", "cvec", "vn", "cn"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"), "emb", "vn")
-    )
+    # cell assignment: nearest centroid per corpus vector (broadcast
+    # cent); min-struct argmax, not a window — see ivf_cells
+    assigned = argmax_one(
+        v.crossJoin(F.broadcast(cent)).withColumn(
+            "cos", _cos_pre("emb", "cvec", "vn", "cn")
+        ),
+        keys=["vec_id"],
+        score="cos",
+        tie="cent_id",
+        payload=["cent_id", "emb", "vn"],
+    ).select("vec_id", F.col("cent_id").alias("cell"), "emb", "vn")
 
     # probe the nprobe nearest centroids per query
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cent_id"))

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+from erkg_tutorials_spark.similarity.knn import _as_double, _dot, argmax_one
 
 # Instrumentation: one (k, iters) entry per training run this process
 # has started. Training is index CONSTRUCTION — every registry query
@@ -73,28 +73,42 @@ def kmeans_cosine(
         vectors.sparkSession.sparkContext.defaultParallelism
     ).localCheckpoint(eager=True)
 
-    seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    # seeds = the k rows with the smallest (md5(vec_id), vec_id). The
+    # former global Window.orderBy ranked the ENTIRE corpus through a
+    # single-partition sort — a one-task bottleneck at scale. An
+    # orderBy().limit(k) is a distributed TakeOrderedAndProject
+    # (per-partition top-k, tiny driver merge), and the row_number
+    # that assigns cent_id then runs over k rows only; the k smallest
+    # rows' rank among themselves IS their global rank, so cent_id is
+    # unchanged (guide §2.4 — remove the shuffle outright).
+    seed_w = Window.orderBy("_h", "vec_id")
     cent = (
-        v.withColumn("cent_id", F.row_number().over(seed_w) - F.lit(1))
-        .where(F.col("cent_id") < k)
+        v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .select("_h", "vec_id", "emb")
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .withColumn("cent_id", F.row_number().over(seed_w) - F.lit(1))
         .select("cent_id", F.col("emb").alias("cvec"))
     )
 
     for _ in range(iters):
         cent = cent.withColumn("cn", F.sqrt(_dot("cvec", "cvec")))
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.desc("cos"), F.asc("cent_id")
-        )
-        assigned = (
-            v.crossJoin(F.broadcast(cent))
-            .withColumn(
+        # argmax cos (tie: min cent_id) as a min-struct aggregation
+        # rather than a row_number window: the k-fold assignment fan
+        # partial-aggregates map-side before the exchange and no
+        # per-partition sort runs (guide §2.3) — (cos, cent_id) is
+        # unique per vec_id, so the winner is exactly the window's
+        # row 1.
+        assigned = argmax_one(
+            v.crossJoin(F.broadcast(cent)).withColumn(
                 "cos",
                 F.round(_dot("emb", "cvec") / (F.col("vn") * F.col("cn")), 6),
-            )
-            .withColumn("rn", F.row_number().over(w_assign))
-            .where(F.col("rn") == 1)
-            .select(F.col("cent_id").alias("cell"), "emb")
-        )
+            ),
+            keys=["vec_id"],
+            score="cos",
+            tie="cent_id",
+            payload=["cent_id", "emb"],
+        ).select(F.col("cent_id").alias("cell"), "emb")
         # elementwise mean: explode to (cell, pos, val), aggregate, and
         # regroup in position order — collect_list alone is
         # order-nondeterministic, the sort_array over (pos, val)

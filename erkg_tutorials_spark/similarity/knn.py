@@ -25,6 +25,60 @@ def _dot(a: str, b: str) -> "F.Column":
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
 
 
+def argmax_one(
+    df: DataFrame,
+    keys: list[str],
+    score: str,
+    tie: str,
+    payload: list[str],
+) -> DataFrame:
+    """One row per ``keys``: the row with the LARGEST ``score``, ties
+    broken by SMALLEST ``tie`` — semantically the
+    ``row_number() over (partition by keys order by score desc, tie asc) = 1``
+    window, expressed as a ``min(struct(-score, tie, payload...))``
+    aggregation instead.
+
+    Why (guide §2.3, aggregate before you shuffle): the window form
+    shuffles the WHOLE per-key candidate fan (|keys|·k rows for a
+    k-centroid assignment join) and sorts every partition; the
+    aggregation form partial-aggregates map-side, so the exchange
+    carries one pre-reduced row per key per map partition and no sort
+    runs. Requires (score, tie) unique per key — true for every
+    centroid-assignment site (tie is the centroid id) — and a never
+    NaN/NULL score, so the struct comparison never reaches the payload
+    fields and the argmax is exactly the window's row 1.
+
+    Returns ``*keys, *payload`` (payload columns keep their names).
+    """
+    sel = F.struct(
+        (-F.col(score)).alias("_ns"),
+        F.col(tie).alias("_t"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(F.min(sel).alias("_b"))
+    return agg.select(*keys, *[F.col(f"_b.{c}").alias(c) for c in payload])
+
+
+def argmin_one(
+    df: DataFrame,
+    keys: list[str],
+    score: str,
+    tie: str,
+    payload: list[str],
+) -> DataFrame:
+    """:func:`argmax_one` twin for SMALLEST ``score`` (ties: smallest
+    ``tie``) — the ``order by score asc, tie asc`` window's row 1 as a
+    ``min(struct(score, tie, payload...))`` aggregation. Same
+    uniqueness/no-NaN contract."""
+    sel = F.struct(
+        F.col(score).alias("_s"),
+        F.col(tie).alias("_t"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(F.min(sel).alias("_b"))
+    return agg.select(*keys, *[F.col(f"_b.{c}").alias(c) for c in payload])
+
+
 def cosine_knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from erkg_tutorials_spark.similarity.knn import _as_double, _dot
+from erkg_tutorials_spark.similarity.knn import _as_double, _dot, argmin_one
 
 PQ_M = 8          # subspaces (64-dim testdata embeddings → 8 dims each)
 PQ_SUBDIM = 8
@@ -78,27 +78,33 @@ def pq_train_codebooks(vectors: DataFrame) -> DataFrame:
     """
     sub = pq_subvectors(vectors).localCheckpoint(eager=True)
 
-    seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    # k_sub smallest (md5, vec_id) via distributed top-k instead of a
+    # single-partition global window — see kmeans_cosine seeding
+    seed_w = Window.orderBy("_h", "vec_id")
     seed_ids = (
         sub.select("vec_id").distinct()
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(PQ_KSUB)
         .withColumn("cid", F.row_number().over(seed_w) - F.lit(1))
-        .where(F.col("cid") < PQ_KSUB)
+        .select("vec_id", "cid")
     )
     cb = sub.join(seed_ids, "vec_id").select(
         "m", F.col("cid").cast("long").alias("cid"), F.col("sub").alias("cvec")
     )
 
     for _ in range(PQ_ITERS):
-        w_assign = Window.partitionBy("vec_id", "m").orderBy(
-            F.asc("d2"), F.asc("cid")
-        )
-        assigned = (
-            sub.join(F.broadcast(cb), "m")
-            .withColumn("d2", _l2("sub", "cvec"))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .where(F.col("rn") == 1)
-            .select("m", F.col("cid").alias("cell"), "sub")
-        )
+        # argmin d2 (tie: min cid) as a min-struct aggregation, not a
+        # row_number window: the 64-fold per-(vec_id, m) candidate fan
+        # partial-aggregates map-side before the exchange and no sort
+        # runs (guide §2.3); (d2, cid) unique per key → same winner.
+        assigned = argmin_one(
+            sub.join(F.broadcast(cb), "m").withColumn("d2", _l2("sub", "cvec")),
+            keys=["vec_id", "m"],
+            score="d2",
+            tie="cid",
+            payload=["cid", "sub"],
+        ).select("m", F.col("cid").alias("cell"), "sub")
         cb = (
             assigned.select("m", "cell", F.posexplode("sub").alias("pos", "val"))
             .groupBy("m", "cell", "pos")
@@ -114,16 +120,18 @@ def pq_train_codebooks(vectors: DataFrame) -> DataFrame:
 
 
 def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """(vec_id, m, code): nearest-codebook-entry id per subspace."""
+    """(vec_id, m, code): nearest-codebook-entry id per subspace.
+    Min-struct argmin, not a window — see :func:`pq_train_codebooks`."""
     sub = pq_subvectors(vectors)
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
-    return (
-        sub.join(F.broadcast(codebooks), "m")
-        .withColumn("d2", _l2("sub", "cvec"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
-    )
+    return argmin_one(
+        sub.join(F.broadcast(codebooks), "m").withColumn(
+            "d2", _l2("sub", "cvec")
+        ),
+        keys=["vec_id", "m"],
+        score="d2",
+        tie="cid",
+        payload=["cid"],
+    ).select("vec_id", "m", F.col("cid").alias("code"))
 
 
 def cosine_knn_pq(
