@@ -29,7 +29,10 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from erkg_tutorials_spark.graph.loop_confs import tuned_loop_session
+from erkg_tutorials_spark.graph.loop_confs import (
+    loop_partitions,
+    tuned_loop_session,
+)
 
 # r11: the A/B with the in-JVM handoff (tools/graphx_ab.py
 # run_graphx_mem — no file marshalling) found the crossover: the DF
@@ -73,6 +76,7 @@ def pagerank(
     pre: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     init_ranks: DataFrame | None = None,
     weight: str | None = None,
+    inedges_complete: bool | None = None,
 ) -> DataFrame:
     """Returns (``[namespace,] id, rank``); ranks sum to 1 per namespace.
 
@@ -97,6 +101,13 @@ def pagerank(
     map-side before the exchange (hub vertices arrive pre-combined).
     The tuned confs live on a cloned session (graph/loop_confs.py) —
     concurrent queries on the caller's session are unaffected.
+
+    ``inedges_complete`` (un-namespaced only): True asserts every
+    vertex has at least one in-edge (true for any mirrored/symmetric
+    edge list), letting the loop skip the per-iteration verts
+    left-join; None (default) probes it once per call; False forces
+    the join. A wrong True would DROP in-edge-less vertices from the
+    output — assert it only where symmetry is structural.
     """
     ns = [namespace_col] if namespace_col else []
     if pre is not None and ns:
@@ -109,15 +120,23 @@ def pagerank(
     )
 
     if pre is not None:
-        verts0, e_deg, danglers = pre
-        verts = with_vertex_count(verts0, ns).cache()
+        verts, e_deg, danglers = pre
     else:
         verts = (
             e.select(*ns, F.col("src").alias("id"))
             .unionByName(e.select(*ns, F.col("dst").alias("id")))
             .distinct()
         )
-        verts = with_vertex_count(verts, ns).cache()
+        if ns:
+            verts = with_vertex_count(verts, ns).cache()
+        else:
+            # un-namespaced: |V| is ONE scalar — it is counted driver-side
+            # below instead of riding every row as an `n` column, which
+            # removes the per-call crossJoin overlay cache and the
+            # per-iteration broadcast that re-derived it (r13: the loop's
+            # per-iteration fixed cost was task/broadcast overhead, not
+            # data — see _pagerank_loop_flat)
+            verts = verts.cache()
 
         # loop-invariant tables: materialize once, reuse every iteration
         # (without this each iteration re-derives them from the source
@@ -162,6 +181,11 @@ def pagerank(
             )
             .cache()
         )
+    # un-namespaced: |V| as a driver-side scalar. float(n_verts) is exact
+    # (counts < 2^53) and lit(1.0)/lit(n) is the same IEEE division the
+    # former per-row `1.0 / col(n)` performed, so ranks are bit-identical.
+    n_verts = None if ns else verts.count()
+    inv_n = None if ns else (F.lit(1.0) / F.lit(float(n_verts)))
     if init_ranks is not None:
         # warm start (incremental maintenance): carry a prior rank
         # vector into the new graph; vertices the prior never saw
@@ -177,13 +201,17 @@ def pagerank(
         ).select(
             *ns,
             "id",
-            "n",
-            F.coalesce("rank0", F.lit(1.0) / F.col("n")).alias("rank"),
+            *([] if not ns else ["n"]),
+            F.coalesce(
+                "rank0", inv_n if not ns else F.lit(1.0) / F.col("n")
+            ).alias("rank"),
         )
-    else:
+    elif ns:
         ranks = verts.select(
             *ns, "id", "n", (F.lit(1.0) / F.col("n")).alias("rank")
         )
+    else:
+        ranks = verts.select("id", inv_n.alias("rank"))
 
     # global graphs: |ranks| = |V| ≪ |E| — broadcasting the rank vector
     # makes each iteration's rank⋈edges a map-side join over the cached
@@ -222,11 +250,11 @@ def pagerank(
         and n_edges >= _graphx_min_edges()
         and danglers.isEmpty()
     ):
-        out = _pagerank_graphx(e, verts, reset, max_iter)
+        out = _pagerank_graphx(e, verts, n_verts, reset, max_iter)
         if pre is None:
             e_deg.unpersist()
             danglers.unpersist()
-        verts.unpersist()
+            verts.unpersist()
         return out
     with tuned_loop_session(spark, n_edges, enabled=tune_loop_confs) as (
         _loop,
@@ -235,27 +263,67 @@ def pagerank(
         ranks, verts_l, e_deg_l, danglers_l = (
             rebind(ranks), rebind(verts), rebind(e_deg), rebind(danglers),
         )
+        if tune_loop_confs:
+            # loop-invariant caches keep their PARENT-session layout
+            # (scan/AQE-shaped — 64+ tiny partitions for a table the
+            # loop sizing puts at loop_partitions(n) ≈ 8 locally), and
+            # every iteration re-reads them: the per-iteration fixed
+            # cost was dominated by task count, not data (r13 timeline
+            # probe: ~280 tasks/iteration at sf0.1, ≥90% of them
+            # sub-10 ms cache-scan tasks). coalesce() is a narrow
+            # merge-at-read — no shuffle, no extra materialization —
+            # that sizes every loop-side read to the loop's own
+            # partitioning. Scale-adaptive by construction: P grows
+            # with the measured edge count.
+            p_loop = loop_partitions(n_edges)
+            e_deg_l = e_deg_l.coalesce(p_loop)
+            verts_l = verts_l.coalesce(p_loop)
+            danglers_l = danglers_l.coalesce(p_loop)
         # symmetric graphs (bidirectional edge lists, co-occurrence
         # graphs) have no dangling vertices at all — one cheap pre-loop
         # check (inside the tuned window: its shapes are the loop's
         # shapes) skips the per-iteration dangling agg + broadcast
         has_danglers = not danglers_l.isEmpty()
-        ranks = _pagerank_loop(
-            ranks, verts_l, e_deg_l, danglers_l, has_danglers, ns, reset,
-            max_iter, checkpoint_every, bcast,
-        )
+        if ns:
+            ranks = _pagerank_loop(
+                ranks, verts_l, e_deg_l, danglers_l, has_danglers, ns,
+                reset, max_iter, checkpoint_every, bcast,
+            )
+        else:
+            # every-vertex-receives-mass check: when each vertex has at
+            # least one in-edge, the contrib aggregation's key set IS
+            # the vertex set, so the per-iteration verts left-join (and
+            # its broadcast rebuild of the vertex table every round) is
+            # the identity and is skipped. Callers that know the graph
+            # is symmetric (every edge list here is mirrored) assert it
+            # via inedges_complete=True; None probes once per call with
+            # an anti-join at loop shapes. A WRONG True would drop
+            # in-edge-less vertices from the output — asserted only
+            # where symmetry is structural (mirrored unions).
+            complete = inedges_complete
+            if complete is None:
+                complete = verts_l.join(
+                    e_deg_l.select(F.col("dst").alias("id")),
+                    ["id"],
+                    "left_anti",
+                ).isEmpty()
+            ranks = _pagerank_loop_flat(
+                ranks, verts_l, e_deg_l, danglers_l, has_danglers,
+                complete, n_verts, reset, max_iter, checkpoint_every,
+                bcast,
+            )
     out = ranks.select(*ns, "id", "rank")
     # the returned frame is checkpoint-backed; the loop-invariant caches
     # are no longer needed by its lineage (caller-owned `pre` tables are
-    # left alone — the n-annotated verts overlay is always ours)
+    # left alone)
     if pre is None:
         e_deg.unpersist()
         danglers.unpersist()
-    verts.unpersist()
+        verts.unpersist()
     return out
 
 
-def _pagerank_graphx(e, verts, reset: float, max_iter: int) -> DataFrame:
+def _pagerank_graphx(e, verts, n_verts, reset: float, max_iter: int) -> DataFrame:
     """Classpath-GraphX tier for the routed case (see module header).
 
     Vertex ids are arbitrary strings here; GraphX needs longs, so a
@@ -308,8 +376,9 @@ def _pagerank_graphx(e, verts, reset: float, max_iter: int) -> DataFrame:
     )
     out = (
         idx.join(vr, "vid")
-        .join(verts.select("id", "n"), "id")
-        .select("id", (F.col("gxrank") / F.col("n")).alias("rank"))
+        .select(
+            "id", (F.col("gxrank") / F.lit(float(n_verts))).alias("rank")
+        )
         .localCheckpoint(eager=True)  # sever before the JVM state drops
     )
     # Graph.fromEdgeTuples caches vertices+edges MEMORY_ONLY and
@@ -379,6 +448,71 @@ def _pagerank_loop(
         # scaling hazard, not the data. checkpoint_every > 1 trades
         # driver-side plan size for fewer materialization barriers.
         # The chain frees round i-1's blocks as round i materializes.
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            ranks = chain(ranks)
+    return ranks
+
+
+def _pagerank_loop_flat(
+    ranks, verts, e_deg, danglers, has_danglers, complete, n_verts,
+    reset, max_iter, checkpoint_every, bcast,
+):
+    """Un-namespaced loop body: |V| is the driver-side scalar
+    ``n_verts`` (no per-row ``n`` column, no per-iteration rebuild of
+    the count crossJoin), and when ``complete`` — every vertex has an
+    in-edge, e.g. any mirrored/symmetric edge list — the contrib
+    aggregation's key set is exactly the vertex set, so the verts
+    left-join drops out of the iteration entirely. Rank expressions
+    evaluate the same IEEE operations on the same values as
+    :func:`_pagerank_loop` (checked bit-identical by
+    tests/test_graph_frames.py), the plan per round is just
+    rank⋈edges → sum — two stages and one broadcast build.
+
+    checkpoint_every stays 1 by measurement: each uncheckpointed round
+    re-executes its predecessors through the broadcast(r_src) subtree,
+    so longer spans are QUADRATIC re-work, not saved barriers (r13
+    A/B: ce=1 8.5 s, ce=3 11.6 s, ce=5 12.9 s on the sf0.1 trade
+    graph)."""
+    from erkg_tutorials_spark.graph.ckpt import CheckpointChain
+
+    chain = CheckpointChain()
+    # lit(n) keeps the DIVISION form of the original expressions
+    # (x / n, never x * (1/n) — the two differ in the last ulp), so
+    # every rank is the same IEEE value the column-n loop produced
+    n_lit = F.lit(float(n_verts))
+    weighted = "w_total" in e_deg.columns
+    for i in range(max_iter):
+        r_src = ranks.select(F.col("id").alias("src"), "rank")
+        per_edge = (
+            ((F.col("rank") * F.col("w")) / F.col("w_total"))
+            if weighted
+            else (F.col("rank") / F.col("out_deg"))
+        )
+        contribs = (
+            bcast(r_src).join(e_deg, ["src"])
+            .select(F.col("dst").alias("id"), per_edge.alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = contribs if complete else verts.join(contribs, ["id"], "left")
+        if not has_danglers:
+            dangling_term = F.lit(0.0) / n_lit
+        else:
+            dangling = ranks.join(danglers, ["id"], "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
+            )
+            base = base.crossJoin(F.broadcast(dangling))
+            dangling_term = (
+                F.coalesce(F.col("dangling"), F.lit(0.0)) / n_lit
+            )
+        ranks = base.select(
+            "id",
+            (
+                F.lit(reset) / n_lit
+                + F.lit(1.0 - reset)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling_term)
+            ).alias("rank"),
+        )
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             ranks = chain(ranks)
     return ranks
@@ -473,6 +607,14 @@ def personalized_pagerank(
         ranks, verts_l, e_deg_l, danglers_l = (
             rebind(ranks), rebind(verts_tp), rebind(e_deg), rebind(danglers),
         )
+        if tune_loop_confs:
+            # size every loop-side cache read to the loop partitioning
+            # (narrow merge, no shuffle) — see pagerank() for the
+            # task-count measurement that motivates this
+            p_loop = loop_partitions(n_edges)
+            e_deg_l = e_deg_l.coalesce(p_loop)
+            verts_l = verts_l.coalesce(p_loop)
+            danglers_l = danglers_l.coalesce(p_loop)
         has_danglers = not danglers_l.isEmpty()
         for i in range(max_iter):
             r_src = ranks.select(F.col("id").alias("src"), "rank")

@@ -287,6 +287,8 @@ def g5_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         trade_edges_sym(spark, sf_dir),
         max_iter=8,
         pre=trade_graph_invariants(spark, sf_dir),
+        # the mirrored union gives every vertex an in-edge structurally
+        inedges_complete=True,
     )
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))

@@ -209,6 +209,16 @@ class _DatedPre:
         from erkg_tutorials_spark.catalog import load_tables
 
         t = load_tables(spark, sf_dir)
+        # r13 (r12 VERDICT item 1): the caches here are re-read by every
+        # loop iteration downstream, and .cache() FREEZES whatever layout
+        # the final AQE-coalesced shuffle happened to pick — for a
+        # tens-of-MB distinct output that can be ~1 partition, serializing
+        # every downstream prologue stage (the driver measured 34 s @32
+        # cores vs 10 s @8: more cores, more forfeited parallelism). An
+        # explicit round-robin repartition to the session's parallelism
+        # pins an even, core-count-matched layout before the freeze;
+        # scale-adaptive because defaultParallelism is the cluster width.
+        par = spark.sparkContext.defaultParallelism
         self._fwd = (
             t["orders"]
             .where(F.col("o_orderdate") < F.lit(before))
@@ -218,6 +228,7 @@ class _DatedPre:
                 F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
             )
             .distinct()
+            .repartition(par)
             .cache()
         )
         e = self._fwd.unionByName(
@@ -228,9 +239,12 @@ class _DatedPre:
         out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
         self.verts = out_deg.select(F.col("src").alias("id"))
         self.e_deg = e.join(out_deg, ["src"]).cache()
-        self.danglers = self.verts.join(
-            out_deg.select(F.col("src").alias("id")), ["id"], "left_anti"
-        ).cache()
+        # danglers: verts IS the out-degree key set (symmetric graph), so
+        # the anti-join of verts against itself is empty BY CONSTRUCTION —
+        # materializing it was one cached shuffle of pure wasted work
+        # (r12 VERDICT item 1). A literal-empty frame keeps the pre()
+        # contract and makes the callee's isEmpty() pre-checks free.
+        self.danglers = spark.createDataFrame([], self.verts.schema)
 
     def pre(self):
         return self.verts, self.e_deg, self.danglers
@@ -256,6 +270,8 @@ def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpre.e_deg.select("src", "dst"),
         max_iter=PR_BASE_ITERS,
         pre=bpre.pre(),
+        # mirrored union: every vertex has an in-edge structurally
+        inedges_complete=True,
     )
     bpre.release()  # r_base is checkpoint-backed by loop exit
     ranks = pagerank(
@@ -263,6 +279,7 @@ def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=PR_DELTA_ITERS,
         pre=trade_graph_invariants(spark, sf_dir),
         init_ranks=r_base,
+        inedges_complete=True,
     )
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
@@ -319,6 +336,7 @@ def ensure_prbase(spark: SparkSession, sf_dir: str) -> str:
                     bpre.e_deg.select("src", "dst"),
                     max_iter=PR_BASE_ITERS,
                     pre=bpre.pre(),
+                    inedges_complete=True,
                 ),
                 root,
                 mode="overwrite",
@@ -347,6 +365,8 @@ def g_pagerank_warmstart_lakehouse(
         max_iter=PR_DELTA_ITERS,
         pre=trade_graph_invariants(spark, sf_dir),
         init_ranks=read_version(spark, root),
+        # mirrored union: every vertex has an in-edge structurally
+        inedges_complete=True,
     )
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
@@ -792,7 +812,12 @@ def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erkg_tutorials_spark.plans.graphq import trade_wedges_sym
 
     ranks = pagerank(
-        trade_wedges_sym(spark, sf_dir), max_iter=WPR_ITERS, weight="w"
+        trade_wedges_sym(spark, sf_dir),
+        max_iter=WPR_ITERS,
+        weight="w",
+        # mirrored union of strictly-positive count weights: every
+        # vertex keeps a positive in-edge after the w>0 filter
+        inedges_complete=True,
     )
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
